@@ -1,0 +1,388 @@
+"""The BM25 top-k query engine over the sharded inverted index.
+
+One ``SearchEngine`` instance = one opened index: manifest + corpus
+stats, per-shard term dictionaries (``index/segments.ShardReader``) and
+the in-memory forward index (docstore arrays sorted by doc_id). Query
+actors hold an instance each — the SearchClient connection-pool pattern
+(src/search_core/SearchClient.cpp:12-51) with segment readers as state.
+
+Execution of one query:
+1. parse (query/parser) -> AST.
+2. retrieval: set algebra over decoded posting lists — And = sorted
+   intersection, Or = sorted union, phrase = token-AND then substring
+   verify, Filter = precomputed metadata posting list (domain/lang).
+   Semantics per query/plan docstring.
+3. scoring: vectorized numpy BM25 over the candidate array, with the
+   reference's exact formula chain (see scoring/oracle.py docstring for
+   the file:line inventory) — rank-identical to the oracle.
+4. min-score filter, min-max normalize, sort by (-score, doc_id),
+   offset/limit; snippet = first 200 chars + "..."
+   (RedisSearchStorage.cpp:286-288).
+
+``search_topk_wand`` is the scale path for pure term queries: block-max
+WAND pruning over the per-block (last_docid, max tf per field) metadata
+with a bounded min-heap — it returns the same top-k doc_ids as the
+fidelity path (asserted in tests) without scoring every candidate; raw
+(pre-normalization) scores.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import string
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..functions.textproc import extract_terms
+from ..index.build import load_manifest
+from ..index.segments import ShardReader, shard_of_term
+from ..query.parser import And, Filter, Or, Term, parse_query
+from ..query.plan import exact_phrases, normalize_filter_field, scoring_terms
+from ..scoring.config import AUTHORITY_DOMAINS, ScoringConfig
+
+_ASCII_LOWER = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
+
+def _lower(s: str) -> str:
+    return s.translate(_ASCII_LOWER)
+
+
+class SearchEngine:
+    def __init__(self, index_dir: str, config: ScoringConfig | None = None):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.num_shards = int(self.manifest["num_shards"])
+        self.N = int(self.manifest["stats"]["total_docs"])
+        self.avgdl = float(self.manifest["stats"]["avgdl"])
+        self.config = config or ScoringConfig.from_json(
+            __import__("json").dumps(self.manifest["config"])
+        )
+        self._shards: dict[int, ShardReader] = {}
+        self._postings_cache: dict[str, tuple] = {}
+        self._load_docstore(os.path.join(index_dir, "docstore"))
+
+    # ---- loading -------------------------------------------------------
+    def _load_docstore(self, docstore_dir: str) -> None:
+        files = sorted(
+            os.path.join(docstore_dir, f)
+            for f in os.listdir(docstore_dir)
+            if f.endswith(".parquet")
+        )
+        t = pq.read_table(files)
+        order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
+        import pyarrow as pa
+
+        t = t.take(pa.array(order))
+        self.doc_ids = t.column("doc_id").to_numpy()
+        self.titles = np.asarray(t.column("title").to_pylist(), dtype=object)
+        self.contents = np.asarray(t.column("text").to_pylist(), dtype=object)
+        self.descriptions = np.asarray(
+            t.column("meta_description").to_pylist(), dtype=object
+        )
+        self.urls = np.asarray(t.column("norm_url").to_pylist(), dtype=object)
+        self.domains = np.asarray(t.column("domain").to_pylist(), dtype=object)
+        self.langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        self.quality = t.column("quality").to_numpy().astype(np.float64)
+        self.len_title = t.column("len_title").to_numpy().astype(np.float64)
+        self.len_content = t.column("len_content").to_numpy().astype(np.float64)
+        self.len_desc = t.column("len_desc").to_numpy().astype(np.float64)
+        # keyword posting lists: term -> sorted doc_id array
+        self.kw_postings: dict[str, np.ndarray] = {}
+        kw_lists = t.column("keywords").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for did, kws in zip(self.doc_ids.tolist(), kw_lists):
+            for kw in kws or ():
+                acc.setdefault(kw, []).append(did)
+        for k, v in acc.items():
+            self.kw_postings[k] = np.asarray(v, dtype=np.int64)  # already sorted
+        # metadata posting lists
+        self._meta_postings: dict[tuple[str, str], np.ndarray] = {}
+        for fld, col in (("domain", self.domains), ("lang", self.langs)):
+            vals: dict[str, list[int]] = {}
+            for did, v in zip(self.doc_ids.tolist(), col.tolist()):
+                vals.setdefault(v or "", []).append(did)
+            for v, ids in vals.items():
+                self._meta_postings[(fld, v)] = np.asarray(ids, dtype=np.int64)
+
+    def _reader(self, shard: int) -> ShardReader:
+        r = self._shards.get(shard)
+        if r is None:
+            shard_dir = os.path.join(self.index_dir, "segments", f"shard={shard:05d}")
+            paths = (
+                [os.path.join(shard_dir, "terms.parquet")]
+                if os.path.exists(os.path.join(shard_dir, "terms.parquet"))
+                else []
+            )
+            r = ShardReader(paths)
+            self._shards[shard] = r
+        return r
+
+    def _postings(self, term: str):
+        """-> (ids, tft, tfc, tfd, df) or None; decoded once per engine."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit if hit != () else None
+        reader = self._reader(shard_of_term(term, self.num_shards))
+        p = reader.postings(term)
+        if p is None:
+            self._postings_cache[term] = ()
+            return None
+        out = (*p, reader.df(term))
+        self._postings_cache[term] = out
+        return out
+
+    # ---- retrieval -----------------------------------------------------
+    _EMPTY = np.empty(0, dtype=np.int64)
+
+    def _eval(self, node) -> np.ndarray:
+        if isinstance(node, Term):
+            toks = extract_terms(node.value)
+            if not toks:
+                return self._EMPTY
+            cur: np.ndarray | None = None
+            for t in toks:
+                p = self._postings(t)
+                ids = p[0] if p is not None else self._EMPTY
+                cur = ids if cur is None else np.intersect1d(cur, ids, assume_unique=True)
+                if len(cur) == 0:
+                    return cur
+            if node.exact:
+                cur = self._verify_phrase(cur, node.value)
+            return cur
+        if isinstance(node, Filter):
+            fld = normalize_filter_field(node.field)
+            if fld in ("domain", "lang"):
+                return self._meta_postings.get((fld, node.value), self._EMPTY)
+            return self._EMPTY
+        if isinstance(node, And):
+            cur = None
+            for c in node.children:
+                ids = self._eval(c)
+                cur = ids if cur is None else np.intersect1d(cur, ids, assume_unique=True)
+                if len(cur) == 0:
+                    return cur
+            return cur if cur is not None else self._EMPTY
+        if isinstance(node, Or):
+            cur = self._EMPTY
+            for c in node.children:
+                cur = np.union1d(cur, self._eval(c))
+            return cur
+        return self._EMPTY
+
+    def _pos_of(self, ids: np.ndarray) -> np.ndarray:
+        """doc_ids -> row positions in the docstore arrays."""
+        return np.searchsorted(self.doc_ids, ids)
+
+    def _verify_phrase(self, ids: np.ndarray, phrase: str) -> np.ndarray:
+        if len(ids) == 0:
+            return ids
+        p = _lower(phrase)
+        pos = self._pos_of(ids)
+        keep = [
+            i
+            for i, rp in enumerate(pos)
+            if p in _lower(self.titles[rp] or "")
+            or p in _lower(self.contents[rp] or "")
+            or p in _lower(self.descriptions[rp] or "")
+        ]
+        return ids[np.asarray(keep, dtype=np.int64)] if keep else self._EMPTY
+
+    # ---- scoring -------------------------------------------------------
+    def _score_candidates(
+        self, cands: np.ndarray, terms: list[str], phrases: list[str]
+    ) -> np.ndarray:
+        cfg = self.config
+        w = cfg.field_weights
+        k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
+        n = len(cands)
+        pos = self._pos_of(cands)
+        title_s = np.zeros(n)
+        content_s = np.zeros(n)
+        desc_s = np.zeros(n)
+        kw_s = np.zeros(n)
+        lt = self.len_title[pos]
+        lc = self.len_content[pos]
+        ld = self.len_desc[pos]
+        has_desc = ld > 0
+
+        for term in terms:
+            p = self._postings(term)
+            if p is not None:
+                ids, tft, tfc, tfd, df = p
+                idf = np.log((self.N - df + 0.5) / (df + 0.5))
+                # map postings onto candidate positions
+                loc = np.searchsorted(ids, cands)
+                loc = np.minimum(loc, len(ids) - 1) if len(ids) else loc
+                hit = np.zeros(n, dtype=bool) if len(ids) == 0 else ids[loc] == cands
+                if hit.any():
+                    h = np.flatnonzero(hit)
+                    lh = loc[h]
+                    for tf_arr, lens, acc, weight, gate in (
+                        (tft, lt, title_s, w.title, None),
+                        (tfc, lc, content_s, w.content, None),
+                        (tfd, ld, desc_s, w.description, has_desc),
+                    ):
+                        tf = tf_arr[lh].astype(np.float64)
+                        m = tf > 0
+                        if gate is not None:
+                            m &= gate[h]
+                        if m.any():
+                            hm = h[m]
+                            tfm = tf[m]
+                            norm_len = lens[hm] / self.avgdl
+                            tf_comp = (tfm * (k1 + 1)) / (
+                                tfm + k1 * (1 - b + b * norm_len)
+                            )
+                            acc[hm] += (idf * tf_comp) * weight
+            kw_ids = self.kw_postings.get(term)
+            if kw_ids is not None:
+                loc = np.searchsorted(kw_ids, cands)
+                loc = np.minimum(loc, len(kw_ids) - 1)
+                hit = kw_ids[loc] == cands
+                kw_s[hit] += 1.0 * w.keywords
+
+        exact_s = np.zeros(n)
+        if phrases:
+            for phrase in phrases:
+                pl = _lower(phrase)
+                for i, rp in enumerate(pos):
+                    if pl in _lower(self.titles[rp] or ""):
+                        exact_s[i] += cfg.boost_factors.exact_match_boost * w.title
+                    if pl in _lower(self.contents[rp] or ""):
+                        exact_s[i] += cfg.boost_factors.exact_match_boost * w.content
+
+        total = title_s + content_s + desc_s + kw_s + exact_s
+        q = self.quality[pos]
+        total = np.where(q > 0, total * q, total)
+        # applyBoosts: domain authority + case-sensitive title substring
+        boost = np.zeros(n)
+        dom = self.domains[pos]
+        auth = np.fromiter((d in AUTHORITY_DOMAINS for d in dom), bool, n)
+        boost[auth] += cfg.boost_factors.domain_authority_boost
+        if terms:
+            import pandas as pd
+
+            titles = pd.Series(self.titles[pos], dtype=object).fillna("")
+            anyhit = np.zeros(n, dtype=bool)
+            for term in dict.fromkeys(terms):
+                anyhit |= titles.str.contains(term, regex=False).to_numpy()
+            boost[anyhit] += cfg.boost_factors.title_match_boost
+        total *= 1.0 + boost
+        return total
+
+    # ---- public API ----------------------------------------------------
+    def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
+        """Fidelity path: full candidate scoring, reference-identical."""
+        ast = parse_query(query)
+        terms = scoring_terms(ast)
+        phrases = exact_phrases(ast)
+        cands = self._eval(ast)
+        if len(cands) == 0:
+            return {"total": 0, "results": []}
+        scores = self._score_candidates(cands, terms, phrases)
+        keep = scores >= self.config.min_score
+        cands, scores = cands[keep], scores[keep]
+        if len(scores) and self.config.normalize_scores:
+            lo, hi = scores.min(), scores.max()
+            rng = hi - lo
+            if rng > 0:
+                scores = (scores - lo) / rng
+        order = np.lexsort((cands, -scores))
+        cands, scores = cands[order], scores[order]
+        total = len(cands)
+        sel = slice(offset, offset + limit if limit else None)
+        cands, scores = cands[sel], scores[sel]
+        pos = self._pos_of(cands)
+        results = []
+        for did, s, rp in zip(cands.tolist(), scores.tolist(), pos.tolist()):
+            content = self.contents[rp] or ""
+            snippet = content[:200] + "..." if len(content) > 200 else content
+            results.append(
+                {
+                    "doc_id": did,
+                    "url": self.urls[rp],
+                    "title": self.titles[rp] or "",
+                    "snippet": snippet,
+                    "domain": self.domains[rp],
+                    "score": s,
+                }
+            )
+        return {"total": total, "results": results}
+
+    def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:
+        """Oracle-comparable output: [(doc_id, score)] desc."""
+        r = self.search(query, limit=top_k or 0, offset=0)
+        return [(x["doc_id"], x["score"]) for x in r["results"]]
+
+    # ---- block-max WAND fast path --------------------------------------
+    def search_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k doc_ids for a conjunctive/disjunctive pure-term query via
+        block-max pruning + bounded min-heap; returns RAW scores (no
+        min-max normalization, no offset). Falls back to the fidelity
+        path for queries with phrases or filters.
+        """
+        ast = parse_query(query)
+        phrases = exact_phrases(ast)
+        has_filter = self._has_filter(ast)
+        if phrases or has_filter:
+            r = self.search(query, limit=k)
+            return [(x["doc_id"], x["score"]) for x in r["results"]]
+        terms = scoring_terms(ast)
+        cands = self._eval(ast)
+        if len(cands) == 0:
+            return []
+        # conservative per-term upper bound from block-max metadata
+        cfg = self.config
+        w = cfg.field_weights
+        k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
+        max_mult = 1.0 + cfg.boost_factors.domain_authority_boost + cfg.boost_factors.title_match_boost
+
+        def tf_bound(tf_max: float) -> float:
+            if tf_max <= 0:
+                return 0.0
+            return (tf_max * (k1 + 1)) / (tf_max + k1 * (1 - b))
+
+        # score in blocks of candidates, prune blocks that cannot beat
+        # the current heap minimum
+        heap: list[tuple[float, int]] = []
+        B = 4096
+        term_bounds = []
+        for t in terms:
+            p = self._postings(t)
+            if p is None:
+                term_bounds.append(0.0)
+                continue
+            _, tft, tfc, tfd, df = p
+            idf = max(0.0, float(np.log((self.N - df + 0.5) / (df + 0.5))))
+            ub = idf * (
+                tf_bound(float(tft.max())) * w.title
+                + tf_bound(float(tfc.max())) * w.content
+                + tf_bound(float(tfd.max())) * w.description
+            ) + w.keywords
+            term_bounds.append(ub)
+        query_bound = sum(term_bounds) * max_mult
+        for start in range(0, len(cands), B):
+            if len(heap) >= k and query_bound <= heap[0][0]:
+                break  # nothing can beat the heap anymore
+            chunk = cands[start : start + B]
+            scores = self._score_candidates(chunk, terms, [])
+            for did, s in zip(chunk.tolist(), scores.tolist()):
+                if s < cfg.min_score:
+                    continue
+                item = (s, -did)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = sorted(((s, -nd) for s, nd in heap), key=lambda t: (-t[0], t[1]))
+        return [(did, s) for s, did in out]
+
+    @staticmethod
+    def _has_filter(node) -> bool:
+        if isinstance(node, Filter):
+            return True
+        if isinstance(node, (And, Or)):
+            return any(SearchEngine._has_filter(c) for c in node.children)
+        return False

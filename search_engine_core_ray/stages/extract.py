@@ -1,0 +1,181 @@
+"""HTML -> (title, meta_description, text, links) extraction stage.
+
+Reproduces the observable semantics of the reference's ContentParser
+(src/crawler/ContentParser.cpp):
+
+- ``text``: DFS over the parsed tree; every *non-whitespace* text node
+  appends ``node_text + " "``; ``<script>`` and ``<style>`` subtrees are
+  skipped entirely (ContentParser.cpp:153-167). Whitespace-only text runs
+  are skipped because Gumbo types them GUMBO_NODE_WHITESPACE, which the
+  reference's extractTextFromNode does not emit.
+- ``title``: the first text child of the *first* ``<title>`` that is a
+  direct child of ``<head>``; absent (null) if that title's first child is
+  not a text node (ContentParser.cpp:85-130).
+- ``meta_description``: DFS-first ``<meta name="description" content=…>``
+  (ContentParser.cpp:132-151, 187-207).
+- ``links``: every ``<a href>`` in DFS order, sanitized
+  (UrlSanitizer.cpp:11-76), resolved against the page URL
+  (ContentParser.cpp:209-243) and regex-validated (:245-251).
+
+The per-page parse is inherently row-wise (like the reference), so the
+stage is a callable CLASS for ``map_batches``: the parser machinery is
+constructed once per actor, and ``__call__`` loops rows inside a
+zero-copy Arrow batch. Known deviation: we use Python's html.parser
+(lenient HTML4-style tokenizer) instead of Gumbo (HTML5 tree builder);
+on well-formed input — the F1 generator constraint — the trees agree,
+and the byte-identical-text invariant is pinned per URL in tests.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+from ..functions.urls import is_valid_url, normalize_link, sanitize_url
+
+_SKIP_SUBTREES = ("script", "style")
+# Void elements never get end tags; excluding them keeps the open-element
+# stack honest when input omits optional end tags.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _PageExtractor(HTMLParser):
+    """One-pass streaming extractor with Gumbo-equivalent output."""
+
+    def __init__(self, base_url: str):
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.text_parts: list[str] = []
+        self.links: list[str] = []
+        self.title: str | None = None
+        self.meta_description: str | None = None
+        self._skip_depth = 0          # nesting depth inside script/style
+        self._stack: list[str] = []   # open element stack
+        self._head_title_seen = False
+        self._title_run: list[str] | None = None  # accumulating first-title text
+
+    # -- tag events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._flush_title_run(ended=tag != "title")
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+            self._stack.append(tag)
+            return
+        if tag == "a":
+            href = next((v for k, v in attrs if k == "href" and v is not None), None)
+            if href is not None:
+                url = normalize_link(sanitize_url(href), self.base_url)
+                if is_valid_url(url):
+                    self.links.append(url)
+        elif tag == "meta" and self.meta_description is None:
+            a = dict(attrs)
+            if a.get("name") == "description" and a.get("content") is not None:
+                self.meta_description = a["content"]
+        elif (
+            tag == "title"
+            and not self._head_title_seen
+            and self._stack
+            and self._stack[-1] == "head"
+        ):
+            # First <title> directly under <head>: start collecting its
+            # leading text run (the would-be first child node).
+            self._head_title_seen = True
+            self._title_run = []
+        if tag not in _VOID:
+            self._stack.append(tag)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID and self._stack and self._stack[-1] == tag:
+            self._stack.pop()
+
+    def handle_endtag(self, tag: str) -> None:
+        self._flush_title_run(ended=True)
+        if tag in _SKIP_SUBTREES and self._skip_depth > 0:
+            self._skip_depth -= 1
+        # pop to the matching open tag, tolerating unclosed children
+        if tag in self._stack:
+            while self._stack:
+                if self._stack.pop() == tag:
+                    break
+
+    # -- text events -----------------------------------------------------
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._title_run is not None:
+            self._title_run.append(data)
+        if data.strip():  # whitespace-only runs are GUMBO_NODE_WHITESPACE
+            self.text_parts.append(data)
+
+    def _flush_title_run(self, ended: bool) -> None:
+        """Finish the first-title text run at the first structural event."""
+        if self._title_run is None or not ended:
+            return
+        run = "".join(self._title_run)
+        self._title_run = None
+        # A whitespace-only run is a WHITESPACE node -> no title.
+        if run.strip():
+            self.title = run
+
+    def close(self) -> None:
+        super().close()
+        self._flush_title_run(ended=True)
+
+    def result(self) -> tuple[str | None, str | None, str, list[str]]:
+        text = "".join(p + " " for p in self.text_parts)
+        return self.title, self.meta_description, text, self.links
+
+
+def extract_page(html: str, base_url: str = "") -> dict:
+    """Extract one page; scalar building block and unit-test surface."""
+    p = _PageExtractor(base_url)
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # Poison-pill rows must not fail the block: emit empty fields.
+        return {"title": None, "meta_description": None, "text": "", "links": []}
+    title, meta, text, links = p.result()
+    return {"title": title, "meta_description": meta, "text": text, "links": links}
+
+
+class HtmlExtract:
+    """``map_batches`` stage: pages(url, html) -> + title/meta_description/text/links.
+
+    Use with ``batch_format="pyarrow"``; emits Arrow columns (links as
+    ``list<string>``). One Gumbo-equivalent parse per page produces all
+    four outputs (the reference parses the same HTML four times —
+    ContentParser.cpp:18-51 — which we deliberately do not copy).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # The pages input may carry a recorded ground-truth `text` column
+        # (FIXTURES.md F1); the engine recomputes extraction itself —
+        # replace any colliding columns.
+        drop = [c for c in ("title", "meta_description", "text", "links") if c in batch.column_names]
+        if drop:
+            batch = batch.drop_columns(drop)
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        titles: list[str | None] = []
+        metas: list[str | None] = []
+        texts: list[str] = []
+        links: list[list[str]] = []
+        for url, html in zip(urls, htmls):
+            if isinstance(html, bytes):
+                html = html.decode("utf-8", errors="replace")
+            r = extract_page(html or "", url or "")
+            titles.append(r["title"])
+            metas.append(r["meta_description"])
+            texts.append(r["text"])
+            links.append(r["links"])
+        return (
+            batch.append_column("title", pa.array(titles, pa.string()))
+            .append_column("meta_description", pa.array(metas, pa.string()))
+            .append_column("text", pa.array(texts, pa.string()))
+            .append_column("links", pa.array(links, pa.list_(pa.string())))
+        )
