@@ -77,19 +77,35 @@ class OracleDoc:
 
 
 class BM25Oracle:
-    def __init__(self, docs: list[OracleDoc], config: ScoringConfig | None = None):
+    def __init__(
+        self,
+        docs: list[OracleDoc],
+        config: ScoringConfig | None = None,
+        update_corpus_stats: bool = True,
+    ):
+        """``update_corpus_stats=False`` reproduces the reference's
+        never-updated BM25Algorithm defaults — N=1000, avgdl=100
+        (SearchScorer.h:158-159) and df=0 for every term (the
+        ``documentFrequencies_[term]`` operator[] default) — which is the
+        state the reference's own scorer tests run in
+        (tests/scoring/test_search_scorer.cpp never calls
+        updateCorpusStatistics)."""
         self.config = config or ScoringConfig.create_default()
         self.docs = [d.finish() for d in docs]
-        self.total_docs = len(self.docs)
-        total_len = 0.0
         self.df: dict[str, int] = {}
-        for d in self.docs:
-            total_len += (
-                len(d.content.encode()) + len(d.title.encode()) + len(d.description.encode())
-            )
-            for t in d.term_union:
-                self.df[t] = self.df.get(t, 0) + 1
-        self.avgdl = total_len / self.total_docs if self.total_docs else 100.0
+        if update_corpus_stats:
+            self.total_docs = len(self.docs)
+            total_len = 0.0
+            for d in self.docs:
+                total_len += (
+                    len(d.content.encode()) + len(d.title.encode()) + len(d.description.encode())
+                )
+                for t in d.term_union:
+                    self.df[t] = self.df.get(t, 0) + 1
+            self.avgdl = total_len / self.total_docs if self.total_docs else 100.0
+        else:
+            self.total_docs = 1000
+            self.avgdl = 100.0
 
     # ---- retrieval -----------------------------------------------------
     def _matches(self, doc: OracleDoc, node) -> bool:
@@ -169,6 +185,31 @@ class BM25Oracle:
             boost += self.config.boost_factors.title_match_boost
         total *= 1.0 + boost
         return total
+
+    # ---- SearchScorer::scoreResults / rankResults (no retrieval) -------
+    def score_results(self, query: str) -> list[tuple[int, float]]:
+        """Score EVERY doc against the query (the reference's
+        scoreResults path, where Redis supplied the doc set), with
+        min-score filter + normalization; unsorted."""
+        ast = parse_query(query)
+        terms = scoring_terms(ast)
+        phrases = exact_phrases(ast)
+        scored = [(d.doc_id, self.score_doc(d, terms, phrases)) for d in self.docs]
+        scored = [(i, s) for i, s in scored if s >= self.config.min_score]
+        if scored and self.config.normalize_scores:
+            vals = [s for _, s in scored]
+            lo, hi = min(vals), max(vals)
+            rng = hi - lo
+            if rng > 0:
+                scored = [(i, (s - lo) / rng) for i, s in scored]
+        return scored
+
+    def rank_results(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:
+        scored = self.score_results(query)
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        if top_k and len(scored) > top_k:
+            scored = scored[:top_k]
+        return scored
 
     # ---- rank ----------------------------------------------------------
     def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:

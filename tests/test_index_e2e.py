@@ -1,0 +1,195 @@
+"""End-to-end: synth pages -> build_index -> SearchEngine, conformance
+against the independent full-scan oracle (rank-identical doc_ids AND
+scores, abs tol 1e-9 — SURVEY.md §7.3 step 6), the byte-identical
+extraction invariant, resume determinism (FIXTURES.md F8), and the WAND
+fast path vs the fidelity path.
+"""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_table
+from search_engine_core_ray.index.build import build_index
+from search_engine_core_ray.query.engine import SearchEngine
+from search_engine_core_ray.scoring.oracle import BM25Oracle, OracleDoc
+
+# FIXTURES.md F7 adapted to the synthetic vocabulary
+QUERIES = [
+    "search",
+    "data",
+    "machine",
+    "learning",
+    "python",
+    "index",
+    "machine learning",
+    "search engine index",
+    "apple AND banana",
+    "apple OR banana",
+    "machine AND learning OR python",
+    "data OR missingwordxyz",
+    '"machine learning"',
+    '"search engine"',
+    "site:github.com",
+    "site:github.com data",
+    "language:fa",
+    "language:fa search",
+    "nonexistentterm12345",
+    "e-mail",
+    "ApPlE",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    pages = synth_pages_table(SynthConfig(n_docs=250, seed=42))
+    pages_ds = ray.data.from_arrow(pages)
+    result = build_index(
+        pages_ds, index_dir, lineage="synth-250-42", num_shards=8, salt_mod=4
+    )
+    return index_dir, pages, result
+
+
+def _oracle_from_docstore(index_dir):
+    t = pq.read_table(os.path.join(index_dir, "docstore"))
+    docs = []
+    for row in t.to_pylist():
+        docs.append(
+            OracleDoc(
+                doc_id=row["doc_id"],
+                url=row["norm_url"],
+                title=row["title"] or "",
+                content=row["text"] or "",
+                description=row["meta_description"] or "",
+                keywords=row["keywords"] or [],
+                domain=row["domain"] or "",
+                quality=row["quality"],
+                lang=row["lang"] or "",
+            )
+        )
+    return BM25Oracle(docs)
+
+
+def test_build_produces_segments_and_manifest(built):
+    index_dir, pages, result = built
+    assert result.stats.total_docs > 0
+    assert os.path.exists(os.path.join(index_dir, "manifest.json"))
+    shard_dirs = glob.glob(os.path.join(index_dir, "segments", "shard=*"))
+    assert shard_dirs
+    for d in shard_dirs:
+        assert os.path.exists(os.path.join(d, "terms.parquet"))
+        assert os.path.exists(os.path.join(d, "meta.json"))
+
+
+def test_docstore_text_byte_identical(built):
+    """The per-URL invariant: extracted text == recorded ground truth
+    (for the LWW-surviving row per normalized URL)."""
+    from search_engine_core_ray.functions.urls import normalize_url
+
+    index_dir, pages, _ = built
+    expected = {}  # norm_url -> (warc_ts, text)
+    for row in pages.to_pylist():
+        nu = normalize_url(row["url"])
+        cur = expected.get(nu)
+        key = (row["warc_ts"], row["url"])
+        if cur is None or key > cur[0]:
+            expected[nu] = (key, row["text"])
+    store = pq.read_table(os.path.join(index_dir, "docstore"))
+    got = dict(zip(store.column("norm_url").to_pylist(), store.column("text").to_pylist()))
+    assert set(got) == set(expected)
+    for nu, (_, text) in expected.items():
+        assert got[nu] == text, nu
+
+
+def test_dedup_one_row_per_url(built):
+    index_dir, pages, result = built
+    store = pq.read_table(os.path.join(index_dir, "docstore"))
+    urls = store.column("norm_url").to_pylist()
+    assert len(urls) == len(set(urls))
+    ids = store.column("doc_id").to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_corpus_stats_match_oracle(built):
+    index_dir, _, result = built
+    oracle = _oracle_from_docstore(index_dir)
+    assert result.stats.total_docs == oracle.total_docs
+    assert result.stats.avgdl == pytest.approx(oracle.avgdl, abs=1e-9)
+
+
+def test_df_matches_oracle(built):
+    index_dir, _, result = built
+    oracle = _oracle_from_docstore(index_dir)
+    engine = SearchEngine(index_dir)
+    for term in ["search", "data", "the", "machine", "python", "zzzznope"]:
+        p = engine._postings(term)
+        df_engine = p[4] if p else 0
+        assert df_engine == oracle.df.get(term, 0), term
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identical_engine_vs_oracle(built, query):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    oracle = _oracle_from_docstore(index_dir)
+    got = engine.rank(query, top_k=10)
+    exp = oracle.rank(query, top_k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp], (
+        f"doc order mismatch for {query!r}: {got[:5]} vs {exp[:5]}"
+    )
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9), (query, gd)
+
+
+def test_parse_errors_propagate(built):
+    from search_engine_core_ray.query.parser import ParseError
+
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    for bad in ["", "   ", '"unclosed', "OR", "AND", "apple OR", "AND apple"]:
+        with pytest.raises(ParseError):
+            engine.search(bad)
+
+
+def test_wand_topk_matches_fidelity(built):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    for query in ["data", "machine learning", "apple OR banana", "search engine index"]:
+        fid = engine.rank(query, top_k=10)
+        fast = engine.search_topk_wand(query, k=10)
+        assert [d for d, _ in fast] == [d for d, _ in fid], query
+
+
+def test_pagination(built):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    all10 = engine.search("data", limit=10)["results"]
+    page2 = engine.search("data", limit=5, offset=5)["results"]
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in all10[5:]]
+
+
+def test_resume_skips_stages_and_is_identical(ray_session, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index_resume"))
+    pages = synth_pages_table(SynthConfig(n_docs=80, seed=11))
+    pages_ds = ray.data.from_arrow(pages)
+    r1 = build_index(pages_ds, index_dir, lineage="L1", num_shards=4)
+    segs = sorted(glob.glob(os.path.join(index_dir, "segments", "**", "terms.parquet")))
+    digests1 = {p: open(p, "rb").read() for p in segs}
+
+    # simulate a crash after the docstore stage: wipe segments + markers
+    shutil.rmtree(os.path.join(index_dir, "segments"))
+    os.remove(os.path.join(index_dir, "_STAGE_segments.json"))
+    r2 = build_index(pages_ds, index_dir, lineage="L1", num_shards=4)
+    assert r2.stats.to_dict() == r1.stats.to_dict()
+    for p, blob in digests1.items():
+        assert open(p, "rb").read() == blob, f"segment differs after resume: {p}"
+
+    # full re-run with matching lineage is a no-op (markers short-circuit)
+    r3 = build_index(pages_ds, index_dir, lineage="L1", num_shards=4)
+    assert r3.metrics["shards"] == r1.metrics["shards"]
