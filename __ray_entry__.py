@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data search engine rebuild.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``      — flagship pipeline (full index build + fixture query
+  set) on sf0.001; Ray is already initialised by the caller.
+- ``queries()``    — the operator catalog (SURVEY.md §2 + training-data
+  extensions), one callable per implemented operator, each taking
+  ``sf_dir``.
+- ``oracle_sql()`` — matching DuckDB SQL per SQL-expressible entry
+  (identical column names; floats disciplined for hash-compare — see
+  search_engine_core_ray/pipelines/catalog.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ray.init()/ray.shutdown(); the
+caller owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +20,21 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index from sf0.001 documents (wrapped
+    as Common-Crawl-style pages), run the fixture query set, return the
+    ranked results table."""
+    from search_engine_core_ray.pipelines.catalog import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from search_engine_core_ray.pipelines.catalog import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_core_ray.pipelines.catalog import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -121,7 +121,7 @@ def build_index(
     num_shards: int = 32,
     salt_mod: int = 4,
     lineage: str = "",
-    extract_concurrency: int | tuple = 4,
+    extract_concurrency: int | tuple | None = None,
     batch_size: int = 256,
 ) -> BuildResult:
     """Build the full index under ``index_dir``; resumable per stage."""
@@ -134,6 +134,14 @@ def build_index(
     t0 = time.monotonic()
 
     # ---- stage 1: extract + profile + dedup -> docstore ----------------
+    if extract_concurrency is None:
+        import ray
+
+        # autoscaling pool: min 1 actor so the pool can never reserve
+        # every CPU and starve the read/write task operators (a fixed
+        # pool of size == num_cpus deadlocks the streaming executor).
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        extract_concurrency = (1, max(2, n_cpus - 1))
     docstore_marker = stage_done(index_dir, "docstore", lineage)
     if docstore_marker is None:
         extracted = pages_ds.map_batches(

@@ -1,0 +1,819 @@
+"""The operator catalog: one entry per implemented pipeline/operator
+(SURVEY.md §2 + the training-data extensions), each as a callable
+``fn(sf_dir) -> Dataset | pa.Table | pd.DataFrame`` with, where
+SQL-expressible, a DuckDB oracle string over the same parquet tables.
+
+Cross-engine float discipline (the driver hash-compares values):
+- integers stay integers;
+- doubles are produced either by a single division of exactly
+  reconstructed integers (bit-identical in both engines) or rounded
+  with round-half-away-from-zero on BOTH sides (DuckDB ROUND semantics);
+- sums of genuine doubles are rounded to 3-4 decimals, absorbing
+  summation-order differences;
+- ordering keys use rounded values + an integer tiebreak.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages import textstats as ts
+from ..stages.dedup import exact_dedup, minhash_near_dupes, simhash64
+from ..functions.similarity import ann_topk, embedding_dupes, lsh_bucket_ann
+
+BM25_QUERY_TERMS = ("dup", "vector")
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    r = ts.round_half_away(x, digits)
+    return t.set_column(t.schema.get_field_index(col), col, pa.array(r, pa.float64()))
+
+
+# ======================================================================
+# tokenization / postings / corpus statistics (the index-build core ops)
+# ======================================================================
+
+@_q(
+    "postings",
+    """
+    SELECT t.term, t.doc_id, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+          FROM documents) t
+    GROUP BY 1, 2
+    """,
+)
+def q_postings(sf_dir: str):
+    """Tokenize + per-doc tf explode (SearchScorer.cpp:692-723 semantics)."""
+    return _docs(sf_dir).map_batches(ts.content_postings, batch_format="pyarrow")
+
+
+@_q(
+    "term_df",
+    """
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_term_df(sf_dir: str):
+    """Document frequency per term with per-batch partial aggregation
+    (combiner) before the tiny groupby(term) shuffle."""
+    from ray.data.aggregate import Sum
+
+    partial = _docs(sf_dir).map_batches(ts.partial_term_df, batch_format="pyarrow")
+    return partial.groupby("term").aggregate(Sum("pdf", alias_name="df"))
+
+
+@_q(
+    "corpus_stats",
+    """
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS total_chars,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents
+    """,
+)
+def q_corpus_stats(sf_dir: str):
+    """Global N / total / avg length (updateCorpusStatistics analog) via
+    streaming partial sums; avg from exact integers (bit-identical)."""
+    def partial(b: pa.Table) -> pa.Table:
+        chars = pc.sum(pc.utf8_length(pc.fill_null(b.column("text"), ""))).as_py() or 0
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "chars": pa.array([int(chars)], pa.int64())})
+
+    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    n = total = 0
+    for ref in parts:
+        t = ray.get(ref)
+        n += int(pc.sum(t.column("n")).as_py() or 0)
+        total += int(pc.sum(t.column("chars")).as_py() or 0)
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_chars": pa.array([total], pa.int64()),
+            "avg_chars": pa.array([total / n if n else 0.0], pa.float64()),
+        }
+    )
+
+
+@_q(
+    "bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+      WHERE term IN {BM25_QUERY_TERMS} GROUP BY 1, 2),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, CAST(sum(strlen(text)) AS DOUBLE)/count(*) AS avgdl
+      FROM documents),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+      WHERE term IN {BM25_QUERY_TERMS} GROUP BY 1),
+    scores AS (
+      SELECT tf.doc_id,
+             sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (strlen(d.text) / stats.avgdl))) ) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN documents d ON d.doc_id = tf.doc_id, stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 4) AS score FROM scores
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_topk(sf_dir: str):
+    """Distributed BM25 top-k over the content field (k1=1.2, b=0.75,
+    byte doc lengths, no floor on IDF — SearchScorer.cpp:257-274) as a
+    pure Dataset pipeline: tf explode -> broadcast stats/df -> vectorized
+    score -> groupby(doc).sum -> sort/limit."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        p = ts.content_postings(b)
+        mask = pc.is_in(p.column("term"), value_set=pa.array(BM25_QUERY_TERMS))
+        p = p.filter(mask)
+        lens = pc.binary_length(pc.fill_null(b.column("text"), "")).to_numpy()
+        len_by_id = dict(zip(b.column("doc_id").to_pylist(), lens.tolist()))
+        dl = [len_by_id[d] for d in p.column("doc_id").to_pylist()]
+        return p.append_column("doc_len", pa.array(dl, pa.int64()))
+
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    # tiny aggregates: N, avgdl, df per query term
+    stats = QUERIES["corpus_stats"](sf_dir)
+    n = stats.column("n_docs")[0].as_py()
+    import pyarrow.parquet as pq  # noqa: F401
+
+    total_bytes = 0
+    for b in docs.map_batches(
+        lambda t: pa.table({"x": pa.array([int(pc.sum(pc.binary_length(pc.fill_null(t.column('text'), ''))).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        total_bytes += int(pc.sum(b.column("x")).as_py() or 0)
+    avgdl = total_bytes / n
+    # df = number of (doc, term) rows per term
+    df_counts = (
+        tf_ds.map_batches(
+            lambda t: pa.table({"term": t.column("term"),
+                                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("one", alias_name="df"))
+        .to_pandas()
+    )
+    dfs = dict(zip(df_counts["term"], df_counts["df"]))
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy().astype(np.float64)
+        dl = b.column("doc_len").to_numpy().astype(np.float64)
+        df_arr = np.asarray([dfs[t] for t in b.column("term").to_pylist()], dtype=np.float64)
+        idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5))
+        s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        return pa.table({"doc_id": b.column("doc_id"), "s": pa.array(s, pa.float64())})
+
+    summed = (
+        tf_ds.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="score"))
+    )
+    out = summed.map_batches(
+        lambda t: _round_col(t, "score", 4), batch_format="pyarrow"
+    ).sort(["score", "doc_id"], descending=[True, False]).limit(20)
+    return out
+
+
+# ======================================================================
+# per-doc scalar / profile operators
+# ======================================================================
+
+@_q(
+    "word_counts",
+    r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words FROM documents",
+)
+def q_word_counts(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.word_counts, batch_format="pyarrow")
+
+
+@_q(
+    "content_quality",
+    "SELECT doc_id, CAST(LEAST(strlen(text), 10000) AS DOUBLE)/10000.0 AS quality FROM documents",
+)
+def q_content_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.content_quality_col, batch_format="pyarrow")
+
+
+@_q(
+    "doc_keywords",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS raw FROM documents),
+    cleaned AS (
+      SELECT doc_id, lower(regexp_replace(raw, '[!-/:-@\[-`{-~]', '', 'g')) AS w
+      FROM words),
+    counted AS (
+      SELECT doc_id, w AS keyword, count(*)::BIGINT AS cnt
+      FROM cleaned WHERE strlen(w) > 3 GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, keyword, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, keyword) AS kw_rank
+      FROM counted)
+    SELECT doc_id, keyword, cnt, kw_rank FROM ranked WHERE kw_rank <= 10
+    """,
+)
+def q_doc_keywords(sf_dir: str):
+    """Top-10 keywords per doc (ContentStorage.cpp:38-79; ties broken by
+    ascending word — see extract_keywords docstring)."""
+    from collections import Counter
+
+    from ..functions.textproc import _ASCII_LOWER, _PUNCT_TABLE, _WS_TOKEN_RE
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids_out, kw_out, cnt_out, rank_out = [], [], [], []
+        for did, text in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            counts = Counter()
+            for raw in _WS_TOKEN_RE.findall(text or ""):
+                w = raw.translate(_PUNCT_TABLE).translate(_ASCII_LOWER)
+                # NOTE: the reference's 40-word stoplist is all 3-letter
+                # words, so the >3-bytes filter already excludes them.
+                if len(w.encode("utf-8")) > 3:
+                    counts[w] += 1
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            for r, (w, c) in enumerate(ranked, 1):
+                ids_out.append(did)
+                kw_out.append(w)
+                cnt_out.append(c)
+                rank_out.append(r)
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()), "keyword": pa.array(kw_out, pa.string()),
+             "cnt": pa.array(cnt_out, pa.int64()), "kw_rank": pa.array(rank_out, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+@_q(
+    "language_id",
+    r"""
+    SELECT doc_id,
+      CASE WHEN strlen(text) = 0 THEN 'und'
+           WHEN strlen(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) * 10
+                < strlen(text) * 7 THEN 'nonascii'
+           WHEN len(regexp_extract_all(lower(text), '\bthe\b')) > 0 THEN 'en'
+           ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_language_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.language_id, batch_format="pyarrow")
+
+
+@_q(
+    "quality_metrics",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+             length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS nonspace,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|is|in|to|a)\b'))::BIGINT AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_words, n_chars, stop_hits,
+           CAST(nonspace AS DOUBLE) / GREATEST(n_words, 1) AS mean_word_len,
+           CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1) AS stop_ratio,
+           CAST(LEAST(n_words, 100) AS DOUBLE) / 100.0
+             * (1.0 - CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1)) AS score
+    FROM m
+    """,
+)
+def q_quality_metrics(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.quality_metrics, batch_format="pyarrow")
+
+
+@_q(
+    "url_normalize",
+    """
+    SELECT doc_id,
+           'https://' || source || '.example.com/doc/' || doc_id AS norm_url,
+           source || '.example.com' AS domain
+    FROM documents
+    """,
+)
+def q_url_normalize(sf_dir: str):
+    """Frontier URL normalization (URLFrontier.cpp:398-432) applied to a
+    deterministic dirty variant (case + fragment) of every doc URL."""
+    from ..functions.urls import extract_domain, normalize_url, sanitize_url
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        srcs = b.column("source").to_pylist()
+        norm = [
+            normalize_url(sanitize_url(f"HTTPS://{s}.Example.COM/doc/{d}#frag"))
+            for d, s in zip(ids, srcs)
+        ]
+        dom = [extract_domain(u) for u in norm]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "norm_url": pa.array(norm, pa.string()),
+             "domain": pa.array(dom, pa.string())}
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+@_q(
+    "searchable_content",
+    r"""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' ' || source || ' ' ||
+           'Doc ' || doc_id || ' ' || source || ' ' ||
+           array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 10), ' ') || ' ' ||
+           text AS searchable
+    FROM documents
+    """,
+)
+def q_searchable_content(sf_dir: str):
+    """extractSearchableContent (ContentStorage.cpp:210-230): title twice
+    + description + body, over the deterministic page wrapper fields."""
+    from ..functions.textproc import searchable_content
+    from ..sources.pages import page_fields_for_doc
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out = []
+        ids = b.column("doc_id").to_pylist()
+        for did, src, text in zip(
+            ids, b.column("source").to_pylist(), b.column("text").to_pylist()
+        ):
+            f = page_fields_for_doc(did, src, text or "")
+            out.append(searchable_content(f["title"], f["description"], text or ""))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "searchable": pa.array(out, pa.string())}
+        )
+
+    return _docs(sf_dir, columns=("doc_id", "source", "text")).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+@_q(
+    "extract_text",
+    """
+    SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+           'Doc ' || doc_id || ' ' || source || ' ' || text || ' ' AS text
+    FROM documents
+    """,
+)
+def q_extract_text(sf_dir: str):
+    """The byte-identical extraction invariant, driver-checked: HTML
+    wrapper -> HtmlExtract -> (url, text) vs the SQL-reconstructed
+    ground truth."""
+    from ..sources.pages import read_documents_as_pages
+    from ..stages.extract import HtmlExtract
+
+    pages = read_documents_as_pages(sf_dir)
+    return pages.map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).select_columns(["url", "text"])
+
+
+# ======================================================================
+# dedup family
+# ======================================================================
+
+@_q(
+    "exact_dedup",
+    "SELECT md5(text) AS text_md5, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def q_exact_dedup(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+@_q("minhash_dupes")  # rows-only: LSH banding not SQL-expressible
+def q_minhash_dupes(sf_dir: str):
+    return minhash_near_dupes(_docs(sf_dir), threshold=0.5)
+
+
+@_q("simhash")  # rows-only
+def q_simhash(sf_dir: str):
+    return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow")
+
+
+@_q("doc_fingerprint")  # rows-only
+def q_doc_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.doc_fingerprint, batch_format="pyarrow")
+
+
+# ======================================================================
+# similarity search over embeddings
+# ======================================================================
+
+@_q(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+    sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                    list_sum(list_transform(list_zip(q.qe, e.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / ( sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) ) AS c
+             FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid),
+    ranked AS (SELECT query_id, neighbor_id, c,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(c, 4) DESC, neighbor_id) AS rnk
+               FROM sims)
+    SELECT query_id, neighbor_id, rnk, round(c, 4) AS cos
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_ann_topk(sf_dir: str):
+    out = ann_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, round_digits=4)
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "neighbor_id", "rnk", "cos"]),
+        batch_format="pyarrow",
+    )
+
+
+@_q(
+    "embedding_dupes",
+    """
+    WITH sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / ( sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) ) AS c
+      FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id)
+    SELECT a, b, round(c, 4) AS cos FROM sims WHERE c >= 0.4
+    """,
+)
+def q_embedding_dupes(sf_dir: str):
+    out = embedding_dupes(_read(sf_dir, "embeddings"), threshold=0.4)
+    return out.map_batches(lambda t: _round_col(t, "cos", 4), batch_format="pyarrow")
+
+
+@_q("lsh_ann")  # rows-only: approximate by construction
+def q_lsh_ann(sf_dir: str):
+    # n_planes sizes the bucket count to the corpus: 2^4 buckets over the
+    # small sf tables; at web scale raise it so buckets stay worker-sized.
+    return lsh_bucket_ann(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_planes=4)
+
+
+# ======================================================================
+# events: windowed aggregate + sessionization (streaming-shaped)
+# ======================================================================
+
+@_q(
+    "events_window",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(sf_dir: str):
+    """Tumbling 1h window per event_type — groupby over a computed
+    window column (Ray Data has no native windows; SURVEY.md §2.10)."""
+    import polars as pl
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["event_type", "ts", "value"]))
+        df = df.with_columns(pl.col("ts").dt.truncate("1h").alias("window_start"))
+        return df.drop("ts").to_arrow()
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        add_window, batch_format="pyarrow"
+    )
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return agg.map_batches(lambda t: _round_col(t, "sum_value", 3), batch_format="pyarrow")
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o)
+    SELECT user_id, session_idx::BIGINT AS session_idx,
+           count(*)::BIGINT AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) — hash-bucketed groupby
+    per user with a vectorized per-bucket kernel (the ordered-log
+    pattern; each user's events sorted by (ts, event_id))."""
+    import polars as pl
+    import zlib
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uids = b.column("user_id").to_pylist()
+        return b.append_column(
+            "_bucket", pa.array([zlib.crc32(str(u).encode()) % 32 for u in uids], pa.int32())
+        )
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            gap=(pl.col("ts") - pl.col("ts").shift(1).over("user_id")),
+        ).with_columns(
+            new_s=pl.when(
+                pl.col("gap").is_null() | (pl.col("gap") > pl.duration(minutes=30))
+            )
+            .then(1)
+            .otherwise(0)
+        ).with_columns(session_idx=pl.col("new_s").cum_sum().over("user_id"))
+        out = (
+            df.group_by(["user_id", "session_idx"])
+            .agg(
+                n_events=pl.len().cast(pl.Int64),
+                start_ts=pl.col("ts").min(),
+                end_ts=pl.col("ts").max(),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("user_id", pa.int64()), ("session_idx", pa.int64()),
+                 ("n_events", pa.int64()), ("start_ts", pa.timestamp("us")),
+                 ("end_ts", pa.timestamp("us"))]
+            )
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+    return ds.groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
+
+
+# ======================================================================
+# relational operators over the TPC-H-ish tables
+# ======================================================================
+
+@_q(
+    "agg_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with per-batch partial
+    aggregation and exact integer-scaled money math (bit-identical
+    doubles via single final division)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        df = df.filter(pl.col("l_shipdate") <= pl.datetime(1998, 9, 2))
+        df = df.with_columns(
+            qty=pl.col("l_quantity").cast(pl.Int64),
+            cents=(pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64),
+            disc100=(pl.col("l_discount") * 100).round(0).cast(pl.Int64),
+        ).with_columns(disc_cents=pl.col("cents") * (100 - pl.col("disc100")))
+        out = df.group_by(["l_returnflag", "l_linestatus"]).agg(
+            qty=pl.col("qty").sum(),
+            cents=pl.col("cents").sum(),
+            disc_cents=pl.col("disc_cents").sum(),
+            n=pl.len().cast(pl.Int64),
+        )
+        return out.to_arrow()
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="qty"),
+        Sum("cents", alias_name="cents"),
+        Sum("disc_cents", alias_name="disc_cents"),
+        Sum("n", alias_name="n_rows"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        qty = t.column("qty").to_numpy().astype(np.float64)
+        cents = t.column("cents").to_numpy().astype(np.float64)
+        disc = t.column("disc_cents").to_numpy().astype(np.float64)
+        n = t.column("n_rows").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pa.array(qty, pa.float64()),
+                "sum_base_price": pa.array(cents / 100.0, pa.float64()),
+                "sum_disc_price": pa.array(disc / 10000.0, pa.float64()),
+                "avg_qty": pa.array(qty / n, pa.float64()),
+                "n_rows": t.column("n_rows"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@_q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_topk_orders(sf_dir: str):
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+@_q(
+    "mktsegment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_mktsegment_revenue(sf_dir: str):
+    """Broadcast join: the small customer side is ray.put once and read
+    per actor/task, never shuffled (SURVEY.md §2.5)."""
+    import ray
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    )  # dimension table: small by definition
+    seg_map = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = ray.get(seg_map)
+        df = pl.from_arrow(b)
+        df = df.with_columns(
+            seg=pl.col("o_custkey").replace_strict(m, default="UNKNOWN"),
+            cents=(pl.col("o_totalprice") * 100).round(0).cast(pl.Int64),
+        )
+        return (
+            df.group_by("seg")
+            .agg(n=pl.len().cast(pl.Int64), cents=pl.col("cents").sum())
+            .rename({"seg": "c_mktsegment"})
+            .to_arrow()
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy().astype(np.float64)
+        return pa.table(
+            {"c_mktsegment": t.column("c_mktsegment"), "n_orders": t.column("n_orders"),
+             "revenue": pa.array(cents / 100.0, pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@_q("distinct_part_types", "SELECT DISTINCT p_type FROM part")
+def q_distinct_part_types(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "part", ["p_type"])
+        .groupby("p_type")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+@_q(
+    "filter_events",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+)
+def q_filter_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ======================================================================
+# flagship: full index build + fixture query set (rows-only)
+# ======================================================================
+
+FLAGSHIP_QUERIES = [
+    "dup",
+    "vector",
+    "dup vector",
+    "dup OR vector",
+    "table merge",
+    '"row scan"',
+    "doc",
+]
+
+
+def flagship(sf_dir: str, index_root: str | None = None):
+    """Build the full inverted index from the documents table (wrapped as
+    pages) and run the fixture query set; returns one row per (query,
+    rank) with the doc id, url and rounded score."""
+    import hashlib as _h
+    import ray.data
+
+    from ..index.build import build_index
+    from ..query.engine import SearchEngine
+    from ..query.parser import ParseError
+    from ..sources.pages import read_documents_as_pages
+
+    root = index_root or "/tmp/secr_index_cache"
+    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{root}/{token}"
+    pages = read_documents_as_pages(sf_dir)
+    build_index(pages, index_dir, lineage=f"documents:{sf_dir}", num_shards=16)
+    eng = SearchEngine(index_dir)
+    rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
+    for q in FLAGSHIP_QUERIES:
+        try:
+            res = eng.search(q, limit=10)["results"]
+        except ParseError:
+            continue
+        for r, hit in enumerate(res, 1):
+            rows["query"].append(q)
+            rows["rnk"].append(r)
+            rows["doc_id"].append(hit["doc_id"])
+            rows["url"].append(hit["url"])
+            rows["score"].append(float(ts.round_half_away(np.float64(hit["score"]), 4)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rnk": pa.array(rows["rnk"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "url": pa.array(rows["url"], pa.string()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+QUERIES["build_and_search"] = flagship

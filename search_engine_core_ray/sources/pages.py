@@ -87,9 +87,15 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_documents_as_pages(sf_dir: str) -> "ray.data.Dataset":
-    """documents.parquet -> pages Dataset (deterministic wrapper HTML)."""
+def read_documents_as_pages(sf_dir: str, min_blocks: int = 8) -> "ray.data.Dataset":
+    """documents.parquet -> pages Dataset (deterministic wrapper HTML).
+
+    ``override_num_blocks`` splits the (locally single-file) input into
+    enough blocks that every downstream stage can run in parallel; on a
+    real corpus the many input files provide the splits for free."""
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=min_blocks,
     )
     return ds.map_batches(documents_to_pages, batch_format="pyarrow")

@@ -1,0 +1,231 @@
+"""Deduplication operators for the training-data pipeline.
+
+- exact:      content-hash (md5) -> groupby(hash) -> min doc_id survivor
+- MinHash+LSH near-dup: word-shingles -> 64 minhashes -> 16 bands of 4
+  -> groupby(band, band_hash) candidate buckets -> pairwise verify exact
+  Jaccard -> (a, b, jaccard) pairs. The LSH groupby is the shuffle;
+  buckets are tiny, verification is per-bucket vectorized.
+- SimHash:    64-bit near-dup signature per doc (vectorized bitcount).
+- n-gram Jaccard: exact Jaccard over 3-token shingles for candidate
+  pairs (used by the verify step and exposed standalone).
+
+All hashing is crc32/blake2-based and deterministic across processes —
+no Python hash(), no RNG at runtime (the minhash permutation constants
+come from a seeded generator at import time).
+
+Reference ties: the visited-set / upsert exact dedup
+(src/crawler/URLFrontier.cpp:25-81, src/storage/ContentStorage.cpp:246-283)
+has no near-dup analog in the reference; MinHash/SimHash are the
+standard extensions for web-corpus pipelines (SURVEY.md §2.8 notes the
+gap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import polars as pl
+
+TOKEN_RE = r"[A-Za-z0-9]{2,}"
+
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+
+# deterministic odd multipliers/addends for the 64 minhash permutations
+_rng = np.random.RandomState(0xC0FFEE)
+_MH_A = (_rng.randint(1, 1 << 31, size=N_PERM).astype(np.uint64) * 2 + 1)
+_MH_B = _rng.randint(0, 1 << 31, size=N_PERM).astype(np.uint64)
+_MH_MASK = np.uint64((1 << 61) - 1)
+
+
+def text_md5(batch: pa.Table, col: str = "text") -> pa.Table:
+    vals = batch.column(col).to_pylist()
+    digests = [hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in vals]
+    return batch.append_column("text_md5", pa.array(digests, pa.string()))
+
+
+def exact_dedup(docs_ds, col: str = "text"):
+    """-> (text_md5, doc_id) one row per distinct content, min doc_id.
+    Hash-partitioned groupby on the digest (uniform key)."""
+    from ray.data.aggregate import Min
+
+    hashed = docs_ds.map_batches(
+        lambda b: text_md5(b, col).select(["text_md5", "doc_id"]),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+# ---- shingles + minhash ------------------------------------------------
+
+def _shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Per doc: sorted unique crc32 hashes of k-token shingles."""
+    df = pl.DataFrame({"t": texts})
+    toks_list = (
+        df.with_columns(
+            pl.col("t").fill_null("").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
+        )["tok"]
+        .to_list()
+    )
+    out = []
+    for toks in toks_list:
+        toks = toks or []
+        if len(toks) < k:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        h = np.unique(
+            np.fromiter(
+                (zlib.crc32(s.encode()) for s in shingles), np.uint64, len(shingles)
+            )
+        )
+        out.append(h)
+    return out
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """64 minhash values for one doc's shingle-hash set (vectorized)."""
+    if len(sh) == 0:
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (n_perm, n_shingles) permuted values, min over shingles
+    v = (sh[None, :] * _MH_A[:, None] + _MH_B[:, None]) & _MH_MASK
+    return v.min(axis=1)
+
+
+def minhash_bands(batch: pa.Table, k: int = 3) -> pa.Table:
+    """docs -> (band, band_hash, doc_id) rows for the LSH groupby."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    rows_band, rows_hash, rows_id = [], [], []
+    for did, sh in zip(ids, _shingle_hashes(texts, k)):
+        sig = minhash_signature(sh)
+        for b in range(N_BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            bh = zlib.crc32(chunk.tobytes())
+            rows_band.append(b)
+            rows_hash.append(bh)
+            rows_id.append(did)
+    return pa.table(
+        {
+            "band": pa.array(rows_band, pa.int32()),
+            "band_hash": pa.array(rows_hash, pa.int64()),
+            "doc_id": pa.array(rows_id, pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one LSH bucket (a < b)."""
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def jaccard_pairs(texts_by_id: dict[int, str], pairs: list[tuple[int, int]], k: int = 3):
+    """Exact shingle-Jaccard for candidate pairs -> [(a, b, jaccard)]."""
+    cache: dict[int, np.ndarray] = {}
+
+    def sh(i: int) -> np.ndarray:
+        v = cache.get(i)
+        if v is None:
+            v = _shingle_hashes([texts_by_id[i]], k)[0]
+            cache[i] = v
+        return v
+
+    out = []
+    for a, b in pairs:
+        sa, sb = sh(a), sh(b)
+        if len(sa) == 0 or len(sb) == 0:
+            out.append((a, b, 0.0))
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        out.append((a, b, inter / union))
+    return out
+
+
+def minhash_near_dupes(docs_ds, threshold: float = 0.5, k: int = 3):
+    """Full near-dup pipeline -> Dataset(a, b, jaccard) with jaccard >=
+    threshold, deduplicated pairs, a < b.
+
+    Scale shape: minhash per doc is map_batches; the all-to-all is the
+    (band, band_hash) groupby whose buckets are collision-sized; the
+    verify joins candidate pairs back to texts via a broadcast of only
+    the CANDIDATE docs (collected ids), not the corpus.
+    """
+    import ray
+
+    bands = docs_ds.map_batches(
+        lambda b: minhash_bands(b, k), batch_format="pyarrow"
+    )
+    pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = {
+        (r["a"], r["b"]) for r in pairs_ds.take_all()
+    }  # candidate pairs only — collision-sized, safe to collect
+    if not pairs:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    need = {i for p in pairs for i in p}
+    texts = {}
+    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        for did, txt in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if did in need:
+                texts[did] = txt or ""
+    verified = [
+        (a, b, j)
+        for a, b, j in jaccard_pairs(texts, sorted(pairs), k)
+        if j >= threshold
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([v[0] for v in verified], pa.int64()),
+                "b": pa.array([v[1] for v in verified], pa.int64()),
+                "jaccard": pa.array([v[2] for v in verified], pa.float64()),
+            }
+        )
+    )
+
+
+# ---- simhash -----------------------------------------------------------
+
+def simhash64(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over token crc32s, weighted by tf (vectorized
+    bit-matrix accumulation per doc)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks_list = (
+        df.with_columns(
+            pl.col("text").fill_null("").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
+        )["tok"]
+        .to_list()
+    )
+    out = []
+    bits = np.arange(64, dtype=np.uint64)
+    for toks in toks_list:
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.fromiter((zlib.crc32(t.encode()) for t in toks), np.uint64, len(toks))
+        # widen to 64 bits deterministically
+        hs = hs * np.uint64(0x9E3779B97F4A7C15)
+        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bitmat - 1).sum(axis=0)
+        sig = int(((v > 0).astype(np.uint64) << bits).sum())
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pa.table(
+        {"doc_id": df["doc_id"].to_arrow(), "simhash": pa.array(out, pa.int64())}
+    )

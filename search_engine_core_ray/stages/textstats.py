@@ -1,0 +1,173 @@
+"""Text-analysis batch kernels for the training-data pipeline operators:
+content-only postings, word counts, quality scoring, language ID,
+document fingerprinting. All vectorized (polars / pyarrow.compute); no
+Python loop over rows in any hot path.
+
+Each kernel is a deterministic function of the input so the DuckDB
+oracle in pipelines/catalog.py can recompute it in SQL; where doubles
+are produced they come from a single division of exactly-reconstructed
+integers (bit-identical across engines) or are rounded with
+``round_half_away`` (matching DuckDB ROUND).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import polars as pl
+
+TOKEN_RE = r"[A-Za-z0-9]{2,}"
+WS_TOKEN_RE = r"\S+"
+
+# \b(the|and|of|is|in|to|a)\b on lowercased text — the language-ID /
+# quality stopword probe (shared with the SQL oracle).
+STOP_PROBE_RE = r"\b(the|and|of|is|in|to|a)\b"
+
+
+def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """Round half away from zero — DuckDB/C++ ROUND semantics (numpy's
+    np.round is banker's rounding and would disagree at .5 boundaries)."""
+    m = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
+def content_postings(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text) -> (term, doc_id, tf) content-only postings."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = (
+        df.with_columns(pl.col("text").fill_null("").str.extract_all(TOKEN_RE).alias("tok"))
+        .drop("text")
+        .explode("tok")
+        .drop_nulls("tok")
+        .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+        .group_by(["term", "doc_id"])
+        .agg(pl.len().cast(pl.Int64).alias("tf"))
+        .select(["term", "doc_id", "tf"])
+    )
+    return out.to_arrow().cast(
+        pa.schema([("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())])
+    )
+
+
+def partial_term_df(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies (combiner before the tiny
+    groupby(term).sum shuffle — the pre-aggregation idiom)."""
+    p = content_postings(batch)
+    df = (
+        pl.from_arrow(p)
+        .group_by("term")
+        .agg(pl.len().cast(pl.Int64).alias("pdf"))
+    )
+    return df.to_arrow().cast(pa.schema([("term", pa.string()), ("pdf", pa.int64())]))
+
+
+def word_counts(batch: pa.Table) -> pa.Table:
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = df.with_columns(
+        pl.col("text").fill_null("").str.count_matches(WS_TOKEN_RE).cast(pl.Int64).alias("n_words")
+    ).drop("text")
+    return out.to_arrow()
+
+
+def content_quality_col(batch: pa.Table) -> pa.Table:
+    """quality = min(1.0, utf8_bytes(text)/10000) as LEAST(bytes,10000)/10000.0
+    — exact integer reconstruction, bit-identical to the SQL oracle."""
+    nbytes = pc.binary_length(pc.fill_null(batch.column("text"), "")).to_numpy()
+    q = np.minimum(nbytes, 10000).astype(np.float64) / 10000.0
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "quality": pa.array(q, pa.float64())}
+    )
+
+
+def language_id(batch: pa.Table) -> pa.Table:
+    """Heuristic language ID: 'nonascii' when < 70% of bytes are ASCII,
+    else 'en' when the English stop-probe hits, else 'und'. Deterministic
+    and SQL-expressible — the operator shape matters (per-batch vectorized
+    classification), not linguistic accuracy."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text").fill_null("")
+    )
+    out = df.with_columns(
+        ascii_bytes=pl.col("text").str.replace_all(r"[^\x00-\x7F]", "").alias("a")
+        .str.len_bytes().cast(pl.Int64),
+        total_bytes=pl.col("text").str.len_bytes().cast(pl.Int64),
+        the_hits=pl.col("text").str.to_lowercase().str.count_matches(r"\bthe\b").cast(pl.Int64),
+    ).with_columns(
+        lang_pred=pl.when(pl.col("total_bytes") == 0)
+        .then(pl.lit("und"))
+        .when(pl.col("ascii_bytes") * 10 < pl.col("total_bytes") * 7)
+        .then(pl.lit("nonascii"))
+        .when(pl.col("the_hits") > 0)
+        .then(pl.lit("en"))
+        .otherwise(pl.lit("und"))
+    ).select(["doc_id", "lang_pred"])
+    return out.to_arrow()
+
+
+def quality_metrics(batch: pa.Table) -> pa.Table:
+    """Composite text-quality metrics per doc:
+    n_words, n_chars (unicode), stop_hits, mean_word_len, score.
+    mean_word_len = nonspace_chars/n_words; score = min(1, n_words/100)
+    * stop share complement — all doubles from exact integer division.
+    """
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text").fill_null("")
+    )
+    out = df.with_columns(
+        n_words=pl.col("text").str.count_matches(WS_TOKEN_RE).cast(pl.Int64),
+        n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
+        nonspace=pl.col("text").str.replace_all(r"\s", "").str.len_chars().cast(pl.Int64),
+        stop_hits=pl.col("text").str.to_lowercase().str.count_matches(STOP_PROBE_RE).cast(pl.Int64),
+    ).drop("text")
+    t = out.to_arrow()
+    n_words = t.column("n_words").to_numpy().astype(np.float64)
+    nonspace = t.column("nonspace").to_numpy().astype(np.float64)
+    stop = t.column("stop_hits").to_numpy().astype(np.float64)
+    safe = np.maximum(n_words, 1.0)
+    mean_word_len = nonspace / safe
+    stop_ratio = stop / safe
+    score = np.minimum(n_words, 100.0) / 100.0 * (1.0 - stop_ratio)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_words": t.column("n_words"),
+            "n_chars": t.column("n_chars"),
+            "stop_hits": t.column("stop_hits"),
+            "mean_word_len": pa.array(mean_word_len, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def doc_fingerprint(batch: pa.Table) -> pa.Table:
+    """Order-sensitive rolling polynomial hash over the token stream:
+    fp = sum(base^i * crc32(tok_i)) mod 2^61-1. Python-int modular
+    arithmetic (products exceed 64 bits); token extraction stays
+    vectorized. Not SQL-expressible — covered by a pytest oracle.
+    """
+    import zlib
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = (
+        df.with_columns(
+            pl.col("text").fill_null("").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
+        )
+        .drop("text")
+    )
+    fps = []
+    for doc_toks in toks["tok"].to_list():
+        acc = 0
+        power = 1
+        for t in doc_toks or ():
+            acc = (acc + power * zlib.crc32(t.encode())) % _FP_MOD
+            power = (power * _FP_BASE) % _FP_MOD
+        fps.append(acc)
+    return pa.table(
+        {"doc_id": df["doc_id"].to_arrow(), "fp": pa.array(fps, pa.int64())}
+    )
