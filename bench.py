@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+Components timed (the "queries" dict):
+- build_synth       full index build over a deterministic synthetic web
+                    corpus (extract -> dedup -> stats -> postings shuffle
+                    -> segments); docs/sec reported as docs_per_sec_synth
+- build_docs        flagship build over the sf documents table
+- search_fixture    fixture query set via the fidelity engine
+- search_wand       same top-k via the block-max pruned fast path
+                    (+ query_p50_ms / query_p99_ms extras)
+- postings/term_df/bm25_topk/agg_pricing/mktsegment_revenue/
+  events_window/events_sessionize/ann_topk/minhash_dupes/exact_dedup
+                    representative catalog operators
+
+--scaling: runs the synth index build in two fresh processes
+(num_cpus=8, then 32) on the same input and reports both throughputs
+plus efficiency = (docs_s_32 / docs_s_8) / 4  (BASELINE.md protocol).
+--job build: internal child mode — only the synth build, minimal JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_SYNTH = int(os.environ.get("BENCH_N_PAGES", "20000"))
+
+FIXTURE_QUERIES = [
+    "dup", "vector", "dup vector", "dup OR vector", "table merge",
+    '"row scan"', "doc", "site:src3.example.com dup", "language:en vector",
+]
+
+
+def _init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _consume(ds):
+    """Fully execute a Dataset without materializing on the driver."""
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        total = 0
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            total += b.num_rows
+        return total
+    return len(ds)
+
+
+def ensure_pages_parquet() -> str:
+    """Materialize the deterministic synthetic page corpus ONCE (untimed)
+    — the benchmark measures indexing a Parquet corpus (the north-star
+    input shape), not corpus generation."""
+    import ray.data
+
+    from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_ds
+
+    pages_dir = f"/tmp/secr_bench/pages_{N_SYNTH}_heavy"
+    marker = os.path.join(pages_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        cfg = SynthConfig(n_docs=N_SYNTH, seed=42, n_domains=64,
+                          paras=(8, 20), para_words=(30, 90))
+        synth_pages_ds(cfg, blocks=64).write_parquet(pages_dir)
+        open(marker, "w").close()
+    return pages_dir
+
+
+def run_build_synth(tag: str) -> dict:
+    import ray.data
+
+    from search_engine_core_ray.index.build import build_index
+
+    pages_dir = ensure_pages_parquet()
+    idx = f"/tmp/secr_bench/{tag}/synth_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    pages = ray.data.read_parquet(pages_dir)
+    t0 = time.monotonic()
+    result = build_index(
+        pages, idx, lineage=f"bench-synth-{N_SYNTH}", num_shards=32, bucket_bits=2,
+        batch_size=2048,
+    )
+    dt = time.monotonic() - t0
+    return {
+        "seconds": dt,
+        "docs": result.stats.total_docs,
+        "docs_per_sec": result.stats.total_docs / dt,
+        "index_dir": idx,
+    }
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if "--scaling" in argv:
+        run_scaling()
+        return
+    only_build = "--job" in argv and argv[argv.index("--job") + 1] == "build"
+
+    ray = _init_ray()
+    queries: dict[str, float] = {}
+    extras: dict = {}
+    t_all = time.monotonic()
+
+    b = run_build_synth("full" if not only_build else f"cpus{NUM_CPUS}")
+    queries["build_synth"] = round(b["seconds"], 3)
+    extras["docs_per_sec_synth"] = round(b["docs_per_sec"], 1)
+    extras["synth_docs"] = b["docs"]
+
+    if only_build:
+        print(json.dumps({
+            "metric": "index_build_synth", "value": round(b["seconds"], 3),
+            "unit": "sec", "queries": queries, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, **extras,
+        }))
+        ray.shutdown()
+        return
+
+    # flagship over the sf documents table
+    from search_engine_core_ray.pipelines.catalog import QUERIES, flagship
+
+    t0 = time.monotonic()
+    flagship(SF_DIR, index_root=f"/tmp/secr_bench/docs_index")
+    queries["build_docs"] = round(time.monotonic() - t0, 3)
+
+    # query latency on the synth index
+    from search_engine_core_ray.query.engine import SearchEngine
+    from search_engine_core_ray.query.parser import ParseError
+
+    eng = SearchEngine(b["index_dir"])
+    lat = []
+    t0 = time.monotonic()
+    for _ in range(20):
+        for q in FIXTURE_QUERIES:
+            t1 = time.monotonic()
+            try:
+                eng.search(q, limit=10)
+            except ParseError:
+                pass
+            lat.append((time.monotonic() - t1) * 1000)
+    queries["search_fixture"] = round(time.monotonic() - t0, 3)
+    import numpy as np
+
+    extras["query_p50_ms"] = round(float(np.percentile(lat, 50)), 3)
+    extras["query_p99_ms"] = round(float(np.percentile(lat, 99)), 3)
+
+    t0 = time.monotonic()
+    for _ in range(20):
+        for q in ["dup", "vector", "dup vector", "dup OR vector", "table merge"]:
+            eng.search_topk_wand(q, k=10)
+    queries["search_wand"] = round(time.monotonic() - t0, 3)
+
+    # representative catalog operators at SF_DIR
+    for name in [
+        "postings", "term_df", "bm25_topk", "agg_pricing",
+        "mktsegment_revenue", "events_window", "events_sessionize",
+        "ann_topk", "minhash_dupes", "exact_dedup",
+    ]:
+        t0 = time.monotonic()
+        _consume(QUERIES[name](SF_DIR))
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = time.monotonic() - t_all
+    print(json.dumps({
+        "metric": "index_build_and_query_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    """Same synth index build at 8 and 32 CPUs in fresh processes.
+
+    Uses a larger corpus than the plain bench (default 100k pages, env
+    BENCH_SCALING_PAGES) so the 8-CPU run is compute-dominated rather
+    than fixed-overhead-dominated — the honest way to evidence the
+    N->4N criterion on one machine."""
+    scaling_pages = os.environ.get("BENCH_SCALING_PAGES", "100000")
+
+    def child(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_N_PAGES=scaling_pages
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--job", "build"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # hardware calibration: this sandbox shows CPU steal/oversubscription,
+    # so raw N-process speedup < N even for pure CPU burn. Report the
+    # measured ceiling so the build's efficiency can be read in context.
+    calib = _cpu_calibration()
+
+    lo = child(8)
+    hi = child(32)
+    d8 = lo["docs_per_sec_synth"]
+    d32 = hi["docs_per_sec_synth"]
+    eff = (d32 / d8) / (32 / 8)
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {"build_sec_8cpu": lo["value"], "build_sec_32cpu": hi["value"]},
+        "docs_per_sec_8": d8,
+        "docs_per_sec_32": d32,
+        "sf": SF_DIR,
+        "num_cpus": [8, 32],
+        "cpu_calibration": calib,
+    }
+    if calib.get("ceiling_efficiency"):
+        out["efficiency_vs_hardware_ceiling"] = round(
+            eff / calib["ceiling_efficiency"], 3
+        )
+    print(json.dumps(out))
+
+
+def _cpu_calibration() -> dict:
+    """Pure-CPU burn at 1/8/32 processes -> the node's achievable 8->32
+    scaling ceiling (1.0 only on an uncontended 32-core host)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.monotonic()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        q.put(time.monotonic() - t0)
+
+    walls = {}
+    try:
+        for n in (1, 8, 32):
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+            t0 = time.monotonic()
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            walls[n] = round(time.monotonic() - t0, 2)
+        speed8 = 8 * walls[1] / walls[8]
+        speed32 = 32 * walls[1] / walls[32]
+        return {
+            "burn_wall_s": walls,
+            "speedup_8": round(speed8, 2),
+            "speedup_32": round(speed32, 2),
+            "ceiling_efficiency": round((speed32 / speed8) / 4, 3),
+        }
+    except Exception as e:  # calibration is best-effort
+        return {"error": str(e)}
+
+
+if __name__ == "__main__":
+    main()

@@ -26,4 +26,11 @@ Layout
 - ``pipelines/``  end-to-end pipelines and the queries() catalog.
 """
 
+import os as _os
+
+# polars spawns an all-cores thread pool PER Ray worker by default —
+# 32 tasks x 32 threads oversubscribes the node and destroys scaling.
+# Pin it before any polars import; Ray does the same for OMP_NUM_THREADS.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

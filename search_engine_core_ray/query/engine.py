@@ -50,7 +50,12 @@ def _lower(s: str) -> str:
 
 
 class SearchEngine:
-    def __init__(self, index_dir: str, config: ScoringConfig | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        config: ScoringConfig | None = None,
+        preload_shards: bool = False,
+    ):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         self.num_shards = int(self.manifest["num_shards"])
@@ -62,6 +67,11 @@ class SearchEngine:
         self._shards: dict[int, ShardReader] = {}
         self._postings_cache: dict[str, tuple] = {}
         self._load_docstore(os.path.join(index_dir, "docstore"))
+        if preload_shards:
+            # open every term dictionary up front: first-query latency
+            # moves into __init__ (the actor-pool warmup), flattening p99
+            for shard in range(self.num_shards):
+                self._reader(shard)
 
     # ---- loading -------------------------------------------------------
     def _load_docstore(self, docstore_dir: str) -> None:
@@ -109,12 +119,10 @@ class SearchEngine:
     def _reader(self, shard: int) -> ShardReader:
         r = self._shards.get(shard)
         if r is None:
+            import glob
+
             shard_dir = os.path.join(self.index_dir, "segments", f"shard={shard:05d}")
-            paths = (
-                [os.path.join(shard_dir, "terms.parquet")]
-                if os.path.exists(os.path.join(shard_dir, "terms.parquet"))
-                else []
-            )
+            paths = sorted(glob.glob(os.path.join(shard_dir, "bucket=*.parquet")))
             r = ShardReader(paths)
             self._shards[shard] = r
         return r
@@ -333,40 +341,60 @@ class SearchEngine:
         cands = self._eval(ast)
         if len(cands) == 0:
             return []
-        # conservative per-term upper bound from block-max metadata
         cfg = self.config
         w = cfg.field_weights
         k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
         max_mult = 1.0 + cfg.boost_factors.domain_authority_boost + cfg.boost_factors.title_match_boost
 
-        def tf_bound(tf_max: float) -> float:
-            if tf_max <= 0:
-                return 0.0
-            return (tf_max * (k1 + 1)) / (tf_max + k1 * (1 - b))
+        def tf_bound(tf_max: np.ndarray) -> np.ndarray:
+            # upper bound of the tf component: len -> 0 in the BM25
+            # normalizer maximizes it (docLen only shrinks the score)
+            return np.where(
+                tf_max > 0, (tf_max * (k1 + 1)) / (tf_max + k1 * (1 - b)), 0.0
+            )
 
-        # score in blocks of candidates, prune blocks that cannot beat
-        # the current heap minimum
-        heap: list[tuple[float, int]] = []
-        B = 4096
-        term_bounds = []
+        # per-term BLOCK upper bounds from the stored block-max metadata
+        term_blocks: list[tuple[np.ndarray, np.ndarray] | None] = []
         for t in terms:
             p = self._postings(t)
-            if p is None:
-                term_bounds.append(0.0)
+            meta = None
+            if p is not None:
+                reader = self._reader(shard_of_term(t, self.num_shards))
+                meta = reader.block_meta(t)
+            if p is None or meta is None:
+                term_blocks.append(None)
                 continue
-            _, tft, tfc, tfd, df = p
+            df = p[4]
             idf = max(0.0, float(np.log((self.N - df + 0.5) / (df + 0.5))))
+            blk_last, mtft, mtfc, mtfd = meta
+            kw_ub = w.keywords if t in self.kw_postings else 0.0
             ub = idf * (
-                tf_bound(float(tft.max())) * w.title
-                + tf_bound(float(tfc.max())) * w.content
-                + tf_bound(float(tfd.max())) * w.description
-            ) + w.keywords
-            term_bounds.append(ub)
-        query_bound = sum(term_bounds) * max_mult
+                tf_bound(mtft.astype(np.float64)) * w.title
+                + tf_bound(mtfc.astype(np.float64)) * w.content
+                + tf_bound(mtfd.astype(np.float64)) * w.description
+            ) + kw_ub
+            term_blocks.append((blk_last, ub))
+
+        # score candidates in doc-id-ordered chunks; a chunk whose summed
+        # per-term block bounds (over the blocks its id-range touches)
+        # cannot beat the heap minimum is skipped without scoring.
+        heap: list[tuple[float, int]] = []
+        B = 4096
         for start in range(0, len(cands), B):
-            if len(heap) >= k and query_bound <= heap[0][0]:
-                break  # nothing can beat the heap anymore
             chunk = cands[start : start + B]
+            if len(heap) >= k:
+                lo, hi = int(chunk[0]), int(chunk[-1])
+                bound = 0.0
+                for tb in term_blocks:
+                    if tb is None:
+                        continue
+                    blk_last, ub = tb
+                    i0 = int(np.searchsorted(blk_last, lo))
+                    i1 = int(np.searchsorted(blk_last, hi)) + 1
+                    if i0 < len(ub):
+                        bound += float(ub[i0 : min(i1, len(ub))].max(initial=0.0))
+                if bound * max_mult <= heap[0][0]:
+                    continue  # block-max prune: skip this chunk entirely
             scores = self._score_candidates(chunk, terms, [])
             for did, s in zip(chunk.tolist(), scores.tolist()):
                 if s < cfg.min_score:

@@ -1,4 +1,4 @@
 from .extract import HtmlExtract, extract_page
-from .postings import TokenizeFields, explode_postings
+from .postings import explode_postings
 
-__all__ = ["HtmlExtract", "extract_page", "TokenizeFields", "explode_postings"]
+__all__ = ["HtmlExtract", "extract_page", "explode_postings"]

@@ -72,59 +72,3 @@ def explode_postings(batch: pa.Table) -> pa.Table:
             ]
         )
     )
-
-
-class TokenizeFields:
-    """Actor-pool stage: docs -> postings rows + (shard, salt) keys.
-
-    The class form holds per-actor state (shard lookup cache; the hook
-    point for future language-aware analyzers keyed off ``lang`` —
-    SURVEY.md §7.3 step 2; the reference has a single analyzer).
-
-    - ``shard`` = crc32(term) % num_shards — the partition key of the
-      final inverted index.
-    - ``salt``  = doc_id % salt_mod — term-skew handling: a Zipf-head
-      term's postings are spread over salt_mod sub-groups so no single
-      shuffle group exceeds df/salt_mod rows; the segment merge folds
-      the sorted runs back together (north_rule: "salted groupby plus
-      secondary merge").
-    """
-
-    def __init__(self, num_shards: int = 32, salt_mod: int = 4):
-        self.num_shards = num_shards
-        self.salt_mod = salt_mod
-        self._shard_cache: dict[str, int] = {}
-
-    def _shards_for(self, terms: list[str]) -> list[int]:
-        from ..index.segments import shard_of_term
-
-        cache = self._shard_cache
-        out = []
-        for t in terms:
-            s = cache.get(t)
-            if s is None:
-                s = shard_of_term(t, self.num_shards)
-                cache[t] = s
-            out.append(s)
-        return out
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        out = explode_postings(batch)
-        # shard per unique term (vocab-sized work, not postings-sized)
-        enc = pc.dictionary_encode(out.column("term").combine_chunks())
-        vocab = enc.dictionary.to_pylist()
-        shard_by_code = pa.array(self._shards_for(vocab), pa.int32())
-        shards = shard_by_code.take(enc.indices)
-        salt = pc.cast(
-            pc.subtract(
-                out.column("doc_id"),
-                pc.multiply(
-                    pc.divide(out.column("doc_id"), self.salt_mod),
-                    self.salt_mod,
-                ),
-            ),
-            pa.int32(),
-        )
-        return out.append_column("shard", shards).append_column("salt", salt)

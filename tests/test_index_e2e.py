@@ -51,7 +51,7 @@ def built(ray_session, tmp_path_factory):
     pages = synth_pages_table(SynthConfig(n_docs=250, seed=42))
     pages_ds = ray.data.from_arrow(pages)
     result = build_index(
-        pages_ds, index_dir, lineage="synth-250-42", num_shards=8, salt_mod=4
+        pages_ds, index_dir, lineage="synth-250-42", num_shards=8, bucket_bits=2
     )
     return index_dir, pages, result
 
@@ -83,8 +83,10 @@ def test_build_produces_segments_and_manifest(built):
     shard_dirs = glob.glob(os.path.join(index_dir, "segments", "shard=*"))
     assert shard_dirs
     for d in shard_dirs:
-        assert os.path.exists(os.path.join(d, "terms.parquet"))
-        assert os.path.exists(os.path.join(d, "meta.json"))
+        buckets = glob.glob(os.path.join(d, "bucket=*.parquet"))
+        assert buckets
+        for b in buckets:
+            assert os.path.exists(b.replace(".parquet", ".meta.json"))
 
 
 def test_docstore_text_byte_identical(built):
@@ -179,7 +181,7 @@ def test_resume_skips_stages_and_is_identical(ray_session, tmp_path_factory):
     pages = synth_pages_table(SynthConfig(n_docs=80, seed=11))
     pages_ds = ray.data.from_arrow(pages)
     r1 = build_index(pages_ds, index_dir, lineage="L1", num_shards=4)
-    segs = sorted(glob.glob(os.path.join(index_dir, "segments", "**", "terms.parquet")))
+    segs = sorted(glob.glob(os.path.join(index_dir, "segments", "**", "bucket=*.parquet")))
     digests1 = {p: open(p, "rb").read() for p in segs}
 
     # simulate a crash after the docstore stage: wipe segments + markers
