@@ -1,0 +1,92 @@
+"""Domain deletion: tombstones + compaction.
+
+Reference: RedisSearchStorage::deleteDocumentsByDomain
+(src/storage/RedisSearchStorage.cpp:594-648) — search domain, collect
+urls, delete each. The segment-file analog is two-phase:
+
+1. ``tombstone_domain``: resolve the domain's doc_ids from the docstore
+   (partition-pruned read of two columns) and append them to an atomic
+   ``tombstones.json``. O(matching docs); segments untouched. The query
+   engine subtracts tombstoned ids from every candidate set.
+2. ``compact_index``: rewrite the index without tombstoned docs — a new
+   docstore (filtered copy) + recomputed stats + rebuilt segments via
+   the normal build stages, then tombstones cleared. Run it when the
+   tombstone fraction justifies the rebuild (the same economics as a
+   Lucene merge-on-delete).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state.checkpoint import atomic_write_json, read_json
+
+TOMBSTONES = "tombstones.json"
+
+
+def load_tombstones(index_dir: str) -> dict:
+    return read_json(os.path.join(index_dir, TOMBSTONES)) or {
+        "domains": [],
+        "doc_ids": [],
+    }
+
+
+def tombstone_domain(index_dir: str, domain: str) -> int:
+    """Mark every doc of ``domain`` deleted; returns how many."""
+    t = pq.read_table(
+        os.path.join(index_dir, "docstore"), columns=["doc_id", "domain"]
+    )
+    hit = t.filter(pc.equal(t.column("domain"), domain))
+    ids = hit.column("doc_id").to_pylist()
+    cur = load_tombstones(index_dir)
+    merged = sorted(set(cur["doc_ids"]) | set(ids))
+    domains = sorted(set(cur["domains"]) | {domain})
+    atomic_write_json(
+        os.path.join(index_dir, TOMBSTONES),
+        {"domains": domains, "doc_ids": merged},
+    )
+    return len(ids)
+
+
+def compact_index(index_dir: str, new_index_dir: str, **build_kw) -> None:
+    """Rewrite the index at ``new_index_dir`` without tombstoned docs."""
+    import ray.data
+
+    from .build import DOCSTORE_COLUMNS, build_index
+
+    tomb = set(load_tombstones(index_dir)["doc_ids"])
+    docs = ray.data.read_parquet(os.path.join(index_dir, "docstore"))
+    if tomb:
+        docs = docs.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b.column("doc_id"), value_set=__import__("pyarrow").array(sorted(tomb))))
+            ),
+            batch_format="pyarrow",
+        )
+    # the docstore is already extracted/deduped: rebuild by treating its
+    # rows as pre-extracted pages (html bypass)
+    build_index_from_docs(docs, new_index_dir, **build_kw)
+
+
+def build_index_from_docs(docs_ds, index_dir: str, **build_kw):
+    """Build stages 2+3 over an existing docs dataset (columns =
+    DOCSTORE_COLUMNS); used by compaction and doc-table ingestion."""
+    import shutil
+
+    from .build import build_index
+
+    # reuse build_index by persisting the docstore ourselves and marking
+    # stage 1 done under the same lineage
+    from ..state.checkpoint import mark_stage
+
+    lineage = build_kw.get("lineage", "")
+    os.makedirs(index_dir, exist_ok=True)
+    docstore_dir = os.path.join(index_dir, "docstore")
+    if os.path.exists(docstore_dir):
+        shutil.rmtree(docstore_dir)
+    docs_ds.write_parquet(docstore_dir)
+    mark_stage(index_dir, "docstore", lineage, seconds=0.0)
+    return build_index(None, index_dir, **build_kw)

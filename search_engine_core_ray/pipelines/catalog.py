@@ -734,6 +734,148 @@ def q_mktsegment_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+@_q(
+    "expensive_order_items",
+    """
+    SELECT l_orderkey, count(*)::BIGINT AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY 1
+    """,
+)
+def q_expensive_order_items(sf_dir: str):
+    """Semi-join via broadcast key set (SURVEY.md §2.5: semi/anti joins
+    broadcast the small side and filter inside map_batches)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    keys = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)).select(
+                ["o_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_orderkey"]
+    )
+    key_ref = ray.put(pa.array(sorted(keys)))
+
+    def semi(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ks))
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(semi, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="qty_sum"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = t.column("qty_sum").to_numpy().astype(np.float64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "n_items": t.column("n_items"),
+             "total_qty": pa.array(q, pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@_q(
+    "parts_not_in_expensive_orders",
+    """
+    SELECT p_partkey FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l.l_partkey FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_totalprice > 450000)
+    """,
+)
+def q_parts_not_in_expensive_orders(sf_dir: str):
+    """Anti-join via broadcast key set (visited-set semantics:
+    URLFrontier.cpp:100-107 is the reference's anti-join shape)."""
+    import ray
+
+    okeys = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450000.0)).select(
+                ["o_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_orderkey"]
+    )
+    okey_ref = ray.put(pa.array(sorted(okeys)))
+
+    def seen_parts(b: pa.Table) -> pa.Table:
+        ks = ray.get(okey_ref)
+        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ks))
+        return pa.table({"k": pc.unique(b.column("l_partkey"))})
+
+    seen = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(seen_parts, batch_format="pyarrow")
+        .to_pandas()["k"]
+    )
+    seen_ref = ray.put(pa.array(sorted(set(seen))))
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = ray.get(seen_ref)
+        return b.filter(pc.invert(pc.is_in(b.column("p_partkey"), value_set=ks)))
+
+    out = _read(sf_dir, "part", ["p_partkey"]).map_batches(anti, batch_format="pyarrow")
+    # collect to a concrete Table: an all-filtered Dataset loses its
+    # schema through to_pandas, which breaks empty-result comparison
+    batches = [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    empty = pa.schema([("p_partkey", pa.int64())]).empty_table()
+    return pa.concat_tables(batches) if batches else empty
+
+
+@_q("search_documents")  # rows-only: needs the built index (flagship cache)
+def q_search_documents(sf_dir: str):
+    """SiteProfile -> SearchDocument projection over the built docstore:
+    url, title, content, domain, '|'-joined keywords, description,
+    language, indexed_at (unix seconds), score = content quality
+    (siteProfileToSearchDocument, RedisSearchStorage.cpp:153-196)."""
+    import hashlib as _h
+    import ray.data
+
+    flagship(sf_dir)  # ensures the index cache exists
+    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    docstore = f"/tmp/secr_index_cache/{token}/docstore"
+
+    def project(b: pa.Table) -> pa.Table:
+        kw = ["|".join(k or []) for k in b.column("keywords").to_pylist()]
+        ts = pc.cast(
+            pc.divide(pc.cast(b.column("warc_ts"), pa.int64()), 1_000_000),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "url": b.column("norm_url"),
+                "title": pc.fill_null(b.column("title"), ""),
+                "content": pc.fill_null(b.column("text"), ""),
+                "domain": b.column("domain"),
+                "keywords": pa.array(kw, pa.string()),
+                "description": pc.fill_null(b.column("meta_description"), ""),
+                "language": b.column("lang"),
+                "indexed_at": ts,
+                "score": b.column("quality"),
+            }
+        )
+
+    return ray.data.read_parquet(docstore).map_batches(project, batch_format="pyarrow")
+
+
 @_q("distinct_part_types", "SELECT DISTINCT p_type FROM part")
 def q_distinct_part_types(sf_dir: str):
     from ray.data.aggregate import Count

@@ -55,7 +55,17 @@ class SearchEngine:
         index_dir: str,
         config: ScoringConfig | None = None,
         preload_shards: bool = False,
+        algorithm: str = "bm25",
     ):
+        """``algorithm``: "bm25" | "tfidf" | "combined" — the reference's
+        pluggable scorers (SearchScorer factory methods,
+        SearchScorer.cpp:625-643). Custom algorithms plug in by
+        subclassing SearchEngine and overriding _score_candidates —
+        the ScoringAlgorithm extension surface (SearchScorer.h:125-152).
+        """
+        if algorithm not in ("bm25", "tfidf", "combined"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        self.algorithm = algorithm
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         self.num_shards = int(self.manifest["num_shards"])
@@ -67,6 +77,12 @@ class SearchEngine:
         self._shards: dict[int, ShardReader] = {}
         self._postings_cache: dict[str, tuple] = {}
         self._load_docstore(os.path.join(index_dir, "docstore"))
+        # doc-level tombstones (deleteDocumentsByDomain analog):
+        from ..index.delete import load_tombstones
+
+        self.tombstones = np.asarray(
+            load_tombstones(index_dir)["doc_ids"], dtype=np.int64
+        )
         if preload_shards:
             # open every term dictionary up front: first-query latency
             # moves into __init__ (the actor-pool warmup), flattening p99
@@ -201,9 +217,13 @@ class SearchEngine:
     def _score_candidates(
         self, cands: np.ndarray, terms: list[str], phrases: list[str]
     ) -> np.ndarray:
+        """Vectorized scoring with the selected algorithm ("bm25",
+        "tfidf" or "combined" — the reference's pluggable
+        ScoringAlgorithm hierarchy, SearchScorer.h:125-222)."""
         cfg = self.config
         w = cfg.field_weights
         k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
+        tfidf = self.algorithm == "tfidf"
         n = len(cands)
         pos = self._pos_of(cands)
         title_s = np.zeros(n)
@@ -219,7 +239,10 @@ class SearchEngine:
             p = self._postings(term)
             if p is not None:
                 ids, tft, tfc, tfd, df = p
-                idf = np.log((self.N - df + 0.5) / (df + 0.5))
+                if tfidf:
+                    idf = np.log(self.N / max(df, 1))
+                else:
+                    idf = np.log((self.N - df + 0.5) / (df + 0.5))
                 # map postings onto candidate positions
                 loc = np.searchsorted(ids, cands)
                 loc = np.minimum(loc, len(ids) - 1) if len(ids) else loc
@@ -239,31 +262,49 @@ class SearchEngine:
                         if m.any():
                             hm = h[m]
                             tfm = tf[m]
-                            norm_len = lens[hm] / self.avgdl
-                            tf_comp = (tfm * (k1 + 1)) / (
-                                tfm + k1 * (1 - b + b * norm_len)
-                            )
-                            acc[hm] += (idf * tf_comp) * weight
-            kw_ids = self.kw_postings.get(term)
-            if kw_ids is not None:
-                loc = np.searchsorted(kw_ids, cands)
-                loc = np.minimum(loc, len(kw_ids) - 1)
-                hit = kw_ids[loc] == cands
-                kw_s[hit] += 1.0 * w.keywords
+                            if tfidf:
+                                # min(tf, cap) -> log(1+tf) -> / byte len
+                                tfn = np.minimum(tfm, cfg.tf_params.max_term_frequency)
+                                if cfg.tf_params.use_log_normalization:
+                                    tfn = np.log(1.0 + tfn)
+                                if cfg.tf_params.normalize_by_length:
+                                    lz = lens[hm]
+                                    tfn = np.where(lz > 0, tfn / np.maximum(lz, 1.0), tfn)
+                                acc[hm] += tfn * idf * weight
+                            else:
+                                norm_len = lens[hm] / self.avgdl
+                                tf_comp = (tfm * (k1 + 1)) / (
+                                    tfm + k1 * (1 - b + b * norm_len)
+                                )
+                                acc[hm] += (idf * tf_comp) * weight
+            if not tfidf:  # TFIDFAlgorithm has no keyword scoring
+                kw_ids = self.kw_postings.get(term)
+                if kw_ids is not None:
+                    loc = np.searchsorted(kw_ids, cands)
+                    loc = np.minimum(loc, len(kw_ids) - 1)
+                    hit = kw_ids[loc] == cands
+                    kw_s[hit] += 1.0 * w.keywords
 
         exact_s = np.zeros(n)
         if phrases:
+            # BM25: boost * field weight; TFIDF: unweighted title boost,
+            # half boost for content (SearchScorer.cpp:194-202, 328-336)
+            w_title = 1.0 if tfidf else w.title
+            w_content = 0.5 if tfidf else w.content
             for phrase in phrases:
                 pl = _lower(phrase)
                 for i, rp in enumerate(pos):
                     if pl in _lower(self.titles[rp] or ""):
-                        exact_s[i] += cfg.boost_factors.exact_match_boost * w.title
+                        exact_s[i] += cfg.boost_factors.exact_match_boost * w_title
                     if pl in _lower(self.contents[rp] or ""):
-                        exact_s[i] += cfg.boost_factors.exact_match_boost * w.content
+                        exact_s[i] += cfg.boost_factors.exact_match_boost * w_content
 
         total = title_s + content_s + desc_s + kw_s + exact_s
         q = self.quality[pos]
         total = np.where(q > 0, total * q, total)
+        if self.algorithm == "combined":
+            # 30% base score + 70% custom (SearchScorer.cpp:400-407)
+            total = np.where(q > 0, q * 0.3 + total * 0.7, total)
         # applyBoosts: domain authority + case-sensitive title substring
         boost = np.zeros(n)
         dom = self.domains[pos]
@@ -287,12 +328,22 @@ class SearchEngine:
         terms = scoring_terms(ast)
         phrases = exact_phrases(ast)
         cands = self._eval(ast)
+        if len(self.tombstones):
+            cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
         if len(cands) == 0:
             return {"total": 0, "results": []}
-        scores = self._score_candidates(cands, terms, phrases)
-        keep = scores >= self.config.min_score
-        cands, scores = cands[keep], scores[keep]
-        if len(scores) and self.config.normalize_scores:
+        if not terms and not phrases:
+            # pure-filter query: the reference service path orders these
+            # by the stored score field (FT.SEARCH ... SORTBY score DESC,
+            # RedisSearchStorage.cpp:242-252) with no scorer involved —
+            # score = baseScore (content quality), no min-score filter,
+            # no normalization. Mirrored by the oracle.
+            scores = self.quality[self._pos_of(cands)]
+        else:
+            scores = self._score_candidates(cands, terms, phrases)
+            keep = scores >= self.config.min_score
+            cands, scores = cands[keep], scores[keep]
+        if (terms or phrases) and len(scores) and self.config.normalize_scores:
             lo, hi = scores.min(), scores.max()
             rng = hi - lo
             if rng > 0:
@@ -339,6 +390,8 @@ class SearchEngine:
             return [(x["doc_id"], x["score"]) for x in r["results"]]
         terms = scoring_terms(ast)
         cands = self._eval(ast)
+        if len(self.tombstones):
+            cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
         if len(cands) == 0:
             return []
         cfg = self.config

@@ -77,11 +77,29 @@ class OracleDoc:
 
 
 class BM25Oracle:
+    """Full-scan scorer oracle; ``algorithm`` selects the reference's
+    pluggable ScoringAlgorithm (SearchScorer.h:125-222):
+
+    - "bm25"      BM25Algorithm (default engine algorithm)
+    - "tfidf"     TFIDFAlgorithm — log(N/df) idf with df default 1;
+                  tf = min(tf, max_tf) -> log(1+tf) -> / field BYTE length;
+                  no keyword scoring; phrase boosts are unweighted
+                  (title +boost, content +boost*0.5)
+                  (SearchScorer.cpp:278-382)
+    - "combined"  RedisSearchCombinedAlgorithm — BM25 then
+                  total = baseScore*0.3 + total*0.7 when baseScore > 0
+                  (SearchScorer.cpp:384-415)
+
+    applyBoosts / min-score / normalization apply identically after any
+    algorithm (SearchScorer::scoreResults, :562-601).
+    """
+
     def __init__(
         self,
         docs: list[OracleDoc],
         config: ScoringConfig | None = None,
         update_corpus_stats: bool = True,
+        algorithm: str = "bm25",
     ):
         """``update_corpus_stats=False`` reproduces the reference's
         never-updated BM25Algorithm defaults — N=1000, avgdl=100
@@ -91,6 +109,7 @@ class BM25Oracle:
         (tests/scoring/test_search_scorer.cpp never calls
         updateCorpusStatistics)."""
         self.config = config or ScoringConfig.create_default()
+        self.algorithm = algorithm
         self.docs = [d.finish() for d in docs]
         self.df: dict[str, int] = {}
         if update_corpus_stats:
@@ -146,7 +165,62 @@ class BM25Oracle:
         tf_comp = (tf * (p.k1 + 1)) / (tf + p.k1 * (1 - p.b + p.b * norm_len))
         return idf * tf_comp
 
+    def _tfidf_idf(self, term: str) -> float:
+        if self.total_docs == 0:
+            return 0.0
+        df = self.df.get(term) or 1  # operator default: df=1 when unseen
+        return math.log(self.total_docs / df)
+
+    def _tf_norm(self, tf: int, field_len: int) -> float:
+        p = self.config.tf_params
+        score = float(min(tf, p.max_term_frequency))
+        if p.use_log_normalization:
+            score = math.log(1.0 + score)
+        if p.normalize_by_length and field_len > 0:
+            score /= field_len
+        return score
+
+    def _score_doc_tfidf(self, doc: OracleDoc, terms: list[str], phrases: list[str]) -> float:
+        w = self.config.field_weights
+        title_score = content_score = desc_score = 0.0
+        for term in terms:
+            idf = self._tfidf_idf(term)
+            tf_t = doc.title_tf.get(term, 0)
+            if tf_t > 0:
+                title_score += self._tf_norm(tf_t, len(doc.title.encode())) * idf * w.title
+            tf_c = doc.content_tf.get(term, 0)
+            if tf_c > 0:
+                content_score += self._tf_norm(tf_c, len(doc.content.encode())) * idf * w.content
+            if doc.description:
+                tf_d = doc.desc_tf.get(term, 0)
+                if tf_d > 0:
+                    desc_score += self._tf_norm(tf_d, len(doc.description.encode())) * idf * w.description
+        exact_score = 0.0
+        for phrase in phrases:
+            p = _lower(phrase)
+            if p in _lower(doc.title):
+                exact_score += self.config.boost_factors.exact_match_boost
+            if p in _lower(doc.content):
+                exact_score += self.config.boost_factors.exact_match_boost * 0.5
+        total = title_score + content_score + desc_score + exact_score
+        if doc.quality > 0:
+            total *= doc.quality
+        boost = 0.0
+        if doc.domain in AUTHORITY_DOMAINS:
+            boost += self.config.boost_factors.domain_authority_boost
+        if any(term in doc.title for term in terms):
+            boost += self.config.boost_factors.title_match_boost
+        total *= 1.0 + boost
+        return total
+
     def score_doc(self, doc: OracleDoc, terms: list[str], phrases: list[str]) -> float:
+        if self.algorithm == "tfidf":
+            return self._score_doc_tfidf(doc, terms, phrases)
+        return self._score_doc_bm25(doc, terms, phrases, combined=self.algorithm == "combined")
+
+    def _score_doc_bm25(
+        self, doc: OracleDoc, terms: list[str], phrases: list[str], combined: bool = False
+    ) -> float:
         w = self.config.field_weights
         title_score = content_score = desc_score = kw_score = 0.0
         for term in terms:
@@ -177,6 +251,9 @@ class BM25Oracle:
         total = title_score + content_score + desc_score + kw_score + exact_score
         if doc.quality > 0:
             total *= doc.quality
+        if combined and doc.quality > 0:
+            # 30% Redis base score + 70% custom (SearchScorer.cpp:400-407)
+            total = doc.quality * 0.3 + total * 0.7
         # applyBoosts
         boost = 0.0
         if doc.domain in AUTHORITY_DOMAINS:
@@ -217,6 +294,18 @@ class BM25Oracle:
         ast = parse_query(query)
         terms = scoring_terms(ast)
         phrases = exact_phrases(ast)
+        if not terms and not phrases:
+            # pure-filter query: score = baseScore, unfiltered,
+            # unnormalized (see SearchEngine.search for the rationale)
+            scored = [
+                (doc.doc_id, doc.quality)
+                for doc in self.docs
+                if self._matches(doc, ast)
+            ]
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            if top_k and len(scored) > top_k:
+                scored = scored[:top_k]
+            return scored
         scored: list[tuple[int, float]] = []
         for doc in self.docs:
             if not self._matches(doc, ast):

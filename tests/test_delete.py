@@ -1,0 +1,55 @@
+"""Domain deletion: tombstones hide docs immediately; compaction
+rewrites the index without them (RedisSearchStorage.cpp:594-648 analog)."""
+
+import pytest
+
+import ray.data
+
+from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_table
+from search_engine_core_ray.index.build import build_index
+from search_engine_core_ray.index.delete import (
+    compact_index,
+    load_tombstones,
+    tombstone_domain,
+)
+from search_engine_core_ray.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("del_index"))
+    pages = synth_pages_table(SynthConfig(n_docs=150, seed=21))
+    build_index(ray.data.from_arrow(pages), index_dir, lineage="del", num_shards=4)
+    return index_dir
+
+
+def test_tombstone_hides_domain(built):
+    eng0 = SearchEngine(built)
+    dom_hits = eng0.search("site:github.com")["total"]
+    assert dom_hits > 0
+    n = tombstone_domain(built, "github.com")
+    assert n >= dom_hits
+    eng = SearchEngine(built)  # reload picks up tombstones
+    assert eng.search("site:github.com")["total"] == 0
+    # tombstoned docs vanish from term queries too
+    for q in ["search", "data OR machine"]:
+        for hit in eng.search(q, limit=50)["results"]:
+            assert hit["domain"] != "github.com"
+    # idempotent / cumulative
+    tombstone_domain(built, "github.com")
+    assert len(load_tombstones(built)["domains"]) == 1
+
+
+def test_compaction_rewrites_without_tombstones(built, tmp_path_factory):
+    new_dir = str(tmp_path_factory.mktemp("compacted"))
+    compact_index(built, new_dir, lineage="compacted", num_shards=4)
+    eng = SearchEngine(new_dir)
+    assert len(eng.tombstones) == 0
+    assert eng.search("site:github.com")["total"] == 0
+    assert ("github.com" not in set(eng.domains.tolist()))
+    # stats reflect the smaller corpus
+    old = SearchEngine(built)
+    assert eng.N == old.N - len(set(old.tombstones.tolist()))
+    # surviving docs still searchable (pure-filter query: quality-ranked;
+    # common terms would be IDF-negative on this tiny head-skewed corpus)
+    assert eng.search("language:en")["total"] > 0
