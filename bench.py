@@ -152,7 +152,7 @@ def main() -> None:
     from search_engine_core_ray.query.engine import SearchEngine
     from search_engine_core_ray.query.parser import ParseError
 
-    eng = SearchEngine(b["index_dir"])
+    eng = SearchEngine(b["index_dir"], preload_shards=True)
     lat = []
     t0 = time.monotonic()
     for _ in range(20):

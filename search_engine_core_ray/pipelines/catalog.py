@@ -495,6 +495,40 @@ def q_lsh_ann(sf_dir: str):
 
 
 # ======================================================================
+# multimodal plumbing (stubbed codecs; real Ray-side schema/batching)
+# ======================================================================
+
+@_q("media_features")  # rows-only: deterministic fake decode
+def q_media_features(sf_dir: str):
+    """Binary media column -> per-item feature vector via an actor-pool
+    decode stage (stubbed codec, real plumbing — stages/multimodal.py).
+    Small batch_size: payload bytes x batch x concurrency must fit the
+    worker heap."""
+    import ray.data
+
+    from ..stages.multimodal import DecodeImage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(96, seed=11)).repartition(4)
+    return ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    )
+
+
+@_q("media_frame_samples")  # rows-only
+def q_media_frame_samples(sf_dir: str):
+    import ray.data
+
+    from ..stages.multimodal import SampleFrames, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(48, seed=12)).repartition(4)
+    return ds.map_batches(
+        SampleFrames, fn_constructor_kwargs={"n_frames": 4, "fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    )
+
+
+# ======================================================================
 # events: windowed aggregate + sessionization (streaming-shaped)
 # ======================================================================
 

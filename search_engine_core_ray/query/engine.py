@@ -33,6 +33,7 @@ import os
 import string
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.textproc import extract_terms
@@ -111,6 +112,22 @@ class SearchEngine:
         self.domains = np.asarray(t.column("domain").to_pylist(), dtype=object)
         self.langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
         self.quality = t.column("quality").to_numpy().astype(np.float64)
+        self.is_authority = np.asarray(
+            [d in AUTHORITY_DOMAINS for d in self.domains], dtype=bool
+        )
+        self._title_boost_cache: dict[str, np.ndarray] = {}
+        # Arrow string arrays for substring kernels (C++ match_substring
+        # beats any Python/pandas loop by ~100x on the p99 path)
+        self.titles_pa = pa.array([x or "" for x in self.titles], pa.string())
+        self.titles_lower_pa = pa.array(
+            [_lower(x or "") for x in self.titles], pa.string()
+        )
+        self.contents_lower_pa = pa.array(
+            [_lower(x or "") for x in self.contents], pa.string()
+        )
+        self.descs_lower_pa = pa.array(
+            [_lower(x or "") for x in self.descriptions], pa.string()
+        )
         self.len_title = t.column("len_title").to_numpy().astype(np.float64)
         self.len_content = t.column("len_content").to_numpy().astype(np.float64)
         self.len_desc = t.column("len_desc").to_numpy().astype(np.float64)
@@ -199,19 +216,23 @@ class SearchEngine:
         """doc_ids -> row positions in the docstore arrays."""
         return np.searchsorted(self.doc_ids, ids)
 
+    @staticmethod
+    def _contains(arr: "pa.Array", pos: np.ndarray, needle: str) -> np.ndarray:
+        """C++ substring containment over docstore rows at ``pos``."""
+        import pyarrow.compute as _pc
+
+        taken = arr.take(pa.array(pos))
+        return _pc.match_substring(taken, needle).to_numpy(zero_copy_only=False)
+
     def _verify_phrase(self, ids: np.ndarray, phrase: str) -> np.ndarray:
         if len(ids) == 0:
             return ids
         p = _lower(phrase)
         pos = self._pos_of(ids)
-        keep = [
-            i
-            for i, rp in enumerate(pos)
-            if p in _lower(self.titles[rp] or "")
-            or p in _lower(self.contents[rp] or "")
-            or p in _lower(self.descriptions[rp] or "")
-        ]
-        return ids[np.asarray(keep, dtype=np.int64)] if keep else self._EMPTY
+        mask = self._contains(self.titles_lower_pa, pos, p)
+        mask |= self._contains(self.contents_lower_pa, pos, p)
+        mask |= self._contains(self.descs_lower_pa, pos, p)
+        return ids[mask] if mask.any() else self._EMPTY
 
     # ---- scoring -------------------------------------------------------
     def _score_candidates(
@@ -293,11 +314,10 @@ class SearchEngine:
             w_content = 0.5 if tfidf else w.content
             for phrase in phrases:
                 pl = _lower(phrase)
-                for i, rp in enumerate(pos):
-                    if pl in _lower(self.titles[rp] or ""):
-                        exact_s[i] += cfg.boost_factors.exact_match_boost * w_title
-                    if pl in _lower(self.contents[rp] or ""):
-                        exact_s[i] += cfg.boost_factors.exact_match_boost * w_content
+                hit_t = self._contains(self.titles_lower_pa, pos, pl)
+                exact_s[hit_t] += cfg.boost_factors.exact_match_boost * w_title
+                hit_c = self._contains(self.contents_lower_pa, pos, pl)
+                exact_s[hit_c] += cfg.boost_factors.exact_match_boost * w_content
 
         total = title_s + content_s + desc_s + kw_s + exact_s
         q = self.quality[pos]
@@ -307,16 +327,19 @@ class SearchEngine:
             total = np.where(q > 0, q * 0.3 + total * 0.7, total)
         # applyBoosts: domain authority + case-sensitive title substring
         boost = np.zeros(n)
-        dom = self.domains[pos]
-        auth = np.fromiter((d in AUTHORITY_DOMAINS for d in dom), bool, n)
-        boost[auth] += cfg.boost_factors.domain_authority_boost
+        boost[self.is_authority[pos]] += cfg.boost_factors.domain_authority_boost
         if terms:
-            import pandas as pd
-
-            titles = pd.Series(self.titles[pos], dtype=object).fillna("")
             anyhit = np.zeros(n, dtype=bool)
             for term in dict.fromkeys(terms):
-                anyhit |= titles.str.contains(term, regex=False).to_numpy()
+                full = self._title_boost_cache.get(term)
+                if full is None:
+                    import pyarrow.compute as _pc
+
+                    full = _pc.match_substring(self.titles_pa, term).to_numpy(
+                        zero_copy_only=False
+                    )
+                    self._title_boost_cache[term] = full
+                anyhit |= full[pos]
             boost[anyhit] += cfg.boost_factors.title_match_boost
         total *= 1.0 + boost
         return total
