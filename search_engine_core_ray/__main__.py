@@ -1,0 +1,111 @@
+"""CLI entry points: build an index, query it, synthesize a corpus.
+
+    python -m search_engine_core_ray synth  --out /tmp/pages --n 20000
+    python -m search_engine_core_ray build  --pages /tmp/pages --index /tmp/idx
+    python -m search_engine_core_ray build  --from-documents /root/testdata/sf0.01 --index /tmp/idx
+    python -m search_engine_core_ray search --index /tmp/idx "machine OR python" --limit 5
+
+The CLI owns the Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="search_engine_core_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth", help="generate a deterministic page corpus")
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--n", type=int, default=10000)
+    p_synth.add_argument("--seed", type=int, default=42)
+
+    p_build = sub.add_parser("build", help="build the inverted index")
+    src = p_build.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir with (url, warc_ts, html, text, lang)")
+    src.add_argument("--from-documents", help="sf dir with documents.parquet")
+    p_build.add_argument("--index", required=True)
+    p_build.add_argument("--num-shards", type=int, default=32)
+    p_build.add_argument("--bucket-bits", type=int, default=2)
+    p_build.add_argument("--lineage", default="cli")
+
+    p_search = sub.add_parser("search", help="query an index")
+    p_search.add_argument("--index", required=True)
+    p_search.add_argument("query")
+    p_search.add_argument("--limit", type=int, default=10)
+    p_search.add_argument("--offset", type=int, default=0)
+    p_search.add_argument("--algorithm", default="bm25",
+                          choices=["bm25", "tfidf", "combined"])
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "synth":
+        ray = _init_ray(args.num_cpus)
+        from .corpus.synth import SynthConfig, synth_pages_ds
+
+        synth_pages_ds(SynthConfig(n_docs=args.n, seed=args.seed)).write_parquet(args.out)
+        print(json.dumps({"out": args.out, "n_docs": args.n}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "build":
+        ray = _init_ray(args.num_cpus)
+        import ray.data
+
+        from .index.build import build_index
+        from .sources.pages import read_documents_as_pages, read_pages
+
+        pages = (
+            read_pages(args.pages)
+            if args.pages
+            else read_documents_as_pages(args.from_documents)
+        )
+        r = build_index(
+            pages, args.index, num_shards=args.num_shards,
+            bucket_bits=args.bucket_bits, lineage=args.lineage,
+        )
+        print(json.dumps({
+            "index": args.index, "docs": r.stats.total_docs,
+            "avgdl": round(r.stats.avgdl, 2), "shards": r.n_segments,
+            "build_seconds": round(r.metrics["build_seconds"], 2),
+        }))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "search":
+        from .query.engine import SearchEngine
+        from .query.parser import ParseError
+
+        eng = SearchEngine(args.index, algorithm=args.algorithm)
+        try:
+            out = eng.search(args.query, limit=args.limit, offset=args.offset)
+        except ParseError as e:
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+        print(json.dumps(out, indent=1))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

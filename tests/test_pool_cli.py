@@ -1,0 +1,84 @@
+"""Query actor pool (SearchClient-pool parity, incl. the concurrency
+shape of TestExactSearchE2E.cpp:191-230) and the CLI surface."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+import ray.data
+
+from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_table
+from search_engine_core_ray.index.build import build_index
+from search_engine_core_ray.query.engine import SearchEngine
+from search_engine_core_ray.query.pool import QueryPool
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("pool_index"))
+    pages = synth_pages_table(SynthConfig(n_docs=120, seed=5))
+    build_index(ray.data.from_arrow(pages), index_dir, lineage="pool", num_shards=4)
+    return index_dir
+
+
+def test_pool_matches_single_engine(built):
+    pool = QueryPool(built, size=3)
+    try:
+        eng = SearchEngine(built)
+        for q in ["machine OR python", "site:github.com", '"machine learning"']:
+            a = pool.search(q, limit=5)
+            b = eng.search(q, limit=5)
+            assert [r["doc_id"] for r in a["results"]] == [
+                r["doc_id"] for r in b["results"]
+            ]
+            assert a["total"] == b["total"]
+    finally:
+        pool.shutdown()
+
+
+def test_pool_concurrent_batch(built):
+    pool = QueryPool(built, size=3)
+    try:
+        queries = ["machine", "python", "apple OR banana", "data", "language:fa"] * 6
+        results = pool.search_many(queries, limit=5)
+        assert len(results) == len(queries)
+        # same query -> same answer regardless of which actor served it
+        eng = SearchEngine(built)
+        for q, r in zip(queries, results):
+            expect = eng.search(q, limit=5)
+            assert r["total"] == expect["total"]
+    finally:
+        pool.shutdown()
+
+
+def test_cli_build_and_search(built, tmp_path):
+    # build from the documents table, then query — fresh subprocesses
+    idx = str(tmp_path / "cli_idx")
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_core_ray", "--num-cpus", "2",
+         "build", "--from-documents", "/root/testdata/sf0.001", "--index", idx,
+         "--num-shards", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["docs"] == 500
+
+    res = subprocess.run(
+        [sys.executable, "-m", "search_engine_core_ray", "search",
+         "--index", idx, "dup OR vector", "--limit", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    payload = json.loads(res.stdout)
+    assert payload["total"] > 0
+    assert len(payload["results"]) <= 3
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "search_engine_core_ray", "search",
+         "--index", idx, '"unclosed'],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert bad.returncode == 2
