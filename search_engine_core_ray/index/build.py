@@ -127,6 +127,7 @@ def build_index(
     config: ScoringConfig | None = None,
     num_shards: int = 32,
     bucket_bits: int = DEFAULT_BUCKET_BITS,
+    analyzer: str = "default",
     lineage: str = "",
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 256,
@@ -201,7 +202,9 @@ def build_index(
         runs = _read_docstore(
             docstore_dir, ["doc_id", "title", "text", "meta_description"]
         ).map_batches(
-            EncodePostings(num_shards=num_shards, bucket_bits=bucket_bits),
+            EncodePostings(
+                num_shards=num_shards, bucket_bits=bucket_bits, analyzer=analyzer
+            ),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -233,6 +236,7 @@ def build_index(
         "lineage": lineage,
         "num_shards": num_shards,
         "bucket_bits": bucket_bits,
+        "analyzer": analyzer,
         "stats": stats.to_dict(),
         "config": json.loads(config.to_json()),
         "shards": {str(k): v for k, v in sorted(shards_meta.items())},

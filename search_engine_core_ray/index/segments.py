@@ -133,9 +133,15 @@ class EncodePostings:
     """map_batches combiner: docs batch -> encoded per-(term, bucket)
     sorted runs (RUNS_SCHEMA). Holds the term->shard cache per actor/task."""
 
-    def __init__(self, num_shards: int = 32, bucket_bits: int = DEFAULT_BUCKET_BITS):
+    def __init__(
+        self,
+        num_shards: int = 32,
+        bucket_bits: int = DEFAULT_BUCKET_BITS,
+        analyzer: str = "default",
+    ):
         self.num_shards = num_shards
         self.bucket_bits = bucket_bits
+        self.analyzer = analyzer
         self.n_buckets = 1 << bucket_bits
         self._shard_cache: dict[str, int] = {}
 
@@ -153,7 +159,7 @@ class EncodePostings:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.postings import explode_postings
 
-        p = explode_postings(batch)
+        p = explode_postings(batch, analyzer=self.analyzer)
         if p.num_rows == 0:
             return RUNS_SCHEMA.empty_table()
         codes, vocab = _term_codes(p.column("term"))

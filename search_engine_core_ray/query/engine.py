@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.textproc import extract_terms
+from ..functions.analyzers import analyze
 from ..index.build import load_manifest
 from ..index.segments import ShardReader, shard_of_term
 from ..query.parser import And, Filter, Or, Term, parse_query
@@ -75,6 +75,9 @@ class SearchEngine:
         self.config = config or ScoringConfig.from_json(
             __import__("json").dumps(self.manifest["config"])
         )
+        # the analyzer is an index-time property: query-side tokenization
+        # must match what built the postings (manifest-recorded)
+        self.text_analyzer = self.manifest.get("analyzer", "default")
         self._shards: dict[int, ShardReader] = {}
         self._postings_cache: dict[str, tuple] = {}
         self._load_docstore(os.path.join(index_dir, "docstore"))
@@ -179,7 +182,7 @@ class SearchEngine:
 
     def _eval(self, node) -> np.ndarray:
         if isinstance(node, Term):
-            toks = extract_terms(node.value)
+            toks = analyze(node.value, self.text_analyzer)
             if not toks:
                 return self._EMPTY
             cur: np.ndarray | None = None
@@ -348,7 +351,7 @@ class SearchEngine:
     def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
         """Fidelity path: full candidate scoring, reference-identical."""
         ast = parse_query(query)
-        terms = scoring_terms(ast)
+        terms = scoring_terms(ast, self.text_analyzer)
         phrases = exact_phrases(ast)
         cands = self._eval(ast)
         if len(self.tombstones):
@@ -411,7 +414,7 @@ class SearchEngine:
         if phrases or has_filter:
             r = self.search(query, limit=k)
             return [(x["doc_id"], x["score"]) for x in r["results"]]
-        terms = scoring_terms(ast)
+        terms = scoring_terms(ast, self.text_analyzer)
         cands = self._eval(ast)
         if len(self.tombstones):
             cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)

@@ -35,7 +35,7 @@ Scoring (on the candidate set):
 
 from __future__ import annotations
 
-from ..functions.textproc import extract_terms
+from ..functions.analyzers import analyze
 from .parser import And, Filter, Or, Term
 
 
@@ -53,10 +53,10 @@ def walk_terms(ast) -> list[Term]:
     return out
 
 
-def scoring_terms(ast) -> list[str]:
+def scoring_terms(ast, analyzer: str = "default") -> list[str]:
     terms: list[str] = []
     for t in walk_terms(ast):
-        terms.extend(extract_terms(t.value))
+        terms.extend(analyze(t.value, analyzer))
     return terms
 
 

@@ -37,7 +37,9 @@ import math
 import string
 from dataclasses import dataclass, field
 
-from ..functions.textproc import extract_terms, term_frequencies
+from collections import Counter
+
+from ..functions.analyzers import analyze
 from ..query.parser import And, Filter, Or, Term, parse_query
 from ..query.plan import exact_phrases, normalize_filter_field, scoring_terms
 from .config import AUTHORITY_DOMAINS, ScoringConfig
@@ -66,10 +68,10 @@ class OracleDoc:
     desc_tf: dict = field(default_factory=dict)
     term_union: set = field(default_factory=set)
 
-    def finish(self) -> "OracleDoc":
-        self.title_tf = term_frequencies(self.title)
-        self.content_tf = term_frequencies(self.content)
-        self.desc_tf = term_frequencies(self.description)
+    def finish(self, analyzer: str = "default") -> "OracleDoc":
+        self.title_tf = dict(Counter(analyze(self.title, analyzer)))
+        self.content_tf = dict(Counter(analyze(self.content, analyzer)))
+        self.desc_tf = dict(Counter(analyze(self.description, analyzer)))
         self.term_union = (
             set(self.title_tf) | set(self.content_tf) | set(self.desc_tf)
         )
@@ -100,6 +102,7 @@ class BM25Oracle:
         config: ScoringConfig | None = None,
         update_corpus_stats: bool = True,
         algorithm: str = "bm25",
+        analyzer: str = "default",
     ):
         """``update_corpus_stats=False`` reproduces the reference's
         never-updated BM25Algorithm defaults — N=1000, avgdl=100
@@ -110,7 +113,8 @@ class BM25Oracle:
         updateCorpusStatistics)."""
         self.config = config or ScoringConfig.create_default()
         self.algorithm = algorithm
-        self.docs = [d.finish() for d in docs]
+        self.analyzer = analyzer
+        self.docs = [d.finish(analyzer) for d in docs]
         self.df: dict[str, int] = {}
         if update_corpus_stats:
             self.total_docs = len(self.docs)
@@ -129,7 +133,7 @@ class BM25Oracle:
     # ---- retrieval -----------------------------------------------------
     def _matches(self, doc: OracleDoc, node) -> bool:
         if isinstance(node, Term):
-            toks = extract_terms(node.value)
+            toks = analyze(node.value, self.analyzer)
             if not toks:
                 return False
             if not all(t in doc.term_union for t in toks):
@@ -269,7 +273,7 @@ class BM25Oracle:
         scoreResults path, where Redis supplied the doc set), with
         min-score filter + normalization; unsorted."""
         ast = parse_query(query)
-        terms = scoring_terms(ast)
+        terms = scoring_terms(ast, self.analyzer)
         phrases = exact_phrases(ast)
         scored = [(d.doc_id, self.score_doc(d, terms, phrases)) for d in self.docs]
         scored = [(i, s) for i, s in scored if s >= self.config.min_score]
@@ -292,7 +296,7 @@ class BM25Oracle:
     def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:
         """-> [(doc_id, score)] sorted desc, normalized, top-k applied."""
         ast = parse_query(query)
-        terms = scoring_terms(ast)
+        terms = scoring_terms(ast, self.analyzer)
         phrases = exact_phrases(ast)
         if not terms and not phrases:
             # pure-filter query: score = baseScore, unfiltered,

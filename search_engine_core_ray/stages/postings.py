@@ -24,7 +24,11 @@ TOKEN_RE = r"[A-Za-z0-9]{2,}"
 _FIELDS = ("title", "content", "description")
 
 
-def _field_tf(doc_ids: pl.Series, texts: pl.Series, out_name: str) -> pl.DataFrame:
+def _field_tf(
+    doc_ids: pl.Series, texts: pl.Series, out_name: str, analyzer: str = "default"
+) -> pl.DataFrame:
+    from ..functions.analyzers import polars_term_expr
+
     df = pl.DataFrame({"doc_id": doc_ids, "s": texts})
     return (
         df.with_columns(
@@ -33,13 +37,15 @@ def _field_tf(doc_ids: pl.Series, texts: pl.Series, out_name: str) -> pl.DataFra
         .drop("s")
         .explode("tok")
         .drop_nulls("tok")
-        .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+        .with_columns(
+            polars_term_expr(pl.col("tok").str.to_lowercase(), analyzer).alias("term")
+        )
         .group_by(["doc_id", "term"])
         .agg(pl.len().cast(pl.Int32).alias(out_name))
     )
 
 
-def explode_postings(batch: pa.Table) -> pa.Table:
+def explode_postings(batch: pa.Table, analyzer: str = "default") -> pa.Table:
     """map_batches kernel: docs batch -> postings rows.
 
     Input columns: doc_id, title, text (content), meta_description.
@@ -48,9 +54,9 @@ def explode_postings(batch: pa.Table) -> pa.Table:
     df = pl.from_arrow(
         batch.select(["doc_id", "title", "text", "meta_description"])
     )
-    t = _field_tf(df["doc_id"], df["title"], "tf_title")
-    c = _field_tf(df["doc_id"], df["text"], "tf_content")
-    d = _field_tf(df["doc_id"], df["meta_description"], "tf_desc")
+    t = _field_tf(df["doc_id"], df["title"], "tf_title", analyzer)
+    c = _field_tf(df["doc_id"], df["text"], "tf_content", analyzer)
+    d = _field_tf(df["doc_id"], df["meta_description"], "tf_desc", analyzer)
     merged = (
         t.join(c, on=["doc_id", "term"], how="full", coalesce=True)
         .join(d, on=["doc_id", "term"], how="full", coalesce=True)

@@ -42,6 +42,14 @@ QUERIES = [
     "nonexistentterm12345",
     "e-mail",
     "ApPlE",
+    "apple,",
+    "site:site0.example.com site:site1.example.com apple",  # conflicting filters
+    'site:github.com "apple pie" OR banana recipe',
+    "café",
+    "machine machine",       # duplicate scoring terms
+    "field:value data",      # unknown filter field
+    "apple AND banana OR cherry AND data",
+    '"جستجو موتور"',          # Persian phrase
 ]
 
 
