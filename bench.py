@@ -175,6 +175,21 @@ def main() -> None:
             eng.search_topk_wand(q, k=10)
     queries["search_wand"] = round(time.monotonic() - t0, 3)
 
+    # concurrent throughput through the query actor pool
+    from search_engine_core_ray.query.pool import QueryPool
+
+    pool = QueryPool(b["index_dir"], size=min(8, max(2, NUM_CPUS // 4)))
+    try:
+        batch = FIXTURE_QUERIES[:-2] * 40  # parseable queries only
+        pool.search_many(batch[: len(pool.actors)])  # warm actor inits, untimed
+        t0 = time.monotonic()
+        pool.search_many(batch, limit=10)
+        dt = time.monotonic() - t0
+        queries["pool_search"] = round(dt, 3)
+        extras["pool_qps"] = round(len(batch) / dt, 1)
+    finally:
+        pool.shutdown()
+
     # representative catalog operators at SF_DIR
     for name in [
         "postings", "term_df", "bm25_topk", "agg_pricing",
