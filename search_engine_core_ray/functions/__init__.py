@@ -7,6 +7,9 @@ from .textproc import (
     utf8_len,
     STOPWORDS_40,
 )
+from .analyzers import analyze, stem_token, ANALYZERS
+from .failures import FailureType, classify_failure, retry_delay_ms, should_retry
+from .robots import is_allowed, parse_robots_txt, get_crawl_delay_ms
 from .urls import (
     sanitize_url,
     normalize_url,
@@ -30,4 +33,14 @@ __all__ = [
     "extract_domain",
     "is_valid_url",
     "doc_id_for_url",
+    "analyze",
+    "stem_token",
+    "ANALYZERS",
+    "FailureType",
+    "classify_failure",
+    "retry_delay_ms",
+    "should_retry",
+    "is_allowed",
+    "parse_robots_txt",
+    "get_crawl_delay_ms",
 ]
