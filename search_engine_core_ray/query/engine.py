@@ -57,6 +57,7 @@ class SearchEngine:
         config: ScoringConfig | None = None,
         preload_shards: bool = False,
         algorithm: str = "bm25",
+        bucket: int | None = None,
     ):
         """``algorithm``: "bm25" | "tfidf" | "combined" — the reference's
         pluggable scorers (SearchScorer factory methods,
@@ -67,6 +68,13 @@ class SearchEngine:
         if algorithm not in ("bm25", "tfidf", "combined"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         self.algorithm = algorithm
+        # bucket mode: serve ONE docID-range bucket (doc-partitioned
+        # serving; see query/distributed.py). Loads only that bucket's
+        # docstore rows and segment files; corpus stats stay GLOBAL
+        # (manifest) and per-term df is injected per query by the
+        # coordinator so scores are identical to a whole-index engine.
+        self.bucket = bucket
+        self._df_override: dict[str, int] = {}
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         self.num_shards = int(self.manifest["num_shards"])
@@ -101,9 +109,13 @@ class SearchEngine:
             if f.endswith(".parquet")
         )
         t = pq.read_table(files)
-        order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
-        import pyarrow as pa
+        if self.bucket is not None:
+            from ..index.segments import range_bucket
 
+            bits = int(self.manifest["bucket_bits"])
+            mask = range_bucket(t.column("doc_id").to_numpy(), bits) == self.bucket
+            t = t.filter(pa.array(mask))
+        order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
         t = t.take(pa.array(order))
         self.doc_ids = t.column("doc_id").to_numpy()
         self.titles = np.asarray(t.column("title").to_pylist(), dtype=object)
@@ -158,23 +170,37 @@ class SearchEngine:
             import glob
 
             shard_dir = os.path.join(self.index_dir, "segments", f"shard={shard:05d}")
-            paths = sorted(glob.glob(os.path.join(shard_dir, "bucket=*.parquet")))
+            pattern = (
+                "bucket=*.parquet"
+                if self.bucket is None
+                else f"bucket={self.bucket:03d}.parquet"
+            )
+            paths = sorted(glob.glob(os.path.join(shard_dir, pattern)))
             r = ShardReader(paths)
             self._shards[shard] = r
         return r
 
     def _postings(self, term: str):
-        """-> (ids, tft, tfc, tfd, df) or None; decoded once per engine."""
+        """-> (ids, tft, tfc, tfd, df) or None; decoded once per engine.
+        In bucket mode the coordinator injects GLOBAL df per query via
+        ``_df_override`` (local postings, global statistics)."""
         hit = self._postings_cache.get(term)
-        if hit is not None:
-            return hit if hit != () else None
-        reader = self._reader(shard_of_term(term, self.num_shards))
-        p = reader.postings(term)
-        if p is None:
-            self._postings_cache[term] = ()
+        if hit is None:
+            reader = self._reader(shard_of_term(term, self.num_shards))
+            p = reader.postings(term)
+            hit = () if p is None else (*p, reader.df(term))
+            self._postings_cache[term] = hit
+        if hit == ():
             return None
-        out = (*p, reader.df(term))
-        self._postings_cache[term] = out
+        df = self._df_override.get(term)
+        return hit if df is None else (*hit[:4], df)
+
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        """This engine's (bucket-local) document frequencies."""
+        out = {}
+        for t in set(terms):
+            reader = self._reader(shard_of_term(t, self.num_shards))
+            out[t] = reader.df(t)
         return out
 
     # ---- retrieval -----------------------------------------------------
@@ -348,28 +374,59 @@ class SearchEngine:
         return total
 
     # ---- public API ----------------------------------------------------
+    def search_raw(self, query: str, df_override: dict | None = None) -> tuple:
+        """Retrieve + score WITHOUT normalization/sort/pagination —
+        the partial a doc-partitioned bucket actor returns to the
+        coordinator. -> (cands int64, raw scores float64, pure_filter).
+        Pure-filter results carry quality scores; term/phrase results
+        are raw (pre-min-score-filter) totals."""
+        if df_override is not None:
+            self._df_override = df_override
+        try:
+            ast = parse_query(query)
+            terms = scoring_terms(ast, self.text_analyzer)
+            phrases = exact_phrases(ast)
+            cands = self._eval(ast)
+            if len(self.tombstones):
+                cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+            pure_filter = not terms and not phrases
+            if len(cands) == 0:
+                return cands, np.empty(0, dtype=np.float64), pure_filter
+            if pure_filter:
+                scores = self.quality[self._pos_of(cands)]
+            else:
+                scores = self._score_candidates(cands, terms, phrases)
+            return cands, scores, pure_filter
+        finally:
+            if df_override is not None:
+                self._df_override = {}
+
     def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
         """Fidelity path: full candidate scoring, reference-identical."""
-        ast = parse_query(query)
-        terms = scoring_terms(ast, self.text_analyzer)
-        phrases = exact_phrases(ast)
-        cands = self._eval(ast)
-        if len(self.tombstones):
-            cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+        cands, scores, pure_filter = self.search_raw(query)
+        return self.finish_search(cands, scores, pure_filter, limit, offset)
+
+    def finish_search(
+        self,
+        cands: np.ndarray,
+        scores: np.ndarray,
+        pure_filter: bool,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> dict:
+        """min-score filter + normalize + sort + paginate + hydrate.
+        Split out so the distributed coordinator can apply the GLOBAL
+        tail over gathered per-bucket partials."""
         if len(cands) == 0:
             return {"total": 0, "results": []}
-        if not terms and not phrases:
-            # pure-filter query: the reference service path orders these
-            # by the stored score field (FT.SEARCH ... SORTBY score DESC,
-            # RedisSearchStorage.cpp:242-252) with no scorer involved —
-            # score = baseScore (content quality), no min-score filter,
-            # no normalization. Mirrored by the oracle.
-            scores = self.quality[self._pos_of(cands)]
-        else:
-            scores = self._score_candidates(cands, terms, phrases)
+        if not pure_filter:
+            # pure-filter queries: the reference service path orders by
+            # the stored score field (FT.SEARCH ... SORTBY score DESC,
+            # RedisSearchStorage.cpp:242-252) with no min-score filter
+            # and no normalization; term queries get both.
             keep = scores >= self.config.min_score
             cands, scores = cands[keep], scores[keep]
-        if (terms or phrases) and len(scores) and self.config.normalize_scores:
+        if not pure_filter and len(scores) and self.config.normalize_scores:
             lo, hi = scores.min(), scores.max()
             rng = hi - lo
             if rng > 0:
@@ -379,6 +436,10 @@ class SearchEngine:
         total = len(cands)
         sel = slice(offset, offset + limit if limit else None)
         cands, scores = cands[sel], scores[sel]
+        return {"total": total, "results": self.hydrate(cands, scores)}
+
+    def hydrate(self, cands: np.ndarray, scores: np.ndarray) -> list[dict]:
+        """doc ids -> result rows from this engine's forward index."""
         pos = self._pos_of(cands)
         results = []
         for did, s, rp in zip(cands.tolist(), scores.tolist(), pos.tolist()):
@@ -394,7 +455,7 @@ class SearchEngine:
                     "score": s,
                 }
             )
-        return {"total": total, "results": results}
+        return results
 
     def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:
         """Oracle-comparable output: [(doc_id, score)] desc."""
@@ -402,12 +463,23 @@ class SearchEngine:
         return [(x["doc_id"], x["score"]) for x in r["results"]]
 
     # ---- block-max WAND fast path --------------------------------------
-    def search_topk_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_topk_wand(
+        self, query: str, k: int = 10, df_override: dict | None = None
+    ) -> list[tuple[int, float]]:
         """Top-k doc_ids for a conjunctive/disjunctive pure-term query via
         block-max pruning + bounded min-heap; returns RAW scores (no
         min-max normalization, no offset). Falls back to the fidelity
         path for queries with phrases or filters.
         """
+        if df_override is not None:
+            self._df_override = df_override
+        try:
+            return self._topk_wand_inner(query, k)
+        finally:
+            if df_override is not None:
+                self._df_override = {}
+
+    def _topk_wand_inner(self, query: str, k: int) -> list[tuple[int, float]]:
         ast = parse_query(query)
         phrases = exact_phrases(ast)
         has_filter = self._has_filter(ast)

@@ -1,0 +1,87 @@
+"""Doc-partitioned distributed serving: every bucket actor holds only
+its docID-range slice, yet results are identical to the whole-index
+engine (global stats injected per query)."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_ds
+from search_engine_core_ray.index.build import build_index
+from search_engine_core_ray.query.distributed import DistributedSearch
+from search_engine_core_ray.query.engine import SearchEngine
+
+QUERIES = [
+    "apple",
+    "banana recipe",
+    "apple OR banana OR cherry",
+    '"machine learning"',
+    "site:github.com apple",
+    "language:fa",
+    "mail setup",
+    "ApPlE",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("dist_index"))
+    pages = synth_pages_ds(SynthConfig(n_docs=800, seed=202, n_domains=16), blocks=4)
+    build_index(pages, index_dir, lineage="dist", num_shards=8, bucket_bits=2)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def dist(built):
+    d = DistributedSearch(built)
+    yield d
+    d.shutdown()
+
+
+def test_actors_are_partitioned(built, dist):
+    """Each bucket actor holds a strict subset of the docstore."""
+    import ray
+
+    full = SearchEngine(built)
+    sizes = []
+    for a in dist.actors:
+        # engine.N is global (manifest); measure the actor's local slice
+        n_local = len(ray.get(a.hydrate.remote([], []))) or 0  # no-op probe
+        sizes.append(n_local)
+    # instead assert via local df sums: each actor's df <= global df
+    dfs = ray.get([a.local_dfs.remote(["apple", "mail"]) for a in dist.actors])
+    for term in ("apple", "mail"):
+        total = sum(d[term] for d in dfs)
+        p = full._postings(term)
+        assert total == (p[4] if p else 0), term
+        assert all(d[term] < total for d in dfs if total > 0)  # genuinely split
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_distributed_matches_single_engine(built, dist, query):
+    eng = SearchEngine(built)
+    a = dist.search(query, limit=10)
+    b = eng.search(query, limit=10)
+    assert a["total"] == b["total"], query
+    assert [r["doc_id"] for r in a["results"]] == [r["doc_id"] for r in b["results"]], query
+    for ra, rb in zip(a["results"], b["results"]):
+        assert ra["score"] == pytest.approx(rb["score"], abs=1e-12), query
+        assert ra["url"] == rb["url"]
+
+
+def test_distributed_pagination(built, dist):
+    eng = SearchEngine(built)
+    a = dist.search("apple OR banana OR cherry", limit=5, offset=5)
+    b = eng.search("apple OR banana OR cherry", limit=5, offset=5)
+    assert [r["doc_id"] for r in a["results"]] == [r["doc_id"] for r in b["results"]]
+
+
+def test_distributed_topk_matches(built, dist):
+    eng = SearchEngine(built)
+    for q in ["apple", "banana recipe", "apple OR banana OR cherry"]:
+        a = dist.topk(q, k=10)
+        b = eng.search_topk_wand(q, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (da, sa), (db, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-12)
