@@ -179,17 +179,18 @@ def q_bm25_topk(sf_dir: str):
 
     tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
 
-    # tiny aggregates: N, avgdl, df per query term
-    stats = QUERIES["corpus_stats"](sf_dir)
-    n = stats.column("n_docs")[0].as_py()
-    import pyarrow.parquet as pq  # noqa: F401
+    # tiny aggregates in ONE pass: N and total byte length
+    def stat_partial(t: pa.Table) -> pa.Table:
+        nb = pc.sum(pc.binary_length(pc.fill_null(t.column("text"), ""))).as_py() or 0
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "bytes": pa.array([int(nb)], pa.int64())})
 
-    total_bytes = 0
-    for b in docs.map_batches(
-        lambda t: pa.table({"x": pa.array([int(pc.sum(pc.binary_length(pc.fill_null(t.column('text'), ''))).as_py() or 0)], pa.int64())}),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        total_bytes += int(pc.sum(b.column("x")).as_py() or 0)
+    n = total_bytes = 0
+    for b in docs.map_batches(stat_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        total_bytes += int(pc.sum(b.column("bytes")).as_py() or 0)
     avgdl = total_bytes / n
     # df = number of (doc, term) rows per term
     df_counts = (
@@ -963,11 +964,17 @@ def flagship(sf_dir: str, index_root: str | None = None):
     from ..query.parser import ParseError
     from ..sources.pages import read_documents_as_pages
 
+    from .. import __version__
+
     root = index_root or "/tmp/secr_index_cache"
     token = _h.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = f"{root}/{token}"
     pages = read_documents_as_pages(sf_dir)
-    build_index(pages, index_dir, lineage=f"documents:{sf_dir}", num_shards=16)
+    # lineage includes the package version so a cached index built by
+    # older code is rebuilt, not reused
+    build_index(
+        pages, index_dir, lineage=f"documents:{sf_dir}:v{__version__}", num_shards=16
+    )
     eng = SearchEngine(index_dir)
     rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
     for q in FLAGSHIP_QUERIES:
