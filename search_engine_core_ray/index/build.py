@@ -174,7 +174,11 @@ def build_index(
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
         docs.write_parquet(docstore_dir)
-        mark_stage(index_dir, "docstore", lineage, seconds=time.monotonic() - t0)
+        mark_stage(
+            index_dir, "docstore", lineage,
+            seconds=time.monotonic() - t0,
+            ray_stats=_stats_excerpt(docs),
+        )
 
 
     # ---- stage 2: corpus statistics ------------------------------------
@@ -199,22 +203,20 @@ def build_index(
 
         if os.path.exists(segments_dir):
             shutil.rmtree(segments_dir)
-        runs = _read_docstore(
+        runs_src = _read_docstore(
             docstore_dir, ["doc_id", "title", "text", "meta_description"]
-        ).map_batches(
+        )
+        runs = runs_src.map_batches(
             EncodePostings(
                 num_shards=num_shards, bucket_bits=bucket_bits, analyzer=analyzer
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        seg_metrics = (
-            runs.groupby(["shard", "bucket"])
-            .map_groups(
-                lambda g: _commit_segment(g, segments_dir), batch_format="pyarrow"
-            )
-            .to_pandas()  # one row per (shard, bucket) — tiny
+        seg_ds = runs.groupby(["shard", "bucket"]).map_groups(
+            lambda g: _commit_segment(g, segments_dir), batch_format="pyarrow"
         )
+        seg_metrics = seg_ds.to_pandas()  # one row per (shard, bucket) — tiny
         shards_meta: dict[int, dict] = {}
         for _, r in seg_metrics.iterrows():
             m = shards_meta.setdefault(
@@ -227,6 +229,7 @@ def build_index(
         mark_stage(
             index_dir, "segments", lineage,
             shards=shards_meta, seconds=time.monotonic() - t2,
+            ray_stats=_stats_excerpt(seg_ds),
         )
     else:
         shards_meta = {int(k): v for k, v in seg_marker["shards"].items()}
@@ -251,6 +254,16 @@ def build_index(
         n_segments=len(shards_meta),
         metrics=manifest,
     )
+
+
+def _stats_excerpt(ds, limit: int = 4000) -> str:
+    """Per-operator wall/cpu/memory breakdown for the stage marker —
+    the ds.stats() observability surface, persisted with the checkpoint
+    so post-hoc tuning can read where time went."""
+    try:
+        return ds.stats()[:limit]
+    except Exception:
+        return ""
 
 
 def _read_docstore(docstore_dir: str, columns: list[str] | None = None):
