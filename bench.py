@@ -190,6 +190,25 @@ def main() -> None:
     finally:
         pool.shutdown()
 
+    # doc-partitioned scatter-gather serving (the 10^12-doc path)
+    from search_engine_core_ray.query.distributed import DistributedSearch
+
+    dist = DistributedSearch(b["index_dir"])
+    try:
+        dist.search("dup", limit=10)  # warm actors, untimed
+        t0 = time.monotonic()
+        for _ in range(10):
+            for q in ["dup", "vector", "dup vector", "dup OR vector", "table merge"]:
+                dist.search(q, limit=10)
+        queries["dist_search"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        for _ in range(10):
+            for q in ["dup", "vector", "dup vector"]:
+                dist.topk(q, k=10)
+        queries["dist_topk"] = round(time.monotonic() - t0, 3)
+    finally:
+        dist.shutdown()
+
     # representative catalog operators at SF_DIR
     for name in [
         "postings", "term_df", "bm25_topk", "agg_pricing",

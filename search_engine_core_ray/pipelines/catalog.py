@@ -999,4 +999,46 @@ def flagship(sf_dir: str, index_root: str | None = None):
     )
 
 
+@_q("distributed_search")  # rows-only: scatter-gather over bucket actors
+def q_distributed_search(sf_dir: str):
+    """Doc-partitioned serving demo: same fixture queries as
+    build_and_search but answered by per-bucket actors with global-df
+    coordination (query/distributed.py); results are identical to the
+    single-engine flagship by construction (tested in
+    tests/test_distributed.py)."""
+    import hashlib as _h
+
+    from ..query.distributed import DistributedSearch
+    from ..query.parser import ParseError
+
+    flagship(sf_dir)  # ensure the cached index exists
+    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/secr_index_cache/{token}"
+    dist = DistributedSearch(index_dir)
+    try:
+        rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
+        for q in FLAGSHIP_QUERIES:
+            try:
+                res = dist.search(q, limit=10)["results"]
+            except ParseError:
+                continue
+            for r, hit in enumerate(res, 1):
+                rows["query"].append(q)
+                rows["rnk"].append(r)
+                rows["doc_id"].append(hit["doc_id"])
+                rows["url"].append(hit["url"])
+                rows["score"].append(float(ts.round_half_away(np.float64(hit["score"]), 4)))
+        return pa.table(
+            {
+                "query": pa.array(rows["query"], pa.string()),
+                "rnk": pa.array(rows["rnk"], pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "url": pa.array(rows["url"], pa.string()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+    finally:
+        dist.shutdown()
+
+
 QUERIES["build_and_search"] = flagship

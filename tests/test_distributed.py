@@ -85,3 +85,24 @@ def test_distributed_topk_matches(built, dist):
         assert [d for d, _ in a] == [d for d, _ in b], q
         for (da, sa), (db, sb) in zip(a, b):
             assert sa == pytest.approx(sb, abs=1e-12)
+
+
+def test_distributed_respects_tombstones(built, ray_session, tmp_path_factory):
+    """Bucket actors load tombstones too: a domain deleted after build
+    disappears from distributed results."""
+    import shutil
+
+    from search_engine_core_ray.index.delete import tombstone_domain
+
+    # work on a copy so the module-scoped fixtures stay pristine
+    copy_dir = str(tmp_path_factory.mktemp("dist_tomb"))
+    shutil.copytree(built, copy_dir, dirs_exist_ok=True)
+    n = tombstone_domain(copy_dir, "github.com")
+    assert n > 0
+    d = DistributedSearch(copy_dir)
+    try:
+        assert d.search("site:github.com")["total"] == 0
+        for hit in d.search("apple OR banana", limit=50)["results"]:
+            assert hit["domain"] != "github.com"
+    finally:
+        d.shutdown()
