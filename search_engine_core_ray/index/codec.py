@@ -103,6 +103,13 @@ def encode_group_sliced(
     n_runs = len(boundaries)
     if len(values) == 0:
         return pa.array([b""] * n_runs, pa.binary())
+    if int(ends[-1]) >= (1 << 31):
+        # pa.binary() uses int32 offsets; a single merge group this big
+        # means the partitioning is undersized for the corpus
+        raise ValueError(
+            "encoded group exceeds 2 GiB — raise num_shards/bucket_bits "
+            "so each (shard, bucket) merge group stays worker-sized"
+        )
     # byte offset where each run starts: 0 for run 0, else end of prev value
     run_byte_starts = np.empty(n_runs + 1, dtype=np.int32)
     run_byte_starts[0] = 0

@@ -82,12 +82,12 @@ class DistributedSearch:
             _BucketActor.remote(index_dir, j, engine_kwargs)
             for j in range(self.n_buckets)
         ]
-        # local engine shell ONLY for the scoring-tail helpers (loads the
-        # full docstore here for hydration convenience in local mode; a
-        # real deployment hydrates via the owning actors — see hydrate_via_actors)
-        from .engine import SearchEngine
+        self.bucket_bits = int(manifest["bucket_bits"])
+        from ..scoring.config import ScoringConfig
 
-        self._tail = SearchEngine(index_dir, **engine_kwargs)
+        self.config = ScoringConfig.from_json(
+            __import__("json").dumps(manifest["config"])
+        )
         self._df_cache: dict[str, int] = {}
 
     # ---- global statistics --------------------------------------------
@@ -111,11 +111,49 @@ class DistributedSearch:
         cands = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         pure_filter = parts[0][2]
-        # global tail identical to the single-engine pipeline
-        order = np.argsort(cands, kind="stable")
-        return self._tail.finish_search(
-            cands[order], scores[order], pure_filter, limit, offset
-        )
+        if len(cands) == 0:
+            return {"total": 0, "results": []}
+        # global tail, identical to SearchEngine.finish_search: min-score
+        # filter -> global min-max normalize -> (-score, doc_id) sort ->
+        # paginate. No docstore lives on the coordinator.
+        if not pure_filter:
+            keep = scores >= self.config.min_score
+            cands, scores = cands[keep], scores[keep]
+        if not pure_filter and len(scores) and self.config.normalize_scores:
+            lo, hi = scores.min(), scores.max()
+            rng = hi - lo
+            if rng > 0:
+                scores = (scores - lo) / rng
+        order = np.lexsort((cands, -scores))
+        cands, scores = cands[order], scores[order]
+        total = len(cands)
+        sel = slice(offset, offset + limit if limit else None)
+        cands, scores = cands[sel], scores[sel]
+        return {"total": total, "results": self._hydrate_via_actors(cands, scores)}
+
+    def _hydrate_via_actors(self, cands: np.ndarray, scores: np.ndarray) -> list[dict]:
+        """Result rows come from the OWNING bucket actors (the forward
+        index never materializes on the coordinator); order preserved."""
+        if len(cands) == 0:
+            return []
+        from ..index.segments import range_bucket
+
+        buckets = range_bucket(cands, self.bucket_bits)
+        refs, slots = [], []
+        for j in range(self.n_buckets):
+            idx = np.flatnonzero(buckets == j)
+            if len(idx):
+                refs.append(
+                    self.actors[j].hydrate.remote(
+                        cands[idx].tolist(), scores[idx].tolist()
+                    )
+                )
+                slots.append(idx)
+        out: list = [None] * len(cands)
+        for idx, rows in zip(slots, ray.get(refs)):
+            for i, row in zip(idx.tolist(), rows):
+                out[i] = row
+        return out
 
     def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:
         r = self.search(query, limit=top_k or 0)
