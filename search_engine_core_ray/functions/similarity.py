@@ -83,9 +83,11 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10, round_digits: int
     qref = ray.put(qmat)
 
     sims = embeddings_ds.map_batches(
-        BatchCosine(qref, qids),
+        BatchCosine,
+        fn_constructor_kwargs={"query_ref": qref, "query_ids": qids},
         batch_format="pyarrow",
         batch_size=2048,
+        concurrency=(1, 4),
     )
     # partial top-k per batch would go here at scale; at bench scale the
     # (Q x N) sims table is small — one groupby finishes it.

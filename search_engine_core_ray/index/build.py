@@ -73,6 +73,18 @@ DOCSTORE_COLUMNS = [
 ]
 
 
+def effective_lineage(
+    lineage: str,
+    num_shards: int = 32,
+    bucket_bits: int = DEFAULT_BUCKET_BITS,
+    analyzer: str = "default",
+) -> str:
+    """Stage markers must invalidate when BUILD PARAMETERS change, not
+    only when the input does — otherwise a re-run with different
+    sharding/analyzer silently reuses segments laid out the old way."""
+    return f"{lineage}|shards={num_shards}|bits={bucket_bits}|analyzer={analyzer}"
+
+
 @dataclass
 class BuildResult:
     index_dir: str
@@ -136,6 +148,7 @@ def build_index(
     import ray.data  # noqa: F401  (Dataset ops)
 
     config = config or ScoringConfig.create_default()
+    lineage = effective_lineage(lineage, num_shards, bucket_bits, analyzer)
     os.makedirs(index_dir, exist_ok=True)
     docstore_dir = os.path.join(index_dir, "docstore")
     segments_dir = os.path.join(index_dir, "segments")

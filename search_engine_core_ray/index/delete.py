@@ -82,7 +82,15 @@ def build_index_from_docs(docs_ds, index_dir: str, **build_kw):
     # stage 1 done under the same lineage
     from ..state.checkpoint import mark_stage
 
-    lineage = build_kw.get("lineage", "")
+    from .build import effective_lineage
+    from .segments import DEFAULT_BUCKET_BITS
+
+    lineage = effective_lineage(
+        build_kw.get("lineage", ""),
+        build_kw.get("num_shards", 32),
+        build_kw.get("bucket_bits", DEFAULT_BUCKET_BITS),
+        build_kw.get("analyzer", "default"),
+    )
     os.makedirs(index_dir, exist_ok=True)
     docstore_dir = os.path.join(index_dir, "docstore")
     if os.path.exists(docstore_dir):

@@ -369,8 +369,10 @@ def q_url_normalize(sf_dir: str):
     SELECT doc_id,
            'Doc ' || doc_id || ' ' || source || ' ' ||
            'Doc ' || doc_id || ' ' || source || ' ' ||
-           array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 10), ' ') || ' ' ||
-           text AS searchable
+           CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                THEN array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 10), ' ') || ' '
+                ELSE '' END ||
+           CASE WHEN text <> '' THEN text ELSE '' END AS searchable
     FROM documents
     """,
 )
@@ -401,7 +403,8 @@ def q_searchable_content(sf_dir: str):
     "extract_text",
     """
     SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
-           'Doc ' || doc_id || ' ' || source || ' ' || text || ' ' AS text
+           'Doc ' || doc_id || ' ' || source || ' ' ||
+           CASE WHEN trim(text) <> '' THEN text || ' ' ELSE '' END AS text
     FROM documents
     """,
 )
@@ -881,12 +884,9 @@ def q_search_documents(sf_dir: str):
     url, title, content, domain, '|'-joined keywords, description,
     language, indexed_at (unix seconds), score = content quality
     (siteProfileToSearchDocument, RedisSearchStorage.cpp:153-196)."""
-    import hashlib as _h
     import ray.data
 
-    flagship(sf_dir)  # ensures the index cache exists
-    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
-    docstore = f"/tmp/secr_index_cache/{token}/docstore"
+    docstore = f"{_ensure_index(sf_dir)}/docstore"
 
     def project(b: pa.Table) -> pa.Table:
         kw = ["|".join(k or []) for k in b.column("keywords").to_pylist()]
@@ -941,6 +941,30 @@ def q_filter_events(sf_dir: str):
 # flagship: full index build + fixture query set (rows-only)
 # ======================================================================
 
+
+def _ensure_index(sf_dir: str, index_root: str | None = None) -> str:
+    """Build (or reuse) the cached index for a documents table. The
+    lineage fingerprints the package version AND the source file
+    (size+mtime), so both code changes and regenerated fixture data
+    invalidate the cache."""
+    import hashlib as _h
+    import os as _os
+
+    from .. import __version__
+    from ..index.build import build_index
+    from ..sources.pages import read_documents_as_pages
+
+    root = index_root or "/tmp/secr_index_cache"
+    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{root}/{token}"
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    lineage = f"documents:{sf_dir}:v{__version__}:{st.st_size}:{int(st.st_mtime)}"
+    pages = read_documents_as_pages(sf_dir)
+    build_index(pages, index_dir, lineage=lineage, num_shards=16)
+    return index_dir
+
+
 FLAGSHIP_QUERIES = [
     "dup",
     "vector",
@@ -956,25 +980,10 @@ def flagship(sf_dir: str, index_root: str | None = None):
     """Build the full inverted index from the documents table (wrapped as
     pages) and run the fixture query set; returns one row per (query,
     rank) with the doc id, url and rounded score."""
-    import hashlib as _h
-    import ray.data
-
-    from ..index.build import build_index
     from ..query.engine import SearchEngine
     from ..query.parser import ParseError
-    from ..sources.pages import read_documents_as_pages
 
-    from .. import __version__
-
-    root = index_root or "/tmp/secr_index_cache"
-    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
-    index_dir = f"{root}/{token}"
-    pages = read_documents_as_pages(sf_dir)
-    # lineage includes the package version so a cached index built by
-    # older code is rebuilt, not reused
-    build_index(
-        pages, index_dir, lineage=f"documents:{sf_dir}:v{__version__}", num_shards=16
-    )
+    index_dir = _ensure_index(sf_dir, index_root)
     eng = SearchEngine(index_dir)
     rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
     for q in FLAGSHIP_QUERIES:
@@ -1006,15 +1015,10 @@ def q_distributed_search(sf_dir: str):
     coordination (query/distributed.py); results are identical to the
     single-engine flagship by construction (tested in
     tests/test_distributed.py)."""
-    import hashlib as _h
-
     from ..query.distributed import DistributedSearch
     from ..query.parser import ParseError
 
-    flagship(sf_dir)  # ensure the cached index exists
-    token = _h.md5(sf_dir.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/secr_index_cache/{token}"
-    dist = DistributedSearch(index_dir)
+    dist = DistributedSearch(_ensure_index(sf_dir))
     try:
         rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
         for q in FLAGSHIP_QUERIES:

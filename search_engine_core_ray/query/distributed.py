@@ -162,7 +162,27 @@ class DistributedSearch:
     # ---- scatter-gather top-k -----------------------------------------
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Per-bucket block-max top-k, k results per bucket travel,
-        final (score desc, doc_id asc) merge — raw scores."""
+        final (score desc, doc_id asc) merge — raw scores.
+
+        Phrase/filter queries (and non-bm25 engines) make the bucket
+        actors fall back to their LOCAL fidelity path whose scores are
+        bucket-normalized — incomparable across buckets — so the
+        coordinator routes those through the global fidelity path."""
+        from ..query.parser import Filter as _F, And as _A, Or as _O
+        from ..query.plan import exact_phrases as _ep
+
+        ast = parse_query(query)
+
+        def has_filter(node):
+            if isinstance(node, _F):
+                return True
+            if isinstance(node, (_A, _O)):
+                return any(has_filter(c) for c in node.children)
+            return False
+
+        if _ep(ast) or has_filter(ast):
+            r = self.search(query, limit=k)
+            return [(x["doc_id"], x["score"]) for x in r["results"]]
         dfs = self._global_dfs(query)
         parts = ray.get([a.topk.remote(query, k, dfs) for a in self.actors])
         merged = [item for p in parts for item in p]

@@ -362,6 +362,11 @@ class SearchEngine:
             for term in dict.fromkeys(terms):
                 full = self._title_boost_cache.get(term)
                 if full is None:
+                    if len(self._title_boost_cache) >= 4096:
+                        # bound actor-lifetime memory: each entry is an
+                        # n_docs bool mask; arbitrary query streams would
+                        # otherwise grow it without limit
+                        self._title_boost_cache.clear()
                     import pyarrow.compute as _pc
 
                     full = _pc.match_substring(self.titles_pa, term).to_numpy(
@@ -483,7 +488,10 @@ class SearchEngine:
         ast = parse_query(query)
         phrases = exact_phrases(ast)
         has_filter = self._has_filter(ast)
-        if phrases or has_filter:
+        if phrases or has_filter or self.algorithm != "bm25":
+            # the block-max bounds below are BM25-shaped (floored idf x
+            # monotone tf component); pruning with them under tfidf /
+            # combined scoring would drop true top-k docs — fall back
             r = self.search(query, limit=k)
             return [(x["doc_id"], x["score"]) for x in r["results"]]
         terms = scoring_terms(ast, self.text_analyzer)

@@ -124,3 +124,14 @@ def test_engine_oracle_rank_identical_all_algorithms(built, algo, query):
     assert [d for d, _ in got] == [d for d, _ in exp], (algo, query)
     for (gd, gs), (ed, es) in zip(got, exp):
         assert gs == pytest.approx(es, abs=1e-9), (algo, query, gd)
+
+
+def test_wand_falls_back_for_non_bm25(built):
+    """Regression: BM25-shaped block bounds must not prune tfidf /
+    combined scoring — the pruned path falls back to fidelity."""
+    for algo in ("tfidf", "combined"):
+        eng = SearchEngine(built, algorithm=algo)
+        for q in ["search", "machine learning", "apple OR banana"]:
+            fid = eng.rank(q, top_k=10)
+            fast = eng.search_topk_wand(q, k=10)
+            assert [d for d, _ in fast] == [d for d, _ in fid], (algo, q)

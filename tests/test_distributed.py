@@ -106,3 +106,15 @@ def test_distributed_respects_tombstones(built, ray_session, tmp_path_factory):
             assert hit["domain"] != "github.com"
     finally:
         d.shutdown()
+
+
+def test_distributed_topk_phrase_and_filter_queries(built, dist):
+    """Regression: bucket-local normalized scores are incomparable —
+    phrase/filter top-k must route through the global fidelity path."""
+    eng = SearchEngine(built)
+    for q in ['"machine learning"', "site:github.com apple", "language:fa"]:
+        a = dist.topk(q, k=10)
+        b = eng.search_topk_wand(q, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (da, sa), (db, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-12), q
