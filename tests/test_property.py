@@ -62,11 +62,19 @@ def test_sliced_encode_matches_slices(values, data):
 
 @given(st.text(max_size=200))
 @settings(max_examples=300, deadline=None)
-def test_normalize_url_idempotent(url):
-    once = normalize_url(url)
-    assert normalize_url(once) == once
-    # sanitize is idempotent too
-    assert sanitize_url(sanitize_url(url)) == sanitize_url(url)
+def test_normalize_url_converges(url):
+    """The reference's sanitize is NOT idempotent on adversarial input
+    (a trailing control char shields whitespace from the end-trim —
+    UrlSanitizer.cpp trims first, drops controls second; hypothesis
+    found '0 \\x1f'). One pass removes every control char, so the
+    second pass is a pure trim and a fixed point: f^2 == f^3."""
+    twice = normalize_url(normalize_url(url))
+    assert normalize_url(twice) == twice
+    s2 = sanitize_url(sanitize_url(url))
+    assert sanitize_url(s2) == s2
+    # and on control-free input a single pass IS idempotent
+    clean = "".join(ch for ch in url if ord(ch) >= 0x20 and ord(ch) != 0x7F)
+    assert normalize_url(normalize_url(clean)) == normalize_url(clean)
 
 
 @given(st.text(max_size=120))
