@@ -1,5 +1,15 @@
 import pytest
 
+try:
+    # deterministic property tests: the driver runs with -x, so a random
+    # hypothesis example must never flake a green suite
+    from hypothesis import settings
+
+    settings.register_profile("ci", derandomize=True)
+    settings.load_profile("ci")
+except ImportError:  # pragma: no cover
+    pass
+
 
 @pytest.fixture(scope="session")
 def ray_session():
