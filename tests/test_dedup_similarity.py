@@ -164,8 +164,11 @@ def test_synth_ds_matches_partitioning(ray_session):
     from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_ds
 
     cfg = SynthConfig(n_docs=100, seed=9)
-    a = synth_pages_ds(cfg, blocks=2).to_pandas().sort_values("url", ignore_index=True)
-    b = synth_pages_ds(cfg, blocks=16).to_pandas().sort_values("url", ignore_index=True)
+    # sort by (url, warc_ts): re-crawl rows share the url, so url alone
+    # leaves their order execution-dependent
+    key = ["url", "warc_ts"]
+    a = synth_pages_ds(cfg, blocks=2).to_pandas().sort_values(key, ignore_index=True)
+    b = synth_pages_ds(cfg, blocks=16).to_pandas().sort_values(key, ignore_index=True)
     assert a.equals(b)
 
 
