@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     p_build.add_argument("--index", required=True)
     p_build.add_argument("--num-shards", type=int, default=32)
     p_build.add_argument("--bucket-bits", type=int, default=2)
+    p_build.add_argument("--analyzer", default="default",
+                         choices=["default", "en_stem"])
     p_build.add_argument("--lineage", default="cli")
 
     p_search = sub.add_parser("search", help="query an index")
@@ -81,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         r = build_index(
             pages, args.index, num_shards=args.num_shards,
-            bucket_bits=args.bucket_bits, lineage=args.lineage,
+            bucket_bits=args.bucket_bits, analyzer=args.analyzer,
+            lineage=args.lineage,
         )
         print(json.dumps({
             "index": args.index, "docs": r.stats.total_docs,
