@@ -95,9 +95,11 @@ class BuildResult:
     metrics: dict
 
 
-def _commit_segment(group: pa.Table, segments_dir: str) -> pa.Table:
+def _commit_segment(group: pa.Table, segments_dir: str, lineage: str = "") -> pa.Table:
     """Merge one (shard, bucket) group's runs and commit its segment
-    file atomically (tmp + rename) with a sidecar meta json."""
+    file atomically (tmp + rename) with a sidecar meta json carrying
+    the partition's lineage + metrics (north_rule: per-partition
+    lineage and metrics per segment)."""
     merged = merge_bucket_runs(group)
     empty = pa.table(
         {"shard": pa.array([], pa.int32()), "bucket": pa.array([], pa.int32()),
@@ -119,7 +121,7 @@ def _commit_segment(group: pa.Table, segments_dir: str) -> pa.Table:
     atomic_write_json(
         os.path.join(shard_dir, f"bucket={bucket:03d}.meta.json"),
         {"shard": shard, "bucket": bucket, "terms": merged.num_rows,
-         "postings": n_postings, "bytes": size},
+         "postings": n_postings, "bytes": size, "lineage": lineage},
     )
     return pa.table(
         {
@@ -227,7 +229,8 @@ def build_index(
             batch_size=batch_size,
         )
         seg_ds = runs.groupby(["shard", "bucket"]).map_groups(
-            lambda g: _commit_segment(g, segments_dir), batch_format="pyarrow"
+            lambda g: _commit_segment(g, segments_dir, lineage),
+            batch_format="pyarrow",
         )
         seg_metrics = seg_ds.to_pandas()  # one row per (shard, bucket) — tiny
         shards_meta: dict[int, dict] = {}
