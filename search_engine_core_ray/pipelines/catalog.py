@@ -911,6 +911,32 @@ def q_search_documents(sf_dir: str):
     return ray.data.read_parquet(docstore).map_batches(project, batch_format="pyarrow")
 
 
+@_q(
+    "docs_by_lang",
+    "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1",
+)
+def q_docs_by_lang(sf_dir: str):
+    """Grouped count by status-like tag (getSiteCountByStatus analog,
+    MongoDBStorage.cpp:418-446) with per-batch partial counts."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .group_by("lang")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
 @_q("distinct_part_types", "SELECT DISTINCT p_type FROM part")
 def q_distinct_part_types(sf_dir: str):
     from ray.data.aggregate import Count
