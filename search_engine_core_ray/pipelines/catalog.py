@@ -596,6 +596,91 @@ def q_minhash_dupes(sf_dir: str):
     return minhash_near_dupes(_docs(sf_dir), threshold=0.5)
 
 
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3)
+    SELECT a, b, round(j, 4) AS jaccard FROM (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+    WHERE j >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT 3-token-shingle Jaccard pairs >= 0.5 — the brute-force
+    counterpart of minhash_dupes, SQL-checked. Shingle sets for the
+    (small) corpus are broadcast once; each batch computes its rows'
+    pairs against all later doc_ids. At web scale the MinHash-LSH
+    pipeline replaces the quadratic pair scan (this entry is the
+    verification oracle shape, not the scale path)."""
+    import ray
+    import polars as pl
+
+    from ..stages.textstats import round_half_away
+
+    docs = _docs(sf_dir)
+
+    def shingle_sets(b: pa.Table) -> dict[int, frozenset]:
+        df = pl.from_arrow(b)
+        toks = df.with_columns(
+            pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(r"[a-z0-9]{2,}").alias("t")
+        )
+        out = {}
+        for did, t in zip(df["doc_id"].to_list(), toks["t"].to_list()):
+            t = t or []
+            if len(t) < 3:
+                continue  # mirrors the SQL's len(t) >= 3 gate
+            out[did] = frozenset(
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            )
+        return out
+
+    # broadcast the full shingle-set dict (small side at oracle scale)
+    all_sets: dict[int, frozenset] = {}
+    for b in docs.iter_batches(batch_format="pyarrow", batch_size=2048):
+        all_sets.update(shingle_sets(b))
+    ref = ray.put(all_sets)
+    sorted_ids = sorted(all_sets)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        sets = ray.get(ref)
+        a_out, b_out, j_out = [], [], []
+        for did in b.column("doc_id").to_pylist():
+            sa = sets.get(did)
+            if sa is None:
+                continue
+            for other in sorted_ids:
+                if other <= did:
+                    continue
+                sb = sets[other]
+                inter = len(sa & sb)
+                if inter == 0:
+                    continue
+                j = inter / len(sa | sb)
+                if j >= 0.5:
+                    a_out.append(did)
+                    b_out.append(other)
+                    j_out.append(float(round_half_away(np.float64(j), 4)))
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
+             "jaccard": pa.array(j_out, pa.float64())}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=64
+    )
+
+
 @_q("simhash")  # rows-only
 def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow")
