@@ -75,6 +75,14 @@ class DistributedSearch:
     """Coordinator over one bucket actor per docID range."""
 
     def __init__(self, index_dir: str, **engine_kwargs):
+        if engine_kwargs.get("algorithm", "bm25") != "bm25":
+            # TFIDF/combined need the title+content-only document
+            # frequencies gathered globally as well (the reference's
+            # updateDocumentFrequencies semantics); that second exchange
+            # isn't wired yet — refuse rather than serve wrong scores.
+            raise NotImplementedError(
+                "DistributedSearch currently supports algorithm='bm25'"
+            )
         manifest = load_manifest(index_dir)
         self.n_buckets = 1 << int(manifest["bucket_bits"])
         self.analyzer = manifest.get("analyzer", "default")

@@ -290,7 +290,11 @@ class SearchEngine:
             if p is not None:
                 ids, tft, tfc, tfd, df = p
                 if tfidf:
-                    idf = np.log(self.N / max(df, 1))
+                    # TFIDFAlgorithm df = docs with the term in title or
+                    # content only (SearchScorer.cpp:358-375); postings
+                    # carry per-field tfs so it's a cheap count
+                    df_tc = int(np.count_nonzero((tft > 0) | (tfc > 0)))
+                    idf = np.log(self.N / max(df_tc, 1))
                 else:
                     idf = np.log((self.N - df + 0.5) / (df + 0.5))
                 # map postings onto candidate positions

@@ -119,16 +119,22 @@ class BM25Oracle:
         if update_corpus_stats:
             self.total_docs = len(self.docs)
             total_len = 0.0
+            self.df_tc: dict[str, int] = {}
             for d in self.docs:
                 total_len += (
                     len(d.content.encode()) + len(d.title.encode()) + len(d.description.encode())
                 )
                 for t in d.term_union:
                     self.df[t] = self.df.get(t, 0) + 1
+                # TFIDFAlgorithm counts df over title+content ONLY
+                # (updateDocumentFrequencies, SearchScorer.cpp:358-375)
+                for t in set(d.title_tf) | set(d.content_tf):
+                    self.df_tc[t] = self.df_tc.get(t, 0) + 1
             self.avgdl = total_len / self.total_docs if self.total_docs else 100.0
         else:
             self.total_docs = 1000
             self.avgdl = 100.0
+            self.df_tc = {}
 
     # ---- retrieval -----------------------------------------------------
     def _matches(self, doc: OracleDoc, node) -> bool:
@@ -172,7 +178,8 @@ class BM25Oracle:
     def _tfidf_idf(self, term: str) -> float:
         if self.total_docs == 0:
             return 0.0
-        df = self.df.get(term) or 1  # operator default: df=1 when unseen
+        # df over title+content only; default 1 when unseen
+        df = self.df_tc.get(term) or 1
         return math.log(self.total_docs / df)
 
     def _tf_norm(self, tf: int, field_len: int) -> float:
