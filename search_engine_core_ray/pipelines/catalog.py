@@ -382,6 +382,156 @@ def q_bm25_fielded_topk(sf_dir: str):
     )
 
 
+@_q(
+    "tfidf_fielded_topk",
+    f"""
+    WITH fields AS (
+      SELECT doc_id,
+             'Doc ' || doc_id || ' ' || source AS title,
+             array_to_string(list_slice(regexp_extract_all(text, '\\S+'), 1, 10), ' ') AS descr,
+             text AS content
+      FROM documents),
+    n AS (SELECT count(*)::DOUBLE AS n FROM fields),
+    terms AS (SELECT unnest(['dup', 'vector']) AS term),
+    tfs AS (
+      SELECT f.doc_id, t.term,
+             len(list_filter(regexp_extract_all(lower(f.title), '[a-z0-9]{{2,}}'), x -> x = t.term))::DOUBLE AS tf_t,
+             len(list_filter(regexp_extract_all(lower(f.content), '[a-z0-9]{{2,}}'), x -> x = t.term))::DOUBLE AS tf_c,
+             len(list_filter(regexp_extract_all(lower(f.descr), '[a-z0-9]{{2,}}'), x -> x = t.term))::DOUBLE AS tf_d,
+             strlen(f.title)::DOUBLE AS lt, strlen(f.content)::DOUBLE AS lc,
+             strlen(f.descr)::DOUBLE AS ld
+      FROM fields f CROSS JOIN terms t),
+    hits AS (SELECT * FROM tfs WHERE tf_t > 0 OR tf_c > 0 OR tf_d > 0),
+    dfs AS (
+      SELECT term, GREATEST(count(*) FILTER (tf_t > 0 OR tf_c > 0), 1)::DOUBLE AS df
+      FROM tfs GROUP BY 1),
+    scores AS (
+      SELECT h.doc_id,
+        sum( ln(n.n / d.df) * (
+          CASE WHEN h.tf_t > 0 AND h.lt > 0 THEN 5.0 * ln(1 + LEAST(h.tf_t, 10)) / h.lt
+               WHEN h.tf_t > 0 THEN 5.0 * ln(1 + LEAST(h.tf_t, 10)) ELSE 0 END
+        + CASE WHEN h.tf_c > 0 AND h.lc > 0 THEN 1.0 * ln(1 + LEAST(h.tf_c, 10)) / h.lc
+               WHEN h.tf_c > 0 THEN 1.0 * ln(1 + LEAST(h.tf_c, 10)) ELSE 0 END
+        + CASE WHEN h.ld > 0 AND h.tf_d > 0 THEN 3.0 * ln(1 + LEAST(h.tf_d, 10)) / h.ld
+               ELSE 0 END
+        )) AS sc
+      FROM hits h JOIN dfs d USING (term), n
+      GROUP BY h.doc_id)
+    SELECT doc_id, round(sc, 6) AS score FROM scores
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_tfidf_fielded_topk(sf_dir: str):
+    """Multi-field TF-IDF (TFIDFAlgorithm semantics: ln(N/df) with df
+    over title+content only, tf = ln(1+min(tf,10)) / field BYTE length,
+    weights 5/3/1 — SearchScorer.cpp:278-382) as a Dataset pipeline,
+    SQL-checked. Scores are tiny (length-normalized), so rounding is at
+    6 decimals."""
+    from ..sources.pages import page_fields_for_doc
+    from ..stages.postings import explode_postings
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=("doc_id", "source", "text"))
+
+    def fielded(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        titles, descrs, texts = [], [], []
+        for did, src, txt in zip(
+            ids, b.column("source").to_pylist(), b.column("text").to_pylist()
+        ):
+            f = page_fields_for_doc(did, src, txt or "")
+            titles.append(f["title"])
+            descrs.append(f["description"])
+            texts.append(txt or "")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "title": pa.array(titles, pa.string()),
+             "meta_description": pa.array(descrs, pa.string()),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    fields_ds = docs.map_batches(fielded, batch_format="pyarrow")
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        p = explode_postings(b)
+        p = p.filter(pc.is_in(p.column("term"), value_set=pa.array(BM25_QUERY_TERMS)))
+        lens = {}
+        for col, name in (("title", "lt"), ("text", "lc"), ("meta_description", "ld")):
+            lens[name] = dict(
+                zip(b.column("doc_id").to_pylist(),
+                    pc.binary_length(pc.fill_null(b.column(col), "")).to_pylist())
+            )
+        ids = p.column("doc_id").to_pylist()
+        out = p
+        for name in ("lt", "lc", "ld"):
+            out = out.append_column(
+                name, pa.array([lens[name][d] for d in ids], pa.int64())
+            )
+        return out
+
+    tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow")
+
+    n = 0
+    for b in fields_ds.map_batches(
+        lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+
+    # df over title+content occurrences only (updateDocumentFrequencies)
+    def df_partial(t: pa.Table) -> pa.Table:
+        tc = pc.or_(
+            pc.greater(t.column("tf_title"), 0), pc.greater(t.column("tf_content"), 0)
+        )
+        return pa.table(
+            {"term": t.column("term"),
+             "one": pc.cast(tc, pa.int64())}
+        )
+
+    df_counts = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("one", alias_name="df"))
+        .to_pandas()
+    )
+    dfs = {t: max(int(v), 1) for t, v in zip(df_counts["term"], df_counts["df"])}
+
+    def score(b: pa.Table) -> pa.Table:
+        tft = b.column("tf_title").to_numpy().astype(np.float64)
+        tfc = b.column("tf_content").to_numpy().astype(np.float64)
+        tfd = b.column("tf_desc").to_numpy().astype(np.float64)
+        lt = b.column("lt").to_numpy().astype(np.float64)
+        lc = b.column("lc").to_numpy().astype(np.float64)
+        ld = b.column("ld").to_numpy().astype(np.float64)
+        df_arr = np.asarray(
+            [dfs.get(t, 1) for t in b.column("term").to_pylist()], dtype=np.float64
+        )
+        idf = np.log(n / df_arr)
+
+        def comp(tf, ln_, w):
+            tfn = np.log(1.0 + np.minimum(tf, 10.0))
+            tfn = np.where(ln_ > 0, tfn / np.maximum(ln_, 1.0), tfn)
+            return np.where(tf > 0, w * tfn, 0.0)
+
+        sc = idf * (
+            comp(tft, lt, 5.0)
+            + comp(tfc, lc, 1.0)
+            + np.where(ld > 0, comp(tfd, ld, 3.0), 0.0)
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "s": pa.array(sc, pa.float64())})
+
+    summed = (
+        tf_ds.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="score"))
+    )
+    return (
+        summed.map_batches(lambda t: _round_col(t, "score", 6), batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
 # ======================================================================
 # per-doc scalar / profile operators
 # ======================================================================
