@@ -115,7 +115,20 @@ def _commit_segment(group: pa.Table, segments_dir: str, lineage: str = "") -> pa
     tmp = os.path.join(shard_dir, f".tmp-{uuid.uuid4().hex}.parquet")
     final = os.path.join(shard_dir, f"bucket={bucket:03d}.parquet")
     pq.write_table(merged.drop_columns(["shard"]), tmp, compression="zstd")
+    # durability matches state/checkpoint.atomic_write_json: fsync the
+    # data, rename, fsync the directory — a power failure can't leave a
+    # 'segments' marker referencing a truncated segment file
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.rename(tmp, final)
+    dfd = os.open(shard_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     n_postings = int(pc.sum(merged.column("df")).as_py() or 0)
     size = os.path.getsize(final)
     atomic_write_json(

@@ -67,6 +67,16 @@ class SearchEngine:
         """
         if algorithm not in ("bm25", "tfidf", "combined"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
+        if bucket is not None and algorithm != "bm25":
+            # TFIDF's df is docs-with-term-in-title-or-content, counted
+            # from the postings the engine can SEE — in bucket mode that
+            # is bucket-local while N stays global, so scores would be
+            # silently wrong. DistributedSearch refuses the same way
+            # (distributed.py); mirror the guard for direct construction.
+            raise NotImplementedError(
+                "bucket-mode engines support algorithm='bm25' only "
+                "(tfidf/combined need globally-gathered title+content dfs)"
+            )
         self.algorithm = algorithm
         # bucket mode: serve ONE docID-range bucket (doc-partitioned
         # serving; see query/distributed.py). Loads only that bucket's
@@ -186,6 +196,11 @@ class SearchEngine:
         ``_df_override`` (local postings, global statistics)."""
         hit = self._postings_cache.get(term)
         if hit is None:
+            if len(self._postings_cache) >= 8192:
+                # same bound-and-clear policy as _title_boost_cache: a
+                # long-lived actor serving a diverse term stream must not
+                # re-materialize the decoded index in Python arrays
+                self._postings_cache.clear()
             reader = self._reader(shard_of_term(term, self.num_shards))
             p = reader.postings(term)
             hit = () if p is None else (*p, reader.df(term))

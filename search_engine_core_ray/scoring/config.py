@@ -57,6 +57,12 @@ class ScoringConfig:
     boost_factors: BoostFactors = field(default_factory=BoostFactors)
     min_score: float = 0.01
     normalize_scores: bool = True
+    # Config-surface parity with the hot-reloadable Scorer config
+    # (src/search_core/Scorer.cpp:10-75, Scorer.hpp:11): the reference
+    # loads/defaults offset_boost=0.1 but never applies it in scoring
+    # (ranking is delegated to RediSearch SCORER TFIDF). Kept here so a
+    # reference scorer JSON round-trips losslessly.
+    offset_boost: float = 0.1
 
     # -- presets (SearchScorer.cpp:16-47) --------------------------------
     @staticmethod
@@ -106,4 +112,5 @@ class ScoringConfig:
             boost_factors=BoostFactors(**d.get("boost_factors", {})),
             min_score=d.get("min_score", 0.01),
             normalize_scores=d.get("normalize_scores", True),
+            offset_boost=d.get("offset_boost", 0.1),
         )

@@ -29,6 +29,20 @@ Semantics reproduced (file:line under /root/reference):
   :562-622). Ties are broken by ascending doc_id (the reference's
   unstable std::sort leaves tie order unspecified; both our engine and
   oracle canonicalize identically).
+
+Frozen deviations (shared by engine AND oracle, so rank-identity tests
+cannot catch them — documented instead, like the tie-order note):
+- tf counting: the reference's countTermOccurrences scans for
+  ``\\bterm\\b`` word-boundary regex hits on the RAW field text
+  (SearchScorer.cpp:527-560); we count analyzer tokens. Divergence
+  cases: underscore-adjacent occurrences ("foo_bar" — reference tf=0
+  for "foo", ours tf>0 since '_' splits tokens) and terms that are
+  prefixes of non-ASCII words ("naïve" — the reference's \\b matches
+  before the non-ASCII byte so term "na" gets tf>0; our tokenizer never
+  emits that match).
+- keyword matching: the reference runs the same regex per keyword;
+  kw == term equality (used here) agrees on its punctuation-free
+  keyword set but not on keywords containing non-ASCII bytes.
 """
 
 from __future__ import annotations

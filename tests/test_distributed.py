@@ -118,3 +118,14 @@ def test_distributed_topk_phrase_and_filter_queries(built, dist):
         assert [d for d, _ in a] == [d for d, _ in b], q
         for (da, sa), (db, sb) in zip(a, b):
             assert sa == pytest.approx(sb, abs=1e-12), q
+
+
+def test_bucket_mode_refuses_non_bm25(built):
+    # bucket-local TFIDF dfs with global N would be silently wrong;
+    # direct construction must refuse like DistributedSearch does
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        SearchEngine(built, bucket=0, algorithm="tfidf")
+    with _pytest.raises(NotImplementedError):
+        SearchEngine(built, bucket=0, algorithm="combined")

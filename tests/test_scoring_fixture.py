@@ -178,3 +178,17 @@ def test_negative_idf_with_real_stats():
     o = BM25Oracle(docs, update_corpus_stats=True)
     raw = dict(_raw_scores(o, "common"))
     assert raw[1] < 0
+
+
+def test_offset_boost_config_roundtrip():
+    # config-surface parity with the reference's hot-reloadable Scorer
+    # (src/search_core/Scorer.cpp:60-75): default 0.1, JSON override
+    c = ScoringConfig.create_default()
+    assert c.offset_boost == 0.1
+    c2 = ScoringConfig.from_json('{"offset_boost": 0.25}')
+    assert c2.offset_boost == 0.25
+    import json as _json
+
+    rt = ScoringConfig.from_json(c2.to_json())
+    assert rt.offset_boost == 0.25
+    assert _json.loads(c2.to_json())["offset_boost"] == 0.25
