@@ -1,13 +1,18 @@
 """Similarity search over an embedding column (list<float>).
 
 - ``ann_topk``: brute-force cosine top-k as the exactness baseline — a
-  numpy matmul per batch against a broadcast (ray.put) query matrix,
-  partial top-k per batch, tiny final merge. The query side is shipped
-  ONCE to the object store, never per batch.
-- ``embedding_dupes``: all pairs with cosine >= threshold — block
-  matmul of each batch against the broadcast corpus matrix (exact;
-  at 100 TB swap the broadcast side for an IVF/LSH-bucketed variant:
-  bucket by coarse quantizer id with groupby, search within buckets).
+  numpy matmul per batch against a broadcast (ray.put) query matrix.
+  Each batch emits only its PARTIAL top-k per query (Q x k rows, under
+  the same total order as the final merge), so the shuffled sims
+  dataset is O(Q * k * n_batches), never the full Q x N matrix; the
+  final per-query groupby merge is tiny.
+- ``embedding_dupes``: all pairs with cosine >= threshold — an exact
+  block-nested-loop self-join: the corpus is split into bounded blocks
+  held in the OBJECT STORE (never broadcast whole, never driver-side),
+  and one task per block pair (i <= j) matmuls two blocks. Per-task
+  memory = 2 blocks regardless of corpus size; at 100 TB the pair
+  count is quadratic by problem definition, so the LSH-bucketed
+  ``lsh_bucket_ann`` below is the approximate scale path.
 - ``lsh_bucket_ann``: the scale path — random-hyperplane LSH buckets
   (deterministic seeded planes), candidates searched within their
   bucket only; approximate, used when the corpus side no longer fits a
@@ -42,26 +47,49 @@ def cosine_block(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
 
 
 class BatchCosine:
-    """map_batches stage: emit (query_id, vec_id, cos) for every
-    (query, batch-row) pair. Query matrix read from the object store
-    once per actor (__init__), zero per-batch reshipping."""
+    """map_batches stage: per batch, emit each query's PARTIAL top-k
+    (query_id, vec_id, cos) rows under the final merge's total order
+    (cos desc — rounded if the caller rounds — then vec_id asc).
+    Self-matches are excluded here. Query matrix read from the object
+    store once per actor (__init__), zero per-batch reshipping.
 
-    def __init__(self, query_ref, query_ids):
+    Exactness: top-k of a union equals top-k of the union of
+    per-partition top-k lists under any shared total order, so the
+    final groupby sees a superset of the true top-k. With k=None every
+    pair is emitted (the old exhaustive shape, for tests)."""
+
+    def __init__(self, query_ref, query_ids, k=None, round_digits=None):
         import ray
 
         self.q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
         self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.round_digits = round_digits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch)
         ids = batch.column("vec_id").to_numpy()
         sims = cosine_block(self.q, m)  # (Q, B)
-        Q, B = sims.shape
+        if self.round_digits is not None:
+            from ..stages.textstats import round_half_away
+
+            sims = round_half_away(sims, self.round_digits)
+        out_q, out_v, out_c = [], [], []
+        for row, qid in enumerate(self.query_ids.tolist()):
+            keep = ids != qid
+            cand_ids, cand = ids[keep], sims[row][keep]
+            if self.k is not None and len(cand_ids) > self.k:
+                # total order (-cos, vec_id): lexsort keys minor-first
+                sel = np.lexsort((cand_ids, -cand))[: self.k]
+                cand_ids, cand = cand_ids[sel], cand[sel]
+            out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+            out_v.append(cand_ids)
+            out_c.append(cand)
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(self.query_ids, B), pa.int64()),
-                "vec_id": pa.array(np.tile(ids, Q), pa.int64()),
-                "cos": pa.array(sims.reshape(-1), pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64), pa.int64()),
+                "cos": pa.array(np.concatenate(out_c).astype(np.float64), pa.float64()),
             }
         )
 
@@ -84,21 +112,20 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10, round_digits: int
 
     sims = embeddings_ds.map_batches(
         BatchCosine,
-        fn_constructor_kwargs={"query_ref": qref, "query_ids": qids},
+        fn_constructor_kwargs={
+            "query_ref": qref,
+            "query_ids": qids,
+            "k": k,
+            "round_digits": round_digits,
+        },
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 4),
     )
-    # partial top-k per batch would go here at scale; at bench scale the
-    # (Q x N) sims table is small — one groupby finishes it.
+    # per-batch partial top-k above means this groupby only merges
+    # O(Q * k * n_batches) rows — never the full Q x N sims matrix
     def topk(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group)
-        df = df.filter(pl.col("vec_id") != pl.col("query_id"))
-        if round_digits is not None:
-            from ..stages.textstats import round_half_away
-
-            c = round_half_away(df["cos"].to_numpy(), round_digits)
-            df = df.with_columns(cos=pl.Series("cos", c))
         df = df.sort(["cos", "vec_id"], descending=[True, False]).head(k)
         return pa.table(
             {
@@ -112,44 +139,80 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10, round_digits: int
     return sims.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
-def embedding_dupes(embeddings_ds, threshold: float = 0.95):
-    """Exact near-duplicate pairs by cosine -> Dataset(a, b, cos),
-    a < b. Corpus matrix broadcast once; each batch matmuls against it."""
+def embedding_dupes(embeddings_ds, threshold: float = 0.95, block_rows: int = 4096):
+    """Exact near-duplicate pairs by cosine -> Dataset(a, b, cos), a < b.
+
+    Block-nested-loop self-join: the corpus is materialized as bounded
+    Arrow blocks IN THE OBJECT STORE (to_arrow_refs — the driver only
+    holds refs), then one task per unordered block pair (i <= j) pulls
+    exactly two blocks (zero-copy reads) and matmuls them. Per-task
+    memory is 2 x block_rows x dim regardless of corpus size, tasks
+    scale as M(M+1)/2 across the cluster, and nothing is ever broadcast
+    whole. Exact by construction — every pair is examined exactly once
+    (cross-block pairs in their one (i, j) task, within-block pairs in
+    the strict-upper-triangle of (i, i)).
+
+    At 100 TB exact all-pairs is inherently quadratic; use
+    ``lsh_bucket_ann``-style bucketing when approximate recall is
+    acceptable.
+    """
     import ray
+    import ray.data
 
     rows = embeddings_ds.select_columns(["vec_id", "embedding"])
-    all_tab = rows.to_arrow_refs()
-    mats, ids = [], []
-    for ref in all_tab:
-        t = ray.get(ref)
-        mats.append(_to_matrix(t))
-        ids.append(t.column("vec_id").to_numpy())
-    corpus = np.vstack(mats)
-    corpus_ids = np.concatenate(ids)
-    order = np.argsort(corpus_ids)
-    corpus, corpus_ids = corpus[order], corpus_ids[order]
-    cref = ray.put((corpus, corpus_ids))
+    n = rows.count()
+    m_blocks = max(1, -(-n // block_rows))
+    block_refs = rows.repartition(m_blocks).to_arrow_refs()
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        cm, cids = ray.get(cref)
-        m = _to_matrix(batch)
-        bids = batch.column("vec_id").to_numpy()
-        sims = cosine_block(m, cm)
+    pair_idx = [
+        {"i": i, "j": j}
+        for i in range(len(block_refs))
+        for j in range(i, len(block_refs))
+    ]
+
+    def block_pair(batch: pa.Table) -> pa.Table:
         a_out, b_out, c_out = [], [], []
-        for i, aid in enumerate(bids):
-            hits = np.flatnonzero((sims[i] >= threshold) & (cids > aid))
-            a_out.extend([int(aid)] * len(hits))
-            b_out.extend(cids[hits].tolist())
-            c_out.extend(sims[i][hits].tolist())
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            tx = ray.get(block_refs[i])
+            ty = tx if j == i else ray.get(block_refs[j])
+            mx, xids = _to_matrix(tx), tx.column("vec_id").to_numpy()
+            my, yids = (mx, xids) if j == i else (
+                _to_matrix(ty), ty.column("vec_id").to_numpy()
+            )
+            sims = cosine_block(mx, my)
+            hit = sims >= threshold
+            # a < b: orient every pair by id; i == j keeps the strict
+            # upper triangle only so nothing is double-counted
+            hit &= xids[:, None] < yids[None, :]
+            if j != i:
+                lo = sims.T >= threshold
+                lo &= yids[:, None] < xids[None, :]
+                r2, c2 = np.nonzero(lo)
+                a_out.append(yids[r2])
+                b_out.append(xids[c2])
+                c_out.append(sims.T[lo])
+            r, c = np.nonzero(hit)
+            a_out.append(xids[r])
+            b_out.append(yids[c])
+            c_out.append(sims[hit])
+        if not a_out:
+            a_cat = np.empty(0, dtype=np.int64)
+            b_cat, c_cat = a_cat, np.empty(0, dtype=np.float64)
+        else:
+            a_cat = np.concatenate(a_out).astype(np.int64)
+            b_cat = np.concatenate(b_out).astype(np.int64)
+            c_cat = np.concatenate(c_out).astype(np.float64)
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "cos": pa.array(c_out, pa.float64()),
+                "a": pa.array(a_cat, pa.int64()),
+                "b": pa.array(b_cat, pa.int64()),
+                "cos": pa.array(c_cat, pa.float64()),
             }
         )
 
-    return rows.map_batches(pairs, batch_format="pyarrow", batch_size=1024)
+    return ray.data.from_items(pair_idx).map_batches(
+        block_pair, batch_format="pyarrow", batch_size=1
+    )
 
 
 _LSH_PLANES_SEED = 1234

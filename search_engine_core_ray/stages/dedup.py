@@ -152,53 +152,109 @@ def jaccard_pairs(texts_by_id: dict[int, str], pairs: list[tuple[int, int]], k: 
     return out
 
 
-def minhash_near_dupes(docs_ds, threshold: float = 0.5, k: int = 3):
+def doc_shingles(batch: pa.Table, k: int = 3) -> pa.Table:
+    """docs -> (doc_id, sh binary) sorted-unique shingle hashes, packed
+    as little-endian uint64 bytes (Acero's hash join can carry binary
+    payload columns but not list<uint64>)."""
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    sh = _shingle_hashes(texts, k)
+    return pa.table(
+        {"doc_id": ids, "sh": pa.array([s.tobytes() for s in sh], pa.binary())}
+    )
+
+
+def minhash_near_dupes(
+    docs_ds, threshold: float = 0.5, k: int = 3, num_partitions: int = 8
+):
     """Full near-dup pipeline -> Dataset(a, b, jaccard) with jaccard >=
     threshold, deduplicated pairs, a < b.
 
-    Scale shape: minhash per doc is map_batches; the all-to-all is the
-    (band, band_hash) groupby whose buckets are collision-sized; the
-    verify joins candidate pairs back to texts via a broadcast of only
-    the CANDIDATE docs (collected ids), not the corpus.
+    Fully distributed — nothing ever materializes on the driver:
+    1. minhash + banding per doc (map_batches);
+    2. groupby(band, band_hash) emits candidate pairs per LSH bucket;
+    3. groupby(a, b) dedups pairs that collided in several bands;
+    4. pairs explode to one row per SIDE (a, b, doc_id) and hash-JOIN
+       the per-doc shingle sets on doc_id — on a dup-heavy web corpus
+       the candidate set is NOT collision-sized, so the verify texts
+       travel via shuffle, not through the driver;
+    5. groupby(a, b) reunites each pair's two shingle sets and verifies
+       exact Jaccard inside the group (vectorized intersect).
     """
-    import ray
-
     bands = docs_ds.map_batches(
         lambda b: minhash_bands(b, k), batch_format="pyarrow"
     )
     pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
-    pairs = {
-        (r["a"], r["b"]) for r in pairs_ds.take_all()
-    }  # candidate pairs only — collision-sized, safe to collect
-    if not pairs:
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    # materialize() pins the candidate pairs in the OBJECT STORE
+    # (distributed blocks, not the driver) so the emptiness probe below
+    # doesn't recompute the banding pipeline; an empty dataset has no
+    # schema and would break the join's key-field resolution
+    uniq = (
+        pairs_ds.groupby(["a", "b"])
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    if uniq.count() == 0:
+        import ray.data
+
         return ray.data.from_arrow(
-            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
         )
-    need = {i for p in pairs for i in p}
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow", batch_size=4096
-    ):
-        for did, txt in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if did in need:
-                texts[did] = txt or ""
-    verified = [
-        (a, b, j)
-        for a, b, j in jaccard_pairs(texts, sorted(pairs), k)
-        if j >= threshold
-    ]
-    return ray.data.from_arrow(
-        pa.table(
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
             {
-                "a": pa.array([v[0] for v in verified], pa.int64()),
-                "b": pa.array([v[1] for v in verified], pa.int64()),
-                "jaccard": pa.array([v[2] for v in verified], pa.float64()),
+                "a": pa.array(np.repeat(a, 2), pa.int64()),
+                "b": pa.array(np.repeat(b, 2), pa.int64()),
+                "doc_id": pa.array(
+                    np.column_stack([a, b]).reshape(-1).astype(np.int64), pa.int64()
+                ),
             }
         )
+
+    sides = uniq.map_batches(explode_sides, batch_format="pyarrow")
+    sh_ds = docs_ds.map_batches(lambda b: doc_shingles(b, k), batch_format="pyarrow")
+    joined = sides.join(
+        sh_ds, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
     )
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if group.num_rows != 2:
+            return empty
+        sh_col = group.column("sh")
+        sa = np.frombuffer(sh_col[0].as_py() or b"", dtype=np.uint64)
+        sb = np.frombuffer(sh_col[1].as_py() or b"", dtype=np.uint64)
+        if len(sa) == 0 or len(sb) == 0:
+            j = 0.0
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+        if j < threshold:
+            return empty
+        return pa.table(
+            {
+                "a": group.column("a").slice(0, 1),
+                "b": group.column("b").slice(0, 1),
+                "jaccard": pa.array([j], pa.float64()),
+            }
+        )
+
+    return joined.groupby(["a", "b"]).map_groups(verify, batch_format="pyarrow")
 
 
 # ---- simhash -----------------------------------------------------------

@@ -180,3 +180,40 @@ def test_synth_ds_roundtrip_extraction(ray_session):
     for r in synth_pages_ds(cfg, blocks=4).take_all():
         got = extract_page(r["html"].decode(), r["url"])
         assert got["text"] == r["text"]
+
+
+def test_minhash_matches_exact_ngram_pairs_sf(ray_session):
+    """The distributed MinHash verify must reproduce the SQL-checked
+    exact-Jaccard pair set over the driver's documents table (VERDICT
+    round-1 'done' criterion for the scale-safe verify)."""
+    import os
+
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+
+    sf = os.environ.get("SECR_TEST_SF_DIR", "/root/testdata/sf0.001")
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in QUERIES["ngram_jaccard_pairs"](sf).take_all()
+    }
+    mh = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in QUERIES["minhash_dupes"](sf).take_all()
+    }
+    assert set(mh) == set(exact)
+    for p, j in mh.items():
+        assert j == pytest.approx(exact[p], abs=1e-4)  # exact side rounds to 4
+
+
+def test_minhash_no_candidates(ray_session):
+    """No shared shingles at all -> empty pair output, empty-safe
+    through the pair-dedup groupby, join and verify groupby."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = minhash_near_dupes(ds, threshold=0.5)
+    assert out.take_all() == []
