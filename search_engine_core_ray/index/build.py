@@ -85,6 +85,25 @@ def effective_lineage(
     return f"{lineage}|shards={num_shards}|bits={bucket_bits}|analyzer={analyzer}"
 
 
+def write_docstore(docs_ds, docstore_dir: str, bucket_bits: int):
+    """Write the forward index partitioned by docID-range bucket
+    (hive dirs ``bucket=J/``) — the SAME key the segment files use, so
+    a doc-partitioned serving actor (query/distributed.py) prunes its
+    docstore read to one partition instead of scanning the whole
+    forward index. Resumable output: one directory per key range."""
+    from .segments import range_bucket
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.append_column(
+            "bucket", pa.array(range_bucket(ids, bucket_bits), pa.int64())
+        )
+
+    out = docs_ds.map_batches(add_bucket, batch_format="pyarrow")
+    out.write_parquet(docstore_dir, partition_cols=["bucket"])
+    return out  # executed dataset, for ds.stats() observability
+
+
 @dataclass
 class BuildResult:
     index_dir: str
@@ -201,11 +220,11 @@ def build_index(
 
         if os.path.exists(docstore_dir):
             shutil.rmtree(docstore_dir)
-        docs.write_parquet(docstore_dir)
+        written = write_docstore(docs, docstore_dir, bucket_bits)
         mark_stage(
             index_dir, "docstore", lineage,
             seconds=time.monotonic() - t0,
-            ray_stats=_stats_excerpt(docs),
+            ray_stats=_stats_excerpt(written),
         )
 
 

@@ -58,7 +58,11 @@ def compact_index(index_dir: str, new_index_dir: str, **build_kw) -> None:
     from .build import DOCSTORE_COLUMNS, build_index
 
     tomb = set(load_tombstones(index_dir)["doc_ids"])
-    docs = ray.data.read_parquet(os.path.join(index_dir, "docstore"))
+    # prune to the docstore columns: the hive layout would otherwise
+    # resurrect the bucket partition key as a data column
+    docs = ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"), columns=DOCSTORE_COLUMNS
+    )
     if tomb:
         docs = docs.map_batches(
             lambda b: b.filter(
@@ -95,6 +99,11 @@ def build_index_from_docs(docs_ds, index_dir: str, **build_kw):
     docstore_dir = os.path.join(index_dir, "docstore")
     if os.path.exists(docstore_dir):
         shutil.rmtree(docstore_dir)
-    docs_ds.write_parquet(docstore_dir)
+    from .build import write_docstore
+
+    write_docstore(
+        docs_ds, docstore_dir,
+        build_kw.get("bucket_bits", DEFAULT_BUCKET_BITS),
+    )
     mark_stage(index_dir, "docstore", lineage, seconds=0.0)
     return build_index(None, index_dir, **build_kw)

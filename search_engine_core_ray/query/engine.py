@@ -112,14 +112,46 @@ class SearchEngine:
                 self._reader(shard)
 
     # ---- loading -------------------------------------------------------
-    def _load_docstore(self, docstore_dir: str) -> None:
-        files = sorted(
-            os.path.join(docstore_dir, f)
-            for f in os.listdir(docstore_dir)
-            if f.endswith(".parquet")
-        )
-        t = pq.read_table(files)
+    def _docstore_files(self, docstore_dir: str) -> tuple[list[str], bool]:
+        """-> (parquet paths, pruned). Bucket engines read ONLY their
+        ``bucket=J/`` hive partition (the docstore is written partitioned
+        by the same docID-range key as the segments), so per-actor memory
+        and read IO are index_size / 2^bucket_bits. Falls back to a full
+        scan + mask for pre-partitioning flat layouts."""
+        import glob as _glob
+
         if self.bucket is not None:
+            part = os.path.join(docstore_dir, f"bucket={self.bucket}")
+            if os.path.isdir(part):
+                return (
+                    sorted(_glob.glob(os.path.join(part, "**", "*.parquet"),
+                                      recursive=True)),
+                    True,
+                )
+            hive = _glob.glob(os.path.join(docstore_dir, "bucket=*"))
+            if hive:
+                # partitioned layout, but this bucket holds no docs
+                return [], True
+        return (
+            sorted(_glob.glob(os.path.join(docstore_dir, "**", "*.parquet"),
+                              recursive=True)),
+            False,
+        )
+
+    def _load_docstore(self, docstore_dir: str) -> None:
+        files, pruned = self._docstore_files(docstore_dir)
+        self._docstore_files_read = files  # observability + tests
+        if files:
+            t = pq.read_table(files)
+        else:
+            import glob as _glob
+
+            any_file = sorted(
+                _glob.glob(os.path.join(docstore_dir, "**", "*.parquet"),
+                           recursive=True)
+            )
+            t = pq.read_schema(any_file[0]).empty_table()
+        if self.bucket is not None and not pruned:
             from ..index.segments import range_bucket
 
             bits = int(self.manifest["bucket_bits"])
@@ -142,17 +174,12 @@ class SearchEngine:
         )
         self._title_boost_cache: dict[str, np.ndarray] = {}
         # Arrow string arrays for substring kernels (C++ match_substring
-        # beats any Python/pandas loop by ~100x on the p99 path)
+        # beats any Python/pandas loop by ~100x on the p99 path).
+        # titles_pa is eager (every term query hits the title boost);
+        # the LOWERED twins are built lazily on the first phrase query —
+        # a pure-term workload never pays the extra text copies in RAM.
         self.titles_pa = pa.array([x or "" for x in self.titles], pa.string())
-        self.titles_lower_pa = pa.array(
-            [_lower(x or "") for x in self.titles], pa.string()
-        )
-        self.contents_lower_pa = pa.array(
-            [_lower(x or "") for x in self.contents], pa.string()
-        )
-        self.descs_lower_pa = pa.array(
-            [_lower(x or "") for x in self.descriptions], pa.string()
-        )
+        self._lower_pa_cache: dict[str, "pa.Array"] = {}
         self.len_title = t.column("len_title").to_numpy().astype(np.float64)
         self.len_content = t.column("len_content").to_numpy().astype(np.float64)
         self.len_desc = t.column("len_desc").to_numpy().astype(np.float64)
@@ -173,6 +200,31 @@ class SearchEngine:
                 vals.setdefault(v or "", []).append(did)
             for v, ids in vals.items():
                 self._meta_postings[(fld, v)] = np.asarray(ids, dtype=np.int64)
+
+    def _lower_pa(self, which: str) -> "pa.Array":
+        """Lazily-built ASCII-lowered Arrow column for phrase kernels."""
+        arr = self._lower_pa_cache.get(which)
+        if arr is None:
+            src = {
+                "titles": self.titles,
+                "contents": self.contents,
+                "descs": self.descriptions,
+            }[which]
+            arr = pa.array([_lower(x or "") for x in src], pa.string())
+            self._lower_pa_cache[which] = arr
+        return arr
+
+    @property
+    def titles_lower_pa(self) -> "pa.Array":
+        return self._lower_pa("titles")
+
+    @property
+    def contents_lower_pa(self) -> "pa.Array":
+        return self._lower_pa("contents")
+
+    @property
+    def descs_lower_pa(self) -> "pa.Array":
+        return self._lower_pa("descs")
 
     def _reader(self, shard: int) -> ShardReader:
         r = self._shards.get(shard)

@@ -129,3 +129,24 @@ def test_bucket_mode_refuses_non_bm25(built):
         SearchEngine(built, bucket=0, algorithm="tfidf")
     with _pytest.raises(NotImplementedError):
         SearchEngine(built, bucket=0, algorithm="combined")
+
+
+def test_bucket_engine_prunes_docstore_read(built):
+    """A bucket engine must open ONLY its hive partition's parquet
+    files (docstore is written partitioned by the same docID-range key
+    as the segments) and hold ~ N / 2^bits rows."""
+    import os
+
+    full = SearchEngine(built)
+    n_total = len(full.doc_ids)
+    all_files = set(full._docstore_files_read)
+    seen = 0
+    for j in range(4):  # bucket_bits=2
+        eng = SearchEngine(built, bucket=j)
+        assert eng._docstore_files_read, f"bucket {j} read no files"
+        for f in eng._docstore_files_read:
+            assert os.sep + f"bucket={j}" + os.sep in f, f
+        assert set(eng._docstore_files_read) < all_files
+        assert 0 < len(eng.doc_ids) < n_total
+        seen += len(eng.doc_ids)
+    assert seen == n_total
