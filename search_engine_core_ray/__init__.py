@@ -33,4 +33,4 @@ import os as _os
 # Pin it before any polars import; Ray does the same for OMP_NUM_THREADS.
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -49,6 +49,17 @@ _FA_WORDS = "جستجو موتور صفحه وب داده متن زبان فار
 
 _EPOCH = datetime(2024, 1, 1)
 
+# Site categories (SiteProfile.category — "news, blog, etc.",
+# include/search_engine/storage/SiteProfile.h:51; the seeded test data
+# uses tutorial/documentation/blog, tests/webserver/seed_test_data.sh).
+# Derived from the doc index WITHOUT consuming the rng stream so adding
+# the column does not perturb the seeded corpus.
+_CATEGORIES = ("tutorial", "documentation", "blog", "news", "reference")
+
+
+def _category_for(i: int) -> str:
+    return _CATEGORIES[(i * 2654435761) % len(_CATEGORIES)]
+
 
 @dataclass
 class SynthConfig:
@@ -164,11 +175,12 @@ def _rows_for_doc(i: int, cfg: SynthConfig, domains: list[str]) -> list[tuple]:
     else:
         url = base
     html, text, _ = _gen_page(rng, base, domain, lang, cfg)
-    rows = [(url, _EPOCH + timedelta(minutes=i), html.encode("utf-8"), text, lang)]
+    cat = _category_for(i)
+    rows = [(url, _EPOCH + timedelta(minutes=i), html.encode("utf-8"), text, lang, cat)]
     if rng.random() < cfg.recrawl_frac:
         html2, text2, _ = _gen_page(rng, base, domain, lang, cfg)
         rows.append(
-            (base, _EPOCH + timedelta(minutes=i, hours=6), html2.encode("utf-8"), text2, lang)
+            (base, _EPOCH + timedelta(minutes=i, hours=6), html2.encode("utf-8"), text2, lang, cat)
         )
     return rows
 
@@ -183,14 +195,15 @@ def _domains(cfg: SynthConfig) -> list[str]:
 def synth_pages_batch(indices, cfg: SynthConfig) -> pa.Table:
     """Pages for a batch of doc indices (map_batches kernel)."""
     domains = _domains(cfg)
-    urls, ts, htmls, texts, langs = [], [], [], [], []
+    urls, ts, htmls, texts, langs, cats = [], [], [], [], [], []
     for i in indices:
-        for u, t, h, x, l in _rows_for_doc(int(i), cfg, domains):
+        for u, t, h, x, l, c in _rows_for_doc(int(i), cfg, domains):
             urls.append(u)
             ts.append(t)
             htmls.append(h)
             texts.append(x)
             langs.append(l)
+            cats.append(c)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -198,6 +211,7 @@ def synth_pages_batch(indices, cfg: SynthConfig) -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            "category": pa.array(cats, pa.string()),
         }
     )
 
@@ -225,6 +239,7 @@ def synth_pages_table(cfg: SynthConfig | None = None, **kw) -> pa.Table:
     htmls: list[bytes] = []
     texts: list[str] = []
     langs: list[str] = []
+    cats: list[str] = []
 
     for i in range(cfg.n_docs):
         domain = domains[rng.randrange(len(domains))]
@@ -246,6 +261,7 @@ def synth_pages_table(cfg: SynthConfig | None = None, **kw) -> pa.Table:
         htmls.append(html.encode("utf-8"))
         texts.append(text)
         langs.append(lang)
+        cats.append(_category_for(i))
         if rng.random() < cfg.recrawl_frac:
             # re-crawl of the same URL with newer content; LWW keeps this row
             html2, text2, _ = _gen_page(rng, base, domain, lang, cfg)
@@ -254,6 +270,7 @@ def synth_pages_table(cfg: SynthConfig | None = None, **kw) -> pa.Table:
             htmls.append(html2.encode("utf-8"))
             texts.append(text2)
             langs.append(lang)
+            cats.append(_category_for(i))
 
     return pa.table(
         {
@@ -262,5 +279,6 @@ def synth_pages_table(cfg: SynthConfig | None = None, **kw) -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            "category": pa.array(cats, pa.string()),
         }
     )

@@ -64,6 +64,7 @@ DOCSTORE_COLUMNS = [
     "text",
     "keywords",
     "lang",
+    "category",
     "quality",
     "word_count",
     "len_title",

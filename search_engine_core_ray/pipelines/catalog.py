@@ -1356,6 +1356,74 @@ def q_filter_events(sf_dir: str):
     )
 
 
+@_q(
+    "category_filter_topk",
+    """
+    WITH derived AS (
+      SELECT doc_id,
+             'Doc ' || doc_id || ' ' || source || ' ' ||
+             CASE WHEN trim(text) <> '' THEN text || ' ' ELSE '' END AS content
+      FROM documents WHERE source = 'src3'),
+    scored AS (
+      SELECT doc_id,
+             round(CAST(LEAST(strlen(content), 10000) AS DOUBLE)/10000.0, 6) AS score
+      FROM derived)
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rnk, doc_id, score
+    FROM scored ORDER BY rnk LIMIT 10
+    """,
+)
+def q_category_filter_topk(sf_dir: str):
+    """The pure-filter search path as a data pipeline, SQL-checked:
+    ``category:src3`` (category := source in the documents->pages
+    derivation) returns docs ordered by their STORED score — content
+    quality over the docstore content, with no min-score filter and no
+    normalization (FT.SEARCH @category:{v} SORTBY score DESC,
+    RedisSearchStorage.cpp:235-252; quality ContentStorage.cpp:200-205).
+    The engine-side category/keywords TAG filters are conformance-tested
+    against the full-scan oracle in tests/test_index_e2e.py."""
+    from ..functions.textproc import content_quality
+    from ..sources.pages import page_fields_for_doc
+
+    def kernel(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("source"), "src3")
+        b = b.filter(keep)
+        ids = b.column("doc_id").to_pylist()
+        out_score = []
+        for did, src, text in zip(
+            ids, b.column("source").to_pylist(), b.column("text").to_pylist()
+        ):
+            content = page_fields_for_doc(did, src, text or "")["text"]
+            out_score.append(content_quality(content))
+        t = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "score": pa.array(out_score, pa.float64())}
+        )
+        return _round_col(t, "score", 6)
+
+    def add_rnk(t: pa.Table) -> pa.Table:
+        # single block after limit().repartition(1): global rank by position
+        order = np.lexsort(
+            (t.column("doc_id").to_numpy(), -t.column("score").to_numpy())
+        )
+        t = t.take(pa.array(order))
+        return pa.table(
+            {
+                "rnk": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
+                "doc_id": t.column("doc_id"),
+                "score": t.column("score"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(kernel, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+        .repartition(1)
+        .map_batches(add_rnk, batch_format="pyarrow")
+    )
+
+
 # ======================================================================
 # flagship: full index build + fixture query set (rows-only)
 # ======================================================================

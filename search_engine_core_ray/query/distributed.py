@@ -65,9 +65,13 @@ class _BucketActor:
     def topk(self, query: str, k: int, df_override: dict):
         return self.engine.search_topk_wand(query, k, df_override)
 
-    def hydrate(self, ids: list[int], scores: list[float]) -> list[dict]:
+    def hydrate(
+        self, ids: list[int], scores: list[float], highlight_terms=None
+    ) -> list[dict]:
         return self.engine.hydrate(
-            np.asarray(ids, dtype=np.int64), np.asarray(scores, dtype=np.float64)
+            np.asarray(ids, dtype=np.int64),
+            np.asarray(scores, dtype=np.float64),
+            highlight_terms=highlight_terms,
         )
 
 
@@ -111,7 +115,9 @@ class DistributedSearch:
         return {t: self._df_cache[t] for t in terms}
 
     # ---- fidelity path -------------------------------------------------
-    def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
+    def search(
+        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+    ) -> dict:
         dfs = self._global_dfs(query)
         parts = ray.get(
             [a.search_raw.remote(query, dfs) for a in self.actors]
@@ -137,9 +143,23 @@ class DistributedSearch:
         total = len(cands)
         sel = slice(offset, offset + limit if limit else None)
         cands, scores = cands[sel], scores[sel]
-        return {"total": total, "results": self._hydrate_via_actors(cands, scores)}
+        hl = None
+        if highlight:
+            ast = parse_query(query)
+            hl = []
+            for t in walk_terms(ast):
+                hl.extend(analyze(t.value, self.analyzer))
+        return {
+            "total": total,
+            "results": self._hydrate_via_actors(cands, scores, highlight_terms=hl),
+        }
 
-    def _hydrate_via_actors(self, cands: np.ndarray, scores: np.ndarray) -> list[dict]:
+    def _hydrate_via_actors(
+        self,
+        cands: np.ndarray,
+        scores: np.ndarray,
+        highlight_terms: list[str] | None = None,
+    ) -> list[dict]:
         """Result rows come from the OWNING bucket actors (the forward
         index never materializes on the coordinator); order preserved."""
         if len(cands) == 0:
@@ -153,7 +173,7 @@ class DistributedSearch:
             if len(idx):
                 refs.append(
                     self.actors[j].hydrate.remote(
-                        cands[idx].tolist(), scores[idx].tolist()
+                        cands[idx].tolist(), scores[idx].tolist(), highlight_terms
                     )
                 )
                 slots.append(idx)

@@ -50,6 +50,22 @@ def _lower(s: str) -> str:
     return s.translate(_ASCII_LOWER)
 
 
+def build_highlighter(terms: list[str]):
+    """-> callable wrapping each whole-token query-term occurrence in
+    RediSearch's default ``<b>``/``</b>`` tags, case-insensitively —
+    what FT.SEARCH ... HIGHLIGHT FIELDS 2 title content returns
+    (RedisSearchStorage.cpp:254-261); None when there are no terms."""
+    import re
+
+    toks = sorted({t for t in terms if t}, key=len, reverse=True)
+    if not toks:
+        return None
+    pat = re.compile(
+        r"\b(?:" + "|".join(re.escape(t) for t in toks) + r")\b", re.IGNORECASE
+    )
+    return lambda s: pat.sub(lambda m: f"<b>{m.group(0)}</b>", s)
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -168,6 +184,13 @@ class SearchEngine:
         self.urls = np.asarray(t.column("norm_url").to_pylist(), dtype=object)
         self.domains = np.asarray(t.column("domain").to_pylist(), dtype=object)
         self.langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        # category TAG (RedisSearchStorage.cpp:105, :148-150); docstores
+        # built before the column existed serve "" (never matches)
+        self.categories = (
+            np.asarray(t.column("category").to_pylist(), dtype=object)
+            if "category" in t.column_names
+            else np.asarray([""] * t.num_rows, dtype=object)
+        )
         self.quality = t.column("quality").to_numpy().astype(np.float64)
         self.is_authority = np.asarray(
             [d in AUTHORITY_DOMAINS for d in self.domains], dtype=bool
@@ -194,7 +217,11 @@ class SearchEngine:
             self.kw_postings[k] = np.asarray(v, dtype=np.int64)  # already sorted
         # metadata posting lists
         self._meta_postings: dict[tuple[str, str], np.ndarray] = {}
-        for fld, col in (("domain", self.domains), ("lang", self.langs)):
+        for fld, col in (
+            ("domain", self.domains),
+            ("lang", self.langs),
+            ("category", self.categories),
+        ):
             vals: dict[str, list[int]] = {}
             for did, v in zip(self.doc_ids.tolist(), col.tolist()):
                 vals.setdefault(v or "", []).append(did)
@@ -290,8 +317,14 @@ class SearchEngine:
             return cur
         if isinstance(node, Filter):
             fld = normalize_filter_field(node.field)
-            if fld in ("domain", "lang"):
+            if fld in ("domain", "lang", "category"):
                 return self._meta_postings.get((fld, node.value), self._EMPTY)
+            if fld == "keywords":
+                # @keywords:{v} TAG filter (RedisSearchStorage.cpp:104,
+                # :152-160): docs whose keyword list contains the value;
+                # served straight from the keyword posting lists
+                p = self.kw_postings.get(node.value)
+                return p if p is not None else self._EMPTY
             return self._EMPTY
         if isinstance(node, And):
             cur = None
@@ -477,10 +510,24 @@ class SearchEngine:
             if df_override is not None:
                 self._df_override = {}
 
-    def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
-        """Fidelity path: full candidate scoring, reference-identical."""
+    def search(
+        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+    ) -> dict:
+        """Fidelity path: full candidate scoring, reference-identical.
+        ``highlight=True`` mirrors searchSimple's always-on HIGHLIGHT
+        (RedisSearchStorage.cpp:365-372): result title/snippet carry
+        ``<b>`` tags around matched terms (RediSearch returns the
+        fields pre-tagged and parseSearchResult truncates the TAGGED
+        content), plus the SearchResult.highlights{} field->text map
+        (RedisSearchStorage.h:43)."""
         cands, scores, pure_filter = self.search_raw(query)
-        return self.finish_search(cands, scores, pure_filter, limit, offset)
+        hl = None
+        if highlight:
+            ast = parse_query(query)
+            hl = scoring_terms(ast, self.text_analyzer)
+        return self.finish_search(
+            cands, scores, pure_filter, limit, offset, highlight_terms=hl
+        )
 
     def finish_search(
         self,
@@ -489,6 +536,7 @@ class SearchEngine:
         pure_filter: bool,
         limit: int = 10,
         offset: int = 0,
+        highlight_terms: list[str] | None = None,
     ) -> dict:
         """min-score filter + normalize + sort + paginate + hydrate.
         Split out so the distributed coordinator can apply the GLOBAL
@@ -512,25 +560,57 @@ class SearchEngine:
         total = len(cands)
         sel = slice(offset, offset + limit if limit else None)
         cands, scores = cands[sel], scores[sel]
-        return {"total": total, "results": self.hydrate(cands, scores)}
+        return {
+            "total": total,
+            "results": self.hydrate(cands, scores, highlight_terms=highlight_terms),
+        }
 
-    def hydrate(self, cands: np.ndarray, scores: np.ndarray) -> list[dict]:
-        """doc ids -> result rows from this engine's forward index."""
+    def hydrate(
+        self,
+        cands: np.ndarray,
+        scores: np.ndarray,
+        highlight_terms: list[str] | None = None,
+    ) -> list[dict]:
+        """doc ids -> result rows from this engine's forward index.
+        With ``highlight_terms``, title and content are tagged BEFORE the
+        200-char snippet cut (the reference truncates the value RediSearch
+        already highlighted, RedisSearchStorage.cpp:283-288) and each row
+        carries the highlights{} map."""
         pos = self._pos_of(cands)
+        hfn = (
+            build_highlighter(highlight_terms)
+            if highlight_terms is not None
+            else None
+        )
         results = []
         for did, s, rp in zip(cands.tolist(), scores.tolist(), pos.tolist()):
             content = self.contents[rp] or ""
-            snippet = content[:200] + "..." if len(content) > 200 else content
-            results.append(
-                {
+            title = self.titles[rp] or ""
+            if highlight_terms is not None:
+                if hfn is not None:
+                    title = hfn(title)
+                    content = hfn(content)
+                snippet = content[:200] + "..." if len(content) > 200 else content
+                row = {
                     "doc_id": did,
                     "url": self.urls[rp],
-                    "title": self.titles[rp] or "",
+                    "title": title,
+                    "snippet": snippet,
+                    "domain": self.domains[rp],
+                    "score": s,
+                    "highlights": {"title": title, "content": snippet},
+                }
+            else:
+                snippet = content[:200] + "..." if len(content) > 200 else content
+                row = {
+                    "doc_id": did,
+                    "url": self.urls[rp],
+                    "title": title,
                     "snippet": snippet,
                     "domain": self.domains[rp],
                     "score": s,
                 }
-            )
+            results.append(row)
         return results
 
     def rank(self, query: str, top_k: int = 0) -> list[tuple[int, float]]:

@@ -19,6 +19,9 @@ Retrieval (candidate set), per AST node:
 - Filter(field, v): metadata equality on the RAW value (the reference
   lexer does not normalize filter values): field 'domain' (alias of
   site:) matches doc.domain; 'language'/'lang' matches doc.lang;
+  'category' matches doc.category (@category:{v} TAG,
+  RedisSearchStorage.cpp:235-238); 'keywords' matches docs whose
+  keyword list contains v (@keywords:{v} TAG, :104, :152-160);
   anything else matches nothing.
 - And: intersection of children; Or: union (QueryParser.cpp:270-286).
 

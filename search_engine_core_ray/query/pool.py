@@ -21,8 +21,12 @@ class _EngineActor:
 
         self.engine = SearchEngine(index_dir, preload_shards=True, **engine_kwargs)
 
-    def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
-        return self.engine.search(query, limit=limit, offset=offset)
+    def search(
+        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+    ) -> dict:
+        return self.engine.search(
+            query, limit=limit, offset=offset, highlight=highlight
+        )
 
     def search_topk(self, query: str, k: int = 10):
         return self.engine.search_topk_wand(query, k=k)
@@ -37,9 +41,13 @@ class QueryPool:
         ]
         self._rr = itertools.cycle(range(size))
 
-    def search(self, query: str, limit: int = 10, offset: int = 0) -> dict:
+    def search(
+        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+    ) -> dict:
         actor = self.actors[next(self._rr)]
-        return ray.get(actor.search.remote(query, limit=limit, offset=offset))
+        return ray.get(
+            actor.search.remote(query, limit=limit, offset=offset, highlight=highlight)
+        )
 
     def search_many(self, queries: list[str], limit: int = 10) -> list[dict]:
         """Scatter a batch across the pool; preserves input order."""

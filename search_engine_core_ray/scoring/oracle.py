@@ -76,6 +76,7 @@ class OracleDoc:
     domain: str
     quality: float  # baseScore
     lang: str = "en"
+    category: str = ""  # SiteProfile.category (optional in the reference)
     # derived
     title_tf: dict = field(default_factory=dict)
     content_tf: dict = field(default_factory=dict)
@@ -172,6 +173,10 @@ class BM25Oracle:
                 return doc.domain == node.value
             if fld == "lang":
                 return doc.lang == node.value
+            if fld == "category":
+                return doc.category == node.value
+            if fld == "keywords":
+                return node.value in doc.keywords
             return False
         if isinstance(node, And):
             return all(self._matches(doc, c) for c in node.children)

