@@ -103,8 +103,14 @@ def run_build_synth(tag: str) -> dict:
     pages = ray.data.read_parquet(pages_dir)
     t0 = time.monotonic()
     result = build_index(
-        pages, idx, lineage=f"bench-synth-{N_SYNTH}", num_shards=32, bucket_bits=2,
-        batch_size=2048,
+        pages, idx, lineage=f"bench-synth-{N_SYNTH}", num_shards=32, bucket_bits=3,
+        # small extract batches -> ~4x num_cpus tasks (packing); encode
+        # batches sized so the sort barrier gets enough tasks to pack
+        batch_size=512, encode_batch_size=1024,
+        # pruned (url, warc_ts) source for the dedup narrow pre-pass
+        narrow_pages_ds=ray.data.read_parquet(
+            pages_dir, columns=["url", "warc_ts"]
+        ),
     )
     dt = time.monotonic() - t0
     return {
@@ -235,11 +241,11 @@ def main() -> None:
 def run_scaling() -> None:
     """Same synth index build at 8 and 32 CPUs in fresh processes.
 
-    Uses a larger corpus than the plain bench (default 100k pages, env
+    Uses a larger corpus than the plain bench (default 200k pages, env
     BENCH_SCALING_PAGES) so the 8-CPU run is compute-dominated rather
     than fixed-overhead-dominated — the honest way to evidence the
     N->4N criterion on one machine."""
-    scaling_pages = os.environ.get("BENCH_SCALING_PAGES", "100000")
+    scaling_pages = os.environ.get("BENCH_SCALING_PAGES", "200000")
 
     def child(ncpu: int) -> dict:
         env = dict(

@@ -86,6 +86,72 @@ def effective_lineage(
     return f"{lineage}|shards={num_shards}|bits={bucket_bits}|analyzer={analyzer}"
 
 
+class WriteDocstorePass:
+    """Pass-through map stage that writes its batch to the partitioned
+    docstore as a SIDE EFFECT and emits only the columns the postings
+    encoder needs — this is what fuses stage 1 (docstore) and stage 3
+    (segments) into ONE streaming pipeline with no barrier and no disk
+    re-read between them.
+
+    Idempotent under Ray task retries: file and stats-partial names are
+    derived from the batch's (min doc_id, num_rows), so a re-executed
+    task overwrites its own output instead of duplicating rows.
+    A stats partial json (n rows, summed byte lengths) rides along so
+    corpus statistics cost no extra pass (summed by the driver after
+    the pipeline — see collect_stats_partials)."""
+
+    PASS_COLUMNS = ["doc_id", "title", "text", "meta_description"]
+
+    def __init__(self, docstore_dir: str, bucket_bits: int, partials_dir: str):
+        self.docstore_dir = docstore_dir
+        self.bucket_bits = bucket_bits
+        # partials live OUTSIDE the docstore dir so plain parquet
+        # directory readers (pq.read_table) never trip over json files
+        self.partials_dir = partials_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .segments import range_bucket
+
+        if batch.num_rows == 0:
+            return batch.select(self.PASS_COLUMNS)
+        ids = batch.column("doc_id").to_numpy()
+        buckets = range_bucket(ids, self.bucket_bits)
+        tag = f"{int(ids.min())}-{batch.num_rows}"
+        for j in sorted(set(buckets.tolist())):
+            part = batch.filter(pa.array(buckets == j))
+            d = os.path.join(self.docstore_dir, f"bucket={j}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-{tag}.parquet")
+            pq.write_table(part, tmp, compression="zstd")
+            os.rename(tmp, os.path.join(d, f"part-{tag}.parquet"))
+        total_len = 0
+        for col in ("len_content", "len_title", "len_desc"):
+            total_len += pc.sum(batch.column(col)).as_py() or 0
+        pdir = self.partials_dir
+        os.makedirs(pdir, exist_ok=True)
+        atomic_write_json(
+            os.path.join(pdir, f"{tag}.json"),
+            {"n": batch.num_rows, "len": int(total_len)},
+        )
+        return batch.select(self.PASS_COLUMNS)
+
+
+def collect_stats_partials(partials_dir: str):
+    """Sum the WriteDocstorePass stats partials -> CorpusStats."""
+    import glob as _glob
+    import json as _json
+
+    n = total = 0
+    for p in _glob.glob(os.path.join(partials_dir, "*.json")):
+        d = _json.loads(open(p).read())
+        n += d["n"]
+        total += d["len"]
+    avgdl = (total / n) if n else 100.0
+    from .stats import CorpusStats
+
+    return CorpusStats(total_docs=n, total_len=total, avgdl=avgdl)
+
+
 def write_docstore(docs_ds, docstore_dir: str, bucket_bits: int):
     """Write the forward index partitioned by docID-range bucket
     (hive dirs ``bucket=J/``) — the SAME key the segment files use, so
@@ -178,6 +244,8 @@ def build_index(
     lineage: str = "",
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 256,
+    encode_batch_size: int | None = None,
+    narrow_pages_ds=None,
 ) -> BuildResult:
     """Build the full index under ``index_dir``; resumable per stage."""
     import ray.data  # noqa: F401  (Dataset ops)
@@ -189,9 +257,57 @@ def build_index(
     segments_dir = os.path.join(index_dir, "segments")
     t0 = time.monotonic()
 
-    # ---- stage 1: extract + profile + dedup -> docstore ----------------
+    partials_dir = os.path.join(index_dir, "_stats_partials")
     docstore_marker = stage_done(index_dir, "docstore", lineage)
+    stats_marker = stage_done(index_dir, "stats", lineage)
+    seg_marker = stage_done(index_dir, "segments", lineage)
+    stats: CorpusStats | None = (
+        CorpusStats.from_dict(stats_marker["stats"]) if stats_marker else None
+    )
+    shards_meta: dict[int, dict] | None = (
+        {int(k): v for k, v in seg_marker["shards"].items()} if seg_marker else None
+    )
+
+    def _finish_segments(seg_ds) -> dict[int, dict]:
+        seg_metrics = seg_ds.to_pandas()  # one row per (shard, bucket) — tiny
+        meta: dict[int, dict] = {}
+        for _, r in seg_metrics.iterrows():
+            m = meta.setdefault(
+                int(r["shard"]), {"terms": 0, "postings": 0, "bytes": 0, "buckets": 0}
+            )
+            m["terms"] += int(r["terms"])
+            m["postings"] += int(r["postings"])
+            m["bytes"] += int(r["bytes"])
+            m["buckets"] += 1
+        return meta
+
     if docstore_marker is None:
+        # ---- FUSED fresh build: ONE streaming pipeline ------------------
+        #   pages -> prededup filter -> extract -> profile -> (dedup)
+        #         -> WriteDocstorePass (docstore files + stats partials,
+        #            side effects) -> EncodePostings -> groupby shuffle
+        #         -> per-(shard,bucket) atomic segment commits
+        # No inter-stage barrier and no docstore disk re-read: the
+        # postings encoder consumes the same stream the docstore write
+        # just saw. Stage markers stay per-stage for resume.
+        import shutil
+
+        for d in (docstore_dir, segments_dir, partials_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+        from ..stages.profile import prededup_pages
+
+        # LWW URL dedup via the NARROW pre-pass: the survivor rule needs
+        # only (url, warc_ts), so the all-to-all moves two columns and
+        # losers are dropped by a broadcast filter BEFORE extraction —
+        # the html payload never rides a shuffle and superseded crawls
+        # never cost a parse. Falls back to the payload-shuffle
+        # lww_dedup when the loser set is too big to broadcast or a
+        # winner is tied (see prededup_pages docstring).
+        pages_ds, prededup_clean = prededup_pages(
+            pages_ds, narrow_ds=narrow_pages_ds
+        )
         # Extraction holds no per-actor state (one parser per page), so it
         # runs as elastic stateless TASKS by default — measured ~1.6x
         # faster than an actor pool and it can never starve the read/write
@@ -213,75 +329,120 @@ def build_index(
         profiled = extracted.map_batches(
             ProfileDocs(), batch_format="pyarrow", batch_size=batch_size
         )
-        # prune to the docstore columns BEFORE the dedup shuffle — the
-        # raw html bytes must never ride through the all-to-all exchange
+        # prune to the docstore columns BEFORE any exchange — the raw
+        # html bytes must never ride through an all-to-all
         profiled = profiled.select_columns(DOCSTORE_COLUMNS)
-        docs = lww_dedup(profiled)
-        import shutil
-
-        if os.path.exists(docstore_dir):
-            shutil.rmtree(docstore_dir)
-        written = write_docstore(docs, docstore_dir, bucket_bits)
-        mark_stage(
-            index_dir, "docstore", lineage,
-            seconds=time.monotonic() - t0,
-            ray_stats=_stats_excerpt(written),
+        docs = profiled if prededup_clean else lww_dedup(profiled)
+        # the write/encode batch size sets the FUSED chain's task
+        # granularity (Ray bundles the whole fused map chain at the
+        # largest batch_size): ~1k rows/task keeps ≥4 tasks per CPU in
+        # flight at 32 CPUs while writing ~128-row-per-bucket files
+        passed = docs.map_batches(
+            WriteDocstorePass(docstore_dir, bucket_bits, partials_dir),
+            batch_format="pyarrow",
+            batch_size=encode_batch_size or max(batch_size, 1024),
         )
-
-
-    # ---- stage 2: corpus statistics ------------------------------------
-    t1 = time.monotonic()
-    stats_marker = stage_done(index_dir, "stats", lineage)
-    if stats_marker is not None:
-        stats = CorpusStats.from_dict(stats_marker["stats"])
-    else:
-        stats = compute_corpus_stats(
-            _read_docstore(docstore_dir, ["len_content", "len_title", "len_desc"])
-        )
-        mark_stage(
-            index_dir, "stats", lineage,
-            stats=stats.to_dict(), seconds=time.monotonic() - t1,
-        )
-
-    # ---- stage 3: postings combine + shuffle -> segments ---------------
-    t2 = time.monotonic()
-    seg_marker = stage_done(index_dir, "segments", lineage)
-    if seg_marker is None:
-        import shutil
-
-        if os.path.exists(segments_dir):
-            shutil.rmtree(segments_dir)
-        runs_src = _read_docstore(
-            docstore_dir, ["doc_id", "title", "text", "meta_description"]
-        )
-        runs = runs_src.map_batches(
+        # larger encode batches = better map-side run compression (more
+        # postings combined per emitted run); extract wants SMALLER
+        # batches for task packing — the two are tuned independently
+        runs = passed.map_batches(
             EncodePostings(
                 num_shards=num_shards, bucket_bits=bucket_bits, analyzer=analyzer
             ),
             batch_format="pyarrow",
-            batch_size=batch_size,
+            batch_size=encode_batch_size or batch_size,
         )
-        seg_ds = runs.groupby(["shard", "bucket"]).map_groups(
+        # materialize the COMPRESSED runs (map-side combined, ~20-100x
+        # smaller than raw postings) before the groupby: with the
+        # all-to-all in the same pipeline, the executor's resource
+        # reservation for the shuffle starves the extract/encode map
+        # operator at low CPU counts (measured 3-of-8 effective
+        # parallelism). The runs are the one thing small enough to pin.
+        runs_mat = runs.materialize()
+        seg_ds = runs_mat.groupby(["shard", "bucket"]).map_groups(
             lambda g: _commit_segment(g, segments_dir, lineage),
             batch_format="pyarrow",
         )
-        seg_metrics = seg_ds.to_pandas()  # one row per (shard, bucket) — tiny
-        shards_meta: dict[int, dict] = {}
-        for _, r in seg_metrics.iterrows():
-            m = shards_meta.setdefault(
-                int(r["shard"]), {"terms": 0, "postings": 0, "bytes": 0, "buckets": 0}
-            )
-            m["terms"] += int(r["terms"])
-            m["postings"] += int(r["postings"])
-            m["bytes"] += int(r["bytes"])
-            m["buckets"] += 1
+        shards_meta = _finish_segments(seg_ds)
+        stats = collect_stats_partials(partials_dir)
+        elapsed = time.monotonic() - t0
+        excerpt = _stats_excerpt(seg_ds)
         mark_stage(
-            index_dir, "segments", lineage,
-            shards=shards_meta, seconds=time.monotonic() - t2,
-            ray_stats=_stats_excerpt(seg_ds),
+            index_dir, "docstore", lineage, seconds=elapsed, ray_stats=excerpt
+        )
+        mark_stage(index_dir, "stats", lineage, stats=stats.to_dict(), seconds=0.0)
+        mark_stage(
+            index_dir, "segments", lineage, shards=shards_meta, seconds=elapsed
         )
     else:
-        shards_meta = {int(k): v for k, v in seg_marker["shards"].items()}
+        # ---- resume: docstore already on disk ---------------------------
+        import threading
+
+        boxes: dict[str, dict] = {"stats": {}}
+        threads: list[threading.Thread] = []
+
+        # stage 2: corpus statistics — a tiny independent aggregate,
+        # overlapped with the segments shuffle. read_parquet resolves
+        # paths EAGERLY on the calling thread; do it here so the thread
+        # never races the stage-3 read through Ray's (non-thread-safe
+        # when aiohttp is absent) fsspec probe.
+        t1 = time.monotonic()
+        if stats is None:
+            stats_src = _read_docstore(
+                docstore_dir, ["len_content", "len_title", "len_desc"]
+            )
+
+            def _stats_job():
+                try:
+                    s = compute_corpus_stats(stats_src)
+                    mark_stage(
+                        index_dir, "stats", lineage,
+                        stats=s.to_dict(), seconds=time.monotonic() - t1,
+                    )
+                    boxes["stats"]["stats"] = s
+                except BaseException as e:  # surfaced after join
+                    boxes["stats"]["error"] = e
+
+            th = threading.Thread(target=_stats_job, name="corpus-stats")
+            th.start()
+            threads.append(th)
+
+        # stage 3: postings combine + shuffle -> segments
+        t2 = time.monotonic()
+        if shards_meta is None:
+            import shutil
+
+            if os.path.exists(segments_dir):
+                shutil.rmtree(segments_dir)
+            runs_src = _read_docstore(
+                docstore_dir, ["doc_id", "title", "text", "meta_description"]
+            )
+            runs = runs_src.map_batches(
+                EncodePostings(
+                    num_shards=num_shards, bucket_bits=bucket_bits, analyzer=analyzer
+                ),
+                batch_format="pyarrow",
+                batch_size=encode_batch_size or batch_size,
+            )
+            seg_ds = runs.groupby(["shard", "bucket"]).map_groups(
+                lambda g: _commit_segment(g, segments_dir, lineage),
+                batch_format="pyarrow",
+            )
+            shards_meta = _finish_segments(seg_ds)
+            mark_stage(
+                index_dir, "segments", lineage,
+                shards=shards_meta, seconds=time.monotonic() - t2,
+                ray_stats=_stats_excerpt(seg_ds),
+            )
+
+        for th in threads:
+            th.join()
+        for box in boxes.values():
+            if "error" in box:
+                raise box["error"]
+        if stats is None:
+            stats = boxes["stats"]["stats"]
+    assert stats is not None and shards_meta is not None
 
     manifest = {
         "version": 1,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import polars as pl
@@ -74,9 +75,12 @@ class ProfileDocs:
 
 
 def _add_bucket(batch: pa.Table, key: str, buckets: int) -> pa.Table:
-    vals = batch.column(key).to_pylist()
-    b = [zlib.crc32((v or "").encode("utf-8")) % buckets for v in vals]
-    return batch.append_column("_bucket", pa.array(b, pa.int32()))
+    """Uniform shuffle key via polars' vectorized xxhash (seeded —
+    deterministic across processes for a given polars version; the
+    bucket assignment only drives work distribution, never the result)."""
+    s = pl.from_arrow(batch.select([key])).get_column(key).fill_null("")
+    b = (s.hash(seed=7) % buckets).cast(pl.Int32)
+    return batch.append_column("_bucket", b.to_arrow())
 
 
 def _pick_latest(group: pa.Table, key: str, ts: str) -> pa.Table:
@@ -88,6 +92,120 @@ def _pick_latest(group: pa.Table, key: str, ts: str) -> pa.Table:
         .drop("_bucket")
     )
     return out.to_arrow()
+
+
+def _page_digests(batch: pa.Table) -> tuple[list[bytes], list[str]]:
+    """Per row: (16-byte blake2b digest of (norm_url, ts_us, url),
+    norm_url). The digest identifies a page ROW across the narrow
+    dedup pre-pass and the main pipeline's filter."""
+    import hashlib
+
+    urls = batch.column("url").to_pylist()
+    ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+    norm = [normalize_url(u or "") for u in urls]
+    digests = [
+        hashlib.blake2b(
+            f"{n}\x00{t}\x00{u}".encode("utf-8"), digest_size=16
+        ).digest()
+        for n, t, u in zip(norm, ts, urls)
+    ]
+    return digests, norm
+
+
+def prededup_pages(
+    pages_ds, max_broadcast: int = 2_000_000, buckets: int = 64, narrow_ds=None
+):
+    """LWW URL dedup WITHOUT shuffling page payloads -> (pages_ds', clean).
+
+    The survivor rule (max (warc_ts, url) per normalized URL) needs only
+    the url and warc_ts columns, which exist on the RAW pages input — so
+    the all-to-all moves two narrow columns instead of html+text:
+
+    1. narrow pass: (url, warc_ts) -> norm_url + row digest, bucketed
+       groupby emits the digests of LOSER rows (superseded re-crawls);
+    2. the loser-digest set is broadcast (ray.put) and the main pipeline
+       drops losers in a map filter BEFORE extraction — losers never
+       cost a parse, and the html payload never rides a shuffle.
+
+    Returns clean=False (caller must run the payload-shuffle
+    ``lww_dedup``) when the loser set exceeds ``max_broadcast`` (dup-
+    heavy corpus where a broadcast would not fit workers) or when some
+    key's winner is tied on (warc_ts, url) — indistinguishable rows the
+    digest filter cannot split. Returns the UNMODIFIED input in that
+    case. clean=True guarantees one surviving row per normalized URL,
+    identical to ``lww_dedup``'s survivor set.
+    """
+    import ray
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        digests, norm = _page_digests(batch)
+        b = np.asarray(
+            [zlib.crc32(n.encode("utf-8")) % buckets for n in norm], np.int32
+        )
+        return pa.table(
+            {
+                "_bucket": pa.array(b, pa.int32()),
+                "norm": pa.array(norm, pa.string()),
+                "ts": pc.cast(batch.column("warc_ts"), pa.int64()),
+                "url": batch.column("url"),
+                "digest": pa.array(digests, pa.binary(16)),
+            }
+        )
+
+    def losers(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        df = df.sort(["norm", "ts", "url"])
+        # winner = last row per norm; ties on (ts, url) are unsplittable
+        win = df.group_by("norm", maintain_order=True).last()
+        tied = (
+            df.join(win.select(["norm", "ts", "url"]), on=["norm", "ts", "url"])
+            .group_by("norm")
+            .len()
+            .filter(pl.col("len") > 1)
+        )
+        lose = df.join(
+            win.select(["norm", "digest"]), on=["norm", "digest"], how="anti"
+        )
+        out_digests = lose["digest"].to_list()
+        out_tied = [0] * len(out_digests)
+        if len(tied):
+            out_digests.append(b"\x00" * 16)  # sentinel: unsplittable keys
+            out_tied.append(len(tied))
+        return pa.table(
+            {
+                "digest": pa.array(out_digests, pa.binary(16)),
+                "tied": pa.array(out_tied, pa.int64()),
+            }
+        )
+
+    # narrow_ds: caller-supplied PRUNED (url, warc_ts) source — e.g. a
+    # read_parquet(columns=[...]) of the same files. select_columns on
+    # the full pages dataset does NOT push the projection into the read,
+    # so without this the narrow pass decompresses every html payload.
+    src = narrow_ds if narrow_ds is not None else pages_ds
+    narrowed = src.select_columns(["url", "warc_ts"]).map_batches(
+        narrow, batch_format="pyarrow"
+    )
+    loss = narrowed.groupby("_bucket").map_groups(losers, batch_format="pyarrow")
+    # single streaming execution: take() caps driver materialization at
+    # max_broadcast+1 rows — one row past the cap proves the fallback
+    rows = loss.take(max_broadcast + 1)
+    if len(rows) > max_broadcast:
+        return pages_ds, False
+    if any(r["tied"] for r in rows):
+        return pages_ds, False
+    loser_set = frozenset(r["digest"] for r in rows)
+    if not loser_set:
+        return pages_ds, True
+    lref = ray.put(loser_set)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ls = ray.get(lref)
+        digests, _ = _page_digests(batch)
+        mask = pa.array([d not in ls for d in digests])
+        return batch.filter(mask)
+
+    return pages_ds.map_batches(flt, batch_format="pyarrow"), True
 
 
 def lww_dedup(ds, key: str = "norm_url", ts: str = "warc_ts", buckets: int = 64):

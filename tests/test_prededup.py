@@ -1,0 +1,89 @@
+"""prededup_pages: the narrow-pass LWW dedup that never shuffles page
+payloads. Must keep exactly lww_dedup's survivor set (max (warc_ts, url)
+per normalized URL) and fall back honestly on unsplittable input."""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from search_engine_core_ray.stages.profile import prededup_pages
+
+_TS = datetime.datetime(2024, 1, 1)
+
+
+def _pages(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [_TS + datetime.timedelta(seconds=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array([b"<html></html>"] * len(rows), pa.binary()),
+            }
+        )
+    )
+
+
+def test_prededup_drops_superseded_rows(ray_session):
+    ds = _pages(
+        [
+            ("https://a.com/x", 0),
+            ("https://a.com/x", 5),          # re-crawl: survivor
+            ("https://a.com/x#frag", 3),     # same normalized URL, loses
+            ("https://b.com/y", 1),          # unique: passes untouched
+        ]
+    )
+    out, clean = prededup_pages(ds)
+    assert clean
+    rows = sorted(
+        (r["url"], (r["warc_ts"] - _TS).total_seconds()) for r in out.take_all()
+    )
+    assert rows == [("https://a.com/x", 5.0), ("https://b.com/y", 1.0)]
+
+
+def test_prededup_no_duplicates_is_identity(ray_session):
+    ds = _pages([("https://a.com/1", 0), ("https://a.com/2", 1)])
+    out, clean = prededup_pages(ds)
+    assert clean
+    assert out.count() == 2
+
+
+def test_prededup_tied_winner_falls_back(ray_session):
+    # two rows with IDENTICAL (url, warc_ts): digests collide, the
+    # filter cannot split them -> must refuse (clean=False, input as-is)
+    ds = _pages([("https://a.com/x", 7), ("https://a.com/x", 7)])
+    out, clean = prededup_pages(ds)
+    assert not clean
+    assert out.count() == 2
+
+
+def test_prededup_loser_set_cap_falls_back(ray_session):
+    ds = _pages([("https://a.com/x", i) for i in range(10)])
+    out, clean = prededup_pages(ds, max_broadcast=3)
+    assert not clean
+    assert out.count() == 10
+
+
+def test_prededup_matches_lww_dedup_on_synth(ray_session):
+    from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_table
+
+    pages = synth_pages_table(SynthConfig(n_docs=150, seed=9, recrawl_frac=0.3))
+    ds = ray.data.from_arrow(pages)
+    out, clean = prededup_pages(ds)
+    assert clean
+    from search_engine_core_ray.functions.urls import normalize_url
+
+    # survivor set must equal the LWW rule applied directly
+    expected = {}
+    for r in pages.to_pylist():
+        nu = normalize_url(r["url"])
+        key = (r["warc_ts"], r["url"])
+        if nu not in expected or key > expected[nu]:
+            expected[nu] = key
+    got = {(r["warc_ts"], r["url"]) for r in out.take_all()}
+    assert got == set(expected.values())
