@@ -1271,7 +1271,42 @@ def q_parts_not_in_expensive_orders(sf_dir: str):
     return pa.concat_tables(batches) if batches else empty
 
 
-@_q("search_documents")  # rows-only: needs the built index (flagship cache)
+@_q(
+    "search_documents",
+    r"""
+    WITH derived AS (
+      SELECT doc_id, source, lang, text,
+             'Doc ' || doc_id || ' ' || source AS title,
+             'https://' || source || '.example.com/doc/' || doc_id AS url,
+             'Doc ' || doc_id || ' ' || source || ' ' ||
+               CASE WHEN trim(text) <> '' THEN text || ' ' ELSE '' END AS content,
+             array_to_string(regexp_extract_all(text, '\S+')[1:10], ' ') AS description
+      FROM documents),
+    words AS (
+      SELECT doc_id, unnest(regexp_extract_all(content, '\S+')) AS raw FROM derived),
+    cleaned AS (
+      SELECT doc_id, lower(regexp_replace(raw, '[!-/:-@\[-`{-~]', '', 'g')) AS w
+      FROM words),
+    counted AS (
+      SELECT doc_id, w, count(*) AS cnt FROM cleaned WHERE strlen(w) > 3
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, w,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rnk
+      FROM counted),
+    kw AS (
+      SELECT doc_id, string_agg(w, '|' ORDER BY rnk) AS keywords
+      FROM ranked WHERE rnk <= 10 GROUP BY doc_id)
+    SELECT d.url, d.title, d.content,
+           d.source || '.example.com' AS domain,
+           coalesce(k.keywords, '') AS keywords,
+           d.description, d.lang AS language,
+           d.source AS category,
+           (1704067200000000 + d.doc_id) // 1000000 AS indexed_at,
+           LEAST(strlen(d.content), 10000)/10000.0 AS score
+    FROM derived d LEFT JOIN kw k USING (doc_id)
+    """,
+)
 def q_search_documents(sf_dir: str):
     """SiteProfile -> SearchDocument projection over the built docstore:
     url, title, content, domain, '|'-joined keywords, description,
@@ -1296,6 +1331,7 @@ def q_search_documents(sf_dir: str):
                 "keywords": pa.array(kw, pa.string()),
                 "description": pc.fill_null(b.column("meta_description"), ""),
                 "language": b.column("lang"),
+                "category": pc.fill_null(b.column("category"), ""),
                 "indexed_at": ts,
                 "score": b.column("quality"),
             }

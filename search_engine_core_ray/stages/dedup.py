@@ -9,9 +9,12 @@
 - n-gram Jaccard: exact Jaccard over 3-token shingles for candidate
   pairs (used by the verify step and exposed standalone).
 
-All hashing is crc32/blake2-based and deterministic across processes —
-no Python hash(), no RNG at runtime (the minhash permutation constants
-come from a seeded generator at import time).
+All hashing is vectorized and deterministic across processes — token
+hashes come from polars' seeded 64-bit hash (one Rust kernel call per
+batch, stable for a given polars version), shingle/band combination is
+numpy uint64 multiply-xor with seeded constants; no Python hash(), no
+RNG at runtime (all constants come from a seeded generator at import
+time). No per-token Python loops anywhere in the hot path.
 
 Reference ties: the visited-set / upsert exact dedup
 (src/crawler/URLFrontier.cpp:25-81, src/storage/ContentStorage.cpp:246-283)
@@ -23,7 +26,6 @@ gap).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -62,28 +64,58 @@ def exact_dedup(docs_ds, col: str = "text"):
 
 # ---- shingles + minhash ------------------------------------------------
 
-def _shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
-    """Per doc: sorted unique crc32 hashes of k-token shingles."""
-    df = pl.DataFrame({"t": texts})
-    toks_list = (
-        df.with_columns(
-            pl.col("t").fill_null("").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
-        )["tok"]
-        .to_list()
+_TOKEN_HASH_SEED = 24862
+# positional odd multipliers for combining token hashes into shingle
+# hashes (order-sensitive: "a b c" != "c b a")
+_SH_C = (_rng.randint(1, 1 << 62, size=8).astype(np.uint64) * 2 + 1)
+
+
+def _token_hashes(texts: list[str]) -> list[np.ndarray]:
+    """Per doc: uint64 hash per token, in order — ONE vectorized polars
+    hash kernel call for the whole batch, no per-token Python."""
+    df = pl.DataFrame(
+        {
+            "i": pl.Series(np.arange(len(texts), dtype=np.int64)),
+            "t": pl.Series([x or "" for x in texts], dtype=pl.String),
+        }
     )
-    out = []
-    for toks in toks_list:
-        toks = toks or []
-        if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        h = np.unique(
-            np.fromiter(
-                (zlib.crc32(s.encode()) for s in shingles), np.uint64, len(shingles)
-            )
+    ex = (
+        df.with_columns(
+            pl.col("t").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
         )
-        out.append(h)
+        .drop("t")
+        .explode("tok", empty_as_null=True)
+        .drop_nulls("tok")
+        .with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
+    )
+    g = ex.group_by("i", maintain_order=True).agg(pl.col("h"))
+    grouped = dict(zip(g["i"].to_list(), g["h"].to_list()))
+    return [
+        np.asarray(grouped.get(i, ()), dtype=np.uint64) for i in range(len(texts))
+    ]
+
+
+def _shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Per doc: sorted unique uint64 hashes of k-token shingles —
+    sliding-window multiply-xor over the vectorized token hashes."""
+    out = []
+    for h in _token_hashes(texts):
+        n = len(h)
+        if n == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        if n < k:
+            # mirrors the old single-shingle-of-all-tokens behavior
+            acc = np.uint64(0)
+            for j in range(n):
+                acc ^= h[j] * _SH_C[j % len(_SH_C)]
+            out.append(np.asarray([acc], dtype=np.uint64))
+            continue
+        m = n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc ^= h[j : j + m] * _SH_C[j % len(_SH_C)]
+        out.append(np.unique(acc))
     return out
 
 
@@ -96,24 +128,35 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
+# odd multipliers combining a band's minhash rows into one band hash
+_BAND_C = (_rng.randint(1, 1 << 62, size=ROWS_PER_BAND).astype(np.uint64) * 2 + 1)
+
+
 def minhash_bands(batch: pa.Table, k: int = 3) -> pa.Table:
-    """docs -> (band, band_hash, doc_id) rows for the LSH groupby."""
-    ids = batch.column("doc_id").to_pylist()
+    """docs -> (band, band_hash, doc_id) rows for the LSH groupby —
+    signatures stacked once, band hashes one vectorized multiply-xor."""
+    ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
-    rows_band, rows_hash, rows_id = [], [], []
-    for did, sh in zip(ids, _shingle_hashes(texts, k)):
-        sig = minhash_signature(sh)
-        for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            bh = zlib.crc32(chunk.tobytes())
-            rows_band.append(b)
-            rows_hash.append(bh)
-            rows_id.append(did)
+    n = len(texts)
+    if n == 0:
+        return pa.table(
+            {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+    sigs = np.stack(
+        [minhash_signature(sh) for sh in _shingle_hashes(texts, k)]
+    )  # (n, N_PERM)
+    chunks = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+    bh = np.zeros((n, N_BANDS), dtype=np.uint64)
+    for j in range(ROWS_PER_BAND):
+        bh ^= chunks[:, :, j] * _BAND_C[j]
     return pa.table(
         {
-            "band": pa.array(rows_band, pa.int32()),
-            "band_hash": pa.array(rows_hash, pa.int64()),
-            "doc_id": pa.array(rows_id, pa.int64()),
+            "band": pa.array(
+                np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS).astype(np.int64), pa.int64()),
         }
     )
 
@@ -260,28 +303,35 @@ def minhash_near_dupes(
 # ---- simhash -----------------------------------------------------------
 
 def simhash64(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over token crc32s, weighted by tf (vectorized
-    bit-matrix accumulation per doc)."""
+    """64-bit SimHash over vectorized token hashes, weighted by tf —
+    one bit-matrix accumulation for the WHOLE batch (np.add.at scatter
+    by doc index), zero per-token Python."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
-    toks_list = (
-        df.with_columns(
-            pl.col("text").fill_null("").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
-        )["tok"]
-        .to_list()
-    )
-    out = []
+    texts = df["text"].to_list()
+    n = len(texts)
     bits = np.arange(64, dtype=np.uint64)
-    for toks in toks_list:
-        if not toks:
-            out.append(0)
-            continue
-        hs = np.fromiter((zlib.crc32(t.encode()) for t in toks), np.uint64, len(toks))
-        # widen to 64 bits deterministically
-        hs = hs * np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    ex = pl.DataFrame(
+        {
+            "i": pl.Series(np.arange(n, dtype=np.int64)),
+            "t": pl.Series([x or "" for x in texts], dtype=pl.String),
+        }
+    ).with_columns(
+        pl.col("t").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
+    ).drop("t").explode("tok", empty_as_null=True).drop_nulls("tok")
+    if len(ex):
+        ex = ex.with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
+        hs = ex["h"].to_numpy().astype(np.uint64)
+        idx = ex["i"].to_numpy()
         bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        v = (2 * bitmat - 1).sum(axis=0)
-        sig = int(((v > 0).astype(np.uint64) << bits).sum())
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        np.add.at(acc, idx, 2 * bitmat - 1)
+    sig = (((acc > 0).astype(np.uint64)) << bits[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    # docs with no tokens keep the old empty-doc value 0 (acc all zero)
     return pa.table(
-        {"doc_id": df["doc_id"].to_arrow(), "simhash": pa.array(out, pa.int64())}
+        {
+            "doc_id": df["doc_id"].to_arrow(),
+            "simhash": pa.array(sig.view(np.int64), pa.int64()),
+        }
     )

@@ -217,3 +217,78 @@ def test_minhash_no_candidates(ray_session):
     )
     out = minhash_near_dupes(ds, threshold=0.5)
     assert out.take_all() == []
+
+
+# ---- independent scalar oracles for the rows-only signature ops ----
+
+def _oracle_simhash(text: str) -> int:
+    """Scalar reimplementation sharing only the token hash kernel:
+    per-token ±1 bit voting, built with ints and pow(), no numpy."""
+    import re
+
+    import polars as pl
+
+    from search_engine_core_ray.stages.dedup import TOKEN_RE, _TOKEN_HASH_SEED
+
+    toks = re.findall(TOKEN_RE, (text or "").lower())
+    if not toks:
+        return 0
+    hashes = pl.Series(toks).hash(seed=_TOKEN_HASH_SEED).to_list()
+    votes = [0] * 64
+    for h in hashes:
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_independent_oracle():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content about databases and indexes",
+        "",
+        "one",
+        "Tie tie TIE tie words words",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = dict(zip(*(simhash64(t).to_pydict()[c] for c in ("doc_id", "simhash"))))
+    for i, text in enumerate(texts):
+        assert got[i] == _oracle_simhash(text), (i, text)
+
+
+def _oracle_fingerprint(text: str) -> int:
+    """Scalar reimplementation of the rolling polynomial hash with
+    pow(base, i, mod) — independent of the pipeline's accumulator."""
+    import re
+    import zlib
+
+    from search_engine_core_ray.stages.textstats import TOKEN_RE
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    toks = re.findall(TOKEN_RE, (text or "").lower())
+    return sum(
+        pow(BASE, i, MOD) * zlib.crc32(t.encode()) for i, t in enumerate(toks)
+    ) % MOD
+
+
+def test_doc_fingerprint_matches_independent_oracle():
+    from search_engine_core_ray.stages import textstats as ts
+
+    texts = [
+        "alpha beta gamma",
+        "gamma beta alpha",   # order-sensitive: must differ from above
+        "",
+        "solo",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = ts.doc_fingerprint(t).to_pydict()
+    got = dict(zip(out["doc_id"], out["fp"]))
+    for i, text in enumerate(texts):
+        assert got[i] == _oracle_fingerprint(text), (i, text)
+    assert got[0] != got[1]  # order sensitivity
