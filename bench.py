@@ -35,7 +35,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_SYNTH = int(os.environ.get("BENCH_N_PAGES", "20000"))
+# 100k heavy pages: large enough that the build's fixed costs
+# (prededup narrow pass, dataset launches) amortize — the same corpus
+# size BASELINE.md's throughput band was measured on
+N_SYNTH = int(os.environ.get("BENCH_N_PAGES", "100000"))
 
 FIXTURE_QUERIES = [
     "dup", "vector", "dup vector", "dup OR vector", "table merge",
@@ -73,7 +76,7 @@ def _consume(ds):
     return len(ds)
 
 
-def ensure_pages_parquet() -> str:
+def ensure_pages_parquet(n: int = None) -> str:
     """Materialize the deterministic synthetic page corpus ONCE (untimed)
     — the benchmark measures indexing a Parquet corpus (the north-star
     input shape), not corpus generation."""
@@ -81,29 +84,31 @@ def ensure_pages_parquet() -> str:
 
     from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_ds
 
-    pages_dir = f"/tmp/secr_bench/pages_{N_SYNTH}_heavy"
+    n = n or N_SYNTH
+    pages_dir = f"/tmp/secr_bench/pages_{n}_heavy"
     marker = os.path.join(pages_dir, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(pages_dir, ignore_errors=True)
-        cfg = SynthConfig(n_docs=N_SYNTH, seed=42, n_domains=64,
+        cfg = SynthConfig(n_docs=n, seed=42, n_domains=64,
                           paras=(8, 20), para_words=(30, 90))
         synth_pages_ds(cfg, blocks=64).write_parquet(pages_dir)
         open(marker, "w").close()
     return pages_dir
 
 
-def run_build_synth(tag: str) -> dict:
+def run_build_synth(tag: str, n: int = None) -> dict:
     import ray.data
 
     from search_engine_core_ray.index.build import build_index
 
-    pages_dir = ensure_pages_parquet()
+    n = n or N_SYNTH
+    pages_dir = ensure_pages_parquet(n)
     idx = f"/tmp/secr_bench/{tag}/synth_index"
     shutil.rmtree(idx, ignore_errors=True)
     pages = ray.data.read_parquet(pages_dir)
     t0 = time.monotonic()
     result = build_index(
-        pages, idx, lineage=f"bench-synth-{N_SYNTH}", num_shards=32, bucket_bits=3,
+        pages, idx, lineage=f"bench-synth-{n}", num_shards=32, bucket_bits=3,
         # small extract batches -> ~4x num_cpus tasks (packing); encode
         # batches sized so the sort barrier gets enough tasks to pack
         batch_size=512, encode_batch_size=1024,
@@ -154,11 +159,16 @@ def main() -> None:
     flagship(SF_DIR, index_root=f"/tmp/secr_bench/docs_index")
     queries["build_docs"] = round(time.monotonic() - t0, 3)
 
-    # query latency on the synth index
+    # query latency on a 20k-doc synth index — the corpus size round-1
+    # latency numbers (and BASELINE.md's) were measured on, so p50/p99
+    # stay comparable across rounds regardless of the throughput corpus
+    qb = run_build_synth("query_idx", n=20000)
+    queries["build_query_idx"] = round(qb["seconds"], 3)
+
     from search_engine_core_ray.query.engine import SearchEngine
     from search_engine_core_ray.query.parser import ParseError
 
-    eng = SearchEngine(b["index_dir"], preload_shards=True)
+    eng = SearchEngine(qb["index_dir"], preload_shards=True)
     lat = []
     t0 = time.monotonic()
     for _ in range(20):
@@ -181,10 +191,26 @@ def main() -> None:
             eng.search_topk_wand(q, k=10)
     queries["search_wand"] = round(time.monotonic() - t0, 3)
 
+    # pruned serving path (search_fast): p99 without full-candidate
+    # scoring on head-term queries — the reference's <5 ms p95 target
+    lat_fast = []
+    t0 = time.monotonic()
+    for _ in range(20):
+        for q in FIXTURE_QUERIES:
+            t1 = time.monotonic()
+            try:
+                eng.search_fast(q, limit=10)
+            except ParseError:
+                pass
+            lat_fast.append((time.monotonic() - t1) * 1000)
+    queries["search_fast"] = round(time.monotonic() - t0, 3)
+    extras["query_p50_fast_ms"] = round(float(np.percentile(lat_fast, 50)), 3)
+    extras["query_p99_fast_ms"] = round(float(np.percentile(lat_fast, 99)), 3)
+
     # concurrent throughput through the query actor pool
     from search_engine_core_ray.query.pool import QueryPool
 
-    pool = QueryPool(b["index_dir"], size=min(8, max(2, NUM_CPUS // 4)))
+    pool = QueryPool(qb["index_dir"], size=min(8, max(2, NUM_CPUS // 4)))
     try:
         batch = FIXTURE_QUERIES[:-2] * 40  # parseable queries only
         pool.search_many(batch[: len(pool.actors)])  # warm actor inits, untimed
@@ -199,7 +225,7 @@ def main() -> None:
     # doc-partitioned scatter-gather serving (the 10^12-doc path)
     from search_engine_core_ray.query.distributed import DistributedSearch
 
-    dist = DistributedSearch(b["index_dir"])
+    dist = DistributedSearch(qb["index_dir"])
     try:
         dist.search("dup", limit=10)  # warm actors, untimed
         t0 = time.monotonic()

@@ -31,7 +31,9 @@ class ApiError(ValueError):
         self.message = message
 
 
-def search_api(engine, q: str | None, page: int = 1, limit: int = 10) -> dict:
+def search_api(
+    engine, q: str | None, page: int = 1, limit: int = 10, fast: bool = False
+) -> dict:
     if q is None or not str(q).strip():
         raise ApiError(400, "missing or empty query parameter 'q'")
     try:
@@ -45,7 +47,11 @@ def search_api(engine, q: str | None, page: int = 1, limit: int = 10) -> dict:
         raise ApiError(400, f"limit must be between 1 and {MAX_LIMIT}")
     offset = (page - 1) * limit
     try:
-        out = engine.search(q, limit=limit, offset=offset)
+        if fast and hasattr(engine, "search_fast"):
+            # pruned top-k serving: same ranked ids, raw scores
+            out = engine.search_fast(q, limit=limit, offset=offset)
+        else:
+            out = engine.search(q, limit=limit, offset=offset)
     except ParseError as e:
         raise ApiError(400, f"invalid query: {e}")
     return {

@@ -114,6 +114,7 @@ class SearchEngine:
         self.text_analyzer = self.manifest.get("analyzer", "default")
         self._shards: dict[int, ShardReader] = {}
         self._postings_cache: dict[str, tuple] = {}
+        self._block_bounds_cache: dict[str, tuple] = {}
         self._load_docstore(os.path.join(index_dir, "docstore"))
         # doc-level tombstones (deleteDocumentsByDomain analog):
         from ..index.delete import load_tombstones
@@ -618,6 +619,41 @@ class SearchEngine:
         r = self.search(query, limit=top_k or 0, offset=0)
         return [(x["doc_id"], x["score"]) for x in r["results"]]
 
+    def search_fast(
+        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+    ) -> dict:
+        """Serving path tuned for p99: pure-term bm25 queries with a
+        bounded page go through the pruned top-k (block-max + MaxScore)
+        instead of scoring every candidate — SAME ranked doc ids as
+        ``search`` (asserted in tests), but scores are RAW (no min-max
+        normalization: that needs the min over all candidate scores,
+        which pruning exists to avoid) and ``total`` counts the full
+        candidate set. Falls back to the fidelity path for phrases,
+        filters, limit=0 (return-all) and non-bm25 engines."""
+        ast = parse_query(query)
+        if (
+            limit == 0
+            or exact_phrases(ast)
+            or self._has_filter(ast)
+            or self.algorithm != "bm25"
+        ):
+            return self.search(query, limit=limit, offset=offset, highlight=highlight)
+        ranked = self._topk_wand_inner(query, offset + limit)
+        # total = retrieval-set size (cheap: union of posting lists)
+        cands = self._eval(ast)
+        if len(self.tombstones):
+            cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+        page = ranked[offset : offset + limit]
+        hl = None
+        if highlight:
+            hl = scoring_terms(ast, self.text_analyzer)
+        ids = np.asarray([d for d, _ in page], dtype=np.int64)
+        scores = np.asarray([s for _, s in page], dtype=np.float64)
+        return {
+            "total": int(len(cands)),
+            "results": self.hydrate(ids, scores, highlight_terms=hl),
+        }
+
     # ---- block-max WAND fast path --------------------------------------
     def search_topk_wand(
         self, query: str, k: int = 10, df_override: dict | None = None
@@ -646,15 +682,84 @@ class SearchEngine:
             r = self.search(query, limit=k)
             return [(x["doc_id"], x["score"]) for x in r["results"]]
         terms = scoring_terms(ast, self.text_analyzer)
-        cands = self._eval(ast)
-        if len(self.tombstones):
-            cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
-        if len(cands) == 0:
-            return []
+        cfg = self.config
+        max_mult = 1.0 + cfg.boost_factors.domain_authority_boost + cfg.boost_factors.title_match_boost
+        term_blocks = self._term_block_bounds(terms)
+
+        heap: list[tuple[float, int]] = []
+        or_tokens = self._flat_or_tokens(ast)
+        if or_tokens is not None and len(or_tokens) > 1:
+            # MaxScore term-at-a-time pruning for flat Or queries: terms
+            # are processed in DESCENDING upper-bound order, each term's
+            # not-yet-scored postings go through the chunked block-max
+            # scorer, and once the k-th best score exceeds the summed
+            # upper bounds of every REMAINING term, those whole posting
+            # lists are skipped — their docs cannot reach the heap. A
+            # negative-idf head term (UB ~ 0) costs nothing. Scored docs
+            # get their FULL exact score, so results are identical to
+            # the union path.
+            order = sorted(
+                range(len(or_tokens)),
+                key=lambda i: -(self._term_ub(term_blocks[i]) if i < len(term_blocks) else 0.0),
+            )
+            scored = np.empty(0, dtype=np.int64)
+            for n_done, i in enumerate(order):
+                if len(heap) >= k:
+                    rem = sum(
+                        self._term_ub(term_blocks[j]) for j in order[n_done:]
+                    )
+                    if rem * max_mult < heap[0][0]:
+                        break  # no unscored doc can beat the k-th best
+                p = self._postings(or_tokens[i])
+                if p is None:
+                    continue
+                cand = np.setdiff1d(p[0], scored, assume_unique=True)
+                if len(self.tombstones):
+                    cand = np.setdiff1d(cand, self.tombstones, assume_unique=True)
+                if len(cand):
+                    self._chunk_score_into_heap(
+                        cand, terms, term_blocks, k, heap, max_mult
+                    )
+                scored = np.union1d(scored, p[0])
+        else:
+            cands = self._eval(ast)
+            if len(self.tombstones):
+                cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+            if len(cands) == 0:
+                return []
+            self._chunk_score_into_heap(cands, terms, term_blocks, k, heap, max_mult)
+        out = sorted(((s, -nd) for s, nd in heap), key=lambda t: (-t[0], t[1]))
+        return [(did, s) for s, did in out]
+
+    def _flat_or_tokens(self, ast) -> list[str] | None:
+        """-> one analyzed token per child when the AST is a flat Or of
+        single-token non-exact Terms (the MaxScore-prunable shape),
+        else None."""
+        if not isinstance(ast, Or):
+            return None
+        toks = []
+        for c in ast.children:
+            if not isinstance(c, Term) or c.exact:
+                return None
+            t = analyze(c.value, self.text_analyzer)
+            if len(t) != 1:
+                return None
+            toks.append(t[0])
+        return toks
+
+    @staticmethod
+    def _term_ub(tb) -> float:
+        """Global score upper bound of one term (max over its blocks)."""
+        if tb is None:
+            return 0.0
+        return float(tb[1].max(initial=0.0))
+
+    def _term_block_bounds(self, terms: list[str]):
+        """Per-term (block_last_docid, block upper bound) arrays from the
+        stored block-max metadata; None for absent terms."""
         cfg = self.config
         w = cfg.field_weights
         k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
-        max_mult = 1.0 + cfg.boost_factors.domain_authority_boost + cfg.boost_factors.title_match_boost
 
         def tf_bound(tf_max: np.ndarray) -> np.ndarray:
             # upper bound of the tf component: len -> 0 in the BM25
@@ -663,32 +768,46 @@ class SearchEngine:
                 tf_max > 0, (tf_max * (k1 + 1)) / (tf_max + k1 * (1 - b)), 0.0
             )
 
-        # per-term BLOCK upper bounds from the stored block-max metadata
+        # bounds depend on df; in bucket mode df comes from a per-query
+        # override (global vs local), so only whole-index engines cache
+        cacheable = self.bucket is None
         term_blocks: list[tuple[np.ndarray, np.ndarray] | None] = []
         for t in terms:
+            if cacheable and t in self._block_bounds_cache:
+                term_blocks.append(self._block_bounds_cache[t])
+                continue
             p = self._postings(t)
             meta = None
             if p is not None:
                 reader = self._reader(shard_of_term(t, self.num_shards))
                 meta = reader.block_meta(t)
             if p is None or meta is None:
-                term_blocks.append(None)
-                continue
-            df = p[4]
-            idf = max(0.0, float(np.log((self.N - df + 0.5) / (df + 0.5))))
-            blk_last, mtft, mtfc, mtfd = meta
-            kw_ub = w.keywords if t in self.kw_postings else 0.0
-            ub = idf * (
-                tf_bound(mtft.astype(np.float64)) * w.title
-                + tf_bound(mtfc.astype(np.float64)) * w.content
-                + tf_bound(mtfd.astype(np.float64)) * w.description
-            ) + kw_ub
-            term_blocks.append((blk_last, ub))
+                tb = None
+            else:
+                df = p[4]
+                idf = max(0.0, float(np.log((self.N - df + 0.5) / (df + 0.5))))
+                blk_last, mtft, mtfc, mtfd = meta
+                kw_ub = w.keywords if t in self.kw_postings else 0.0
+                ub = idf * (
+                    tf_bound(mtft.astype(np.float64)) * w.title
+                    + tf_bound(mtfc.astype(np.float64)) * w.content
+                    + tf_bound(mtfd.astype(np.float64)) * w.description
+                ) + kw_ub
+                tb = (blk_last, ub)
+            if cacheable:
+                if len(self._block_bounds_cache) >= 8192:
+                    self._block_bounds_cache.clear()
+                self._block_bounds_cache[t] = tb
+            term_blocks.append(tb)
+        return term_blocks
 
-        # score candidates in doc-id-ordered chunks; a chunk whose summed
-        # per-term block bounds (over the blocks its id-range touches)
-        # cannot beat the heap minimum is skipped without scoring.
-        heap: list[tuple[float, int]] = []
+    def _chunk_score_into_heap(
+        self, cands, terms, term_blocks, k, heap, max_mult
+    ) -> None:
+        """Score candidates in doc-id-ordered chunks; a chunk whose
+        summed per-term block bounds (over the blocks its id-range
+        touches) cannot beat the heap minimum is skipped entirely."""
+        cfg = self.config
         B = 4096
         for start in range(0, len(cands), B):
             chunk = cands[start : start + B]
@@ -706,16 +825,27 @@ class SearchEngine:
                 if bound * max_mult <= heap[0][0]:
                     continue  # block-max prune: skip this chunk entirely
             scores = self._score_candidates(chunk, terms, [])
-            for did, s in zip(chunk.tolist(), scores.tolist()):
-                if s < cfg.min_score:
-                    continue
-                item = (s, -did)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        out = sorted(((s, -nd) for s, nd in heap), key=lambda t: (-t[0], t[1]))
-        return [(did, s) for s, did in out]
+            # vectorized heap merge: keep chunk survivors in numpy and
+            # rebuild the k-bounded heap with one C-side lexsort — a
+            # per-doc Python heapq loop costs more than scoring does
+            thresh = cfg.min_score
+            if len(heap) >= k and heap[0][0] > thresh:
+                thresh = heap[0][0]
+            keep = scores >= thresh
+            if not keep.any():
+                continue
+            c_ids = chunk[keep]
+            c_sc = scores[keep]
+            if heap:
+                c_ids = np.concatenate(
+                    [c_ids, np.asarray([-nd for _, nd in heap], dtype=np.int64)]
+                )
+                c_sc = np.concatenate(
+                    [c_sc, np.asarray([s for s, _ in heap], dtype=np.float64)]
+                )
+            order = np.lexsort((c_ids, -c_sc))[:k]
+            heap[:] = [(float(c_sc[i]), -int(c_ids[i])) for i in order]
+            heapq.heapify(heap)
 
     @staticmethod
     def _has_filter(node) -> bool:

@@ -28,31 +28,49 @@ class _EngineActor:
             query, limit=limit, offset=offset, highlight=highlight
         )
 
+    def search_fast(
+        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+    ) -> dict:
+        return self.engine.search_fast(
+            query, limit=limit, offset=offset, highlight=highlight
+        )
+
     def search_topk(self, query: str, k: int = 10):
         return self.engine.search_topk_wand(query, k=k)
 
 
 class QueryPool:
-    """Round-robin pool of query actors over one index."""
+    """Round-robin pool of query actors over one index.
 
-    def __init__(self, index_dir: str, size: int = 4, **engine_kwargs):
+    ``fast=True`` routes ``search``/``search_many`` through the
+    engine's pruned top-k serving path (``SearchEngine.search_fast``)
+    — same ranked ids, raw scores, p99 without full-candidate scoring
+    on head-term queries."""
+
+    def __init__(self, index_dir: str, size: int = 4, fast: bool = False, **engine_kwargs):
         self.actors = [
             _EngineActor.remote(index_dir, engine_kwargs) for _ in range(size)
         ]
         self._rr = itertools.cycle(range(size))
+        self.fast = fast
 
     def search(
         self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
     ) -> dict:
         actor = self.actors[next(self._rr)]
+        m = actor.search_fast if self.fast else actor.search
         return ray.get(
-            actor.search.remote(query, limit=limit, offset=offset, highlight=highlight)
+            m.remote(query, limit=limit, offset=offset, highlight=highlight)
         )
 
     def search_many(self, queries: list[str], limit: int = 10) -> list[dict]:
         """Scatter a batch across the pool; preserves input order."""
         refs = [
-            self.actors[next(self._rr)].search.remote(q, limit=limit)
+            (
+                self.actors[next(self._rr)].search_fast
+                if self.fast
+                else self.actors[next(self._rr)].search
+            ).remote(q, limit=limit)
             for q in queries
         ]
         return ray.get(refs)

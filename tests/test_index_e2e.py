@@ -259,3 +259,53 @@ def test_highlight_case_insensitive_preserves_original(built):
     for r in out["results"]:
         for m in __import__("re").findall(r"<b>([^<]*)</b>", r["snippet"]):
             assert m.lower() == "apple"
+
+
+# ---- MaxScore Or-path + fast serving path ----
+
+OR_QUERIES = [
+    "apple OR banana",
+    "apple OR banana OR cherry",
+    "data OR missingwordxyz",
+    "the OR apple",            # negative-idf head term: UB ~ 0, skipped
+    "apple OR apple",          # duplicate branches
+    "search OR engine OR index OR apple",
+]
+
+
+@pytest.mark.parametrize("query", OR_QUERIES)
+def test_maxscore_or_matches_fidelity(built, query):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    fid = engine.rank(query, top_k=10)
+    fast = engine.search_topk_wand(query, k=10)
+    assert [d for d, _ in fast] == [d for d, _ in fid], query
+
+
+@pytest.mark.parametrize("query", ["apple", "apple OR banana", "recipe banana",
+                                   "neural network", "the OR apple"])
+def test_search_fast_ids_match_fidelity(built, query):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    fid = engine.search(query, limit=10)
+    fast = engine.search_fast(query, limit=10)
+    assert [r["doc_id"] for r in fast["results"]] == [
+        r["doc_id"] for r in fid["results"]
+    ], query
+
+
+def test_search_fast_pagination_and_fallbacks(built):
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    all10 = engine.search_fast("apple", limit=10)["results"]
+    page2 = engine.search_fast("apple", limit=5, offset=5)["results"]
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in all10[5:]]
+    # phrase/filter/limit=0 routes fall back to the fidelity path
+    # (normalized scores prove it)
+    f = engine.search_fast('"machine learning"', limit=5)
+    g = engine.search('"machine learning"', limit=5)
+    assert f == g
+    f = engine.search_fast("site:github.com apple", limit=5)
+    g = engine.search("site:github.com apple", limit=5)
+    assert f == g
+    assert engine.search_fast("apple", limit=0) == engine.search("apple", limit=0)
