@@ -16,6 +16,7 @@ Cross-engine float discipline (the driver hash-compares values):
 from __future__ import annotations
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -50,6 +51,30 @@ def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+
+def _map_terms(col, mapping: dict, default: float) -> np.ndarray:
+    """Vectorized term -> value mapping (one mask per DISTINCT query
+    term instead of a per-row dict lookup)."""
+    terms_np = np.asarray(col.to_pylist(), dtype=object)
+    out = np.full(len(terms_np), default, dtype=np.float64)
+    for t, v in mapping.items():
+        out[terms_np == t] = v
+    return out
+
+
+def _attach_lens(p: pa.Table, b: pa.Table, cols) -> pa.Table:
+    """Join per-doc byte lengths onto exploded posting rows — one
+    vectorized polars hash join per batch instead of a per-row Python
+    dict lookup (the map stage stays columnar end to end)."""
+    lens = {"doc_id": b.column("doc_id")}
+    for src, name in cols:
+        lens[name] = pc.cast(
+            pc.binary_length(pc.fill_null(b.column(src), "")), pa.int64()
+        )
+    right = pl.from_arrow(pa.table(lens))
+    return pl.from_arrow(p).join(right, on="doc_id", how="left").to_arrow()
 
 
 def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
@@ -172,10 +197,7 @@ def q_bm25_topk(sf_dir: str):
         p = ts.content_postings(b)
         mask = pc.is_in(p.column("term"), value_set=pa.array(BM25_QUERY_TERMS))
         p = p.filter(mask)
-        lens = pc.binary_length(pc.fill_null(b.column("text"), "")).to_numpy()
-        len_by_id = dict(zip(b.column("doc_id").to_pylist(), lens.tolist()))
-        dl = [len_by_id[d] for d in p.column("doc_id").to_pylist()]
-        return p.append_column("doc_len", pa.array(dl, pa.int64()))
+        return _attach_lens(p, b, [("text", "doc_len")])
 
     tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
 
@@ -208,7 +230,10 @@ def q_bm25_topk(sf_dir: str):
     def score(b: pa.Table) -> pa.Table:
         tf = b.column("tf").to_numpy().astype(np.float64)
         dl = b.column("doc_len").to_numpy().astype(np.float64)
-        df_arr = np.asarray([dfs[t] for t in b.column("term").to_pylist()], dtype=np.float64)
+        terms_np = np.asarray(b.column("term").to_pylist(), dtype=object)
+        df_arr = np.zeros(len(terms_np), dtype=np.float64)
+        for t_, v_ in dfs.items():  # vectorized per distinct query term
+            df_arr[terms_np == t_] = v_
         idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5))
         s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
         return pa.table({"doc_id": b.column("doc_id"), "s": pa.array(s, pa.float64())})
@@ -298,21 +323,9 @@ def q_bm25_fielded_topk(sf_dir: str):
     def tf_rows(b: pa.Table) -> pa.Table:
         p = explode_postings(b)
         p = p.filter(pc.is_in(p.column("term"), value_set=pa.array(BM25_QUERY_TERMS)))
-        lens = {}
-        for col, name in (("title", "lt"), ("text", "lc"), ("meta_description", "ld")):
-            lens[name] = dict(
-                zip(
-                    b.column("doc_id").to_pylist(),
-                    pc.binary_length(pc.fill_null(b.column(col), "")).to_pylist(),
-                )
-            )
-        ids = p.column("doc_id").to_pylist()
-        out = p
-        for name in ("lt", "lc", "ld"):
-            out = out.append_column(
-                name, pa.array([lens[name][d] for d in ids], pa.int64())
-            )
-        return out
+        return _attach_lens(
+            p, b, [("title", "lt"), ("text", "lc"), ("meta_description", "ld")]
+        )
 
     tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow")
 
@@ -354,7 +367,7 @@ def q_bm25_fielded_topk(sf_dir: str):
         lc = b.column("lc").to_numpy().astype(np.float64)
         ld = b.column("ld").to_numpy().astype(np.float64)
         df_arr = np.asarray(
-            [dfs[t] for t in b.column("term").to_pylist()], dtype=np.float64
+            _map_terms(b.column("term"), dfs, default=0.0), dtype=np.float64
         )
         idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5))
 
@@ -455,19 +468,9 @@ def q_tfidf_fielded_topk(sf_dir: str):
     def tf_rows(b: pa.Table) -> pa.Table:
         p = explode_postings(b)
         p = p.filter(pc.is_in(p.column("term"), value_set=pa.array(BM25_QUERY_TERMS)))
-        lens = {}
-        for col, name in (("title", "lt"), ("text", "lc"), ("meta_description", "ld")):
-            lens[name] = dict(
-                zip(b.column("doc_id").to_pylist(),
-                    pc.binary_length(pc.fill_null(b.column(col), "")).to_pylist())
-            )
-        ids = p.column("doc_id").to_pylist()
-        out = p
-        for name in ("lt", "lc", "ld"):
-            out = out.append_column(
-                name, pa.array([lens[name][d] for d in ids], pa.int64())
-            )
-        return out
+        return _attach_lens(
+            p, b, [("title", "lt"), ("text", "lc"), ("meta_description", "ld")]
+        )
 
     tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow")
 
@@ -504,7 +507,7 @@ def q_tfidf_fielded_topk(sf_dir: str):
         lc = b.column("lc").to_numpy().astype(np.float64)
         ld = b.column("ld").to_numpy().astype(np.float64)
         df_arr = np.asarray(
-            [dfs.get(t, 1) for t in b.column("term").to_pylist()], dtype=np.float64
+            _map_terms(b.column("term"), dfs, default=1.0), dtype=np.float64
         )
         idf = np.log(n / df_arr)
 
