@@ -57,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--offset", type=int, default=0)
     p_search.add_argument("--algorithm", default="bm25",
                           choices=["bm25", "tfidf", "combined"])
+    p_search.add_argument("--highlight", action="store_true",
+                          help="tag matched terms in title/snippet (searchSimple)")
+    p_search.add_argument("--fast", action="store_true",
+                          help="pruned top-k serving path (raw scores)")
+
+    p_sug = sub.add_parser("suggest", help="prefix autocomplete (FT.SUGGET analog)")
+    p_sug.add_argument("--index", required=True)
+    p_sug.add_argument("prefix")
+    p_sug.add_argument("--limit", type=int, default=10)
 
     args = ap.parse_args(argv)
 
@@ -100,11 +109,22 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = SearchEngine(args.index, algorithm=args.algorithm)
         try:
-            out = eng.search(args.query, limit=args.limit, offset=args.offset)
+            fn = eng.search_fast if args.fast else eng.search
+            out = fn(
+                args.query, limit=args.limit, offset=args.offset,
+                highlight=args.highlight,
+            )
         except ParseError as e:
             print(json.dumps({"error": str(e)}), file=sys.stderr)
             return 2
         print(json.dumps(out, indent=1))
+        return 0
+
+    if args.cmd == "suggest":
+        from .query.engine import SearchEngine
+
+        eng = SearchEngine(args.index)
+        print(json.dumps(eng.suggest(args.prefix, limit=args.limit)))
         return 0
 
     return 1

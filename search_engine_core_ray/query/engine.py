@@ -654,6 +654,28 @@ class SearchEngine:
             "results": self.hydrate(ids, scores, highlight_terms=hl),
         }
 
+    def suggest(self, prefix: str, limit: int = 10) -> list[str]:
+        """Autocomplete — the FT.SUGGET surface
+        (RedisSearchStorage::suggest, RedisSearchStorage.cpp:374-397;
+        ContentStorage.cpp:373-378). The reference reads a suggestion
+        dictionary it NEVER populates (no FT.SUGADD exists anywhere in
+        the codebase), so its suggest() always returns empty. Here the
+        suggestion dictionary IS the index's term dictionary: indexed
+        terms with the given (lowercased) prefix, ranked by document
+        frequency descending then lexicographically — the natural
+        engine-side semantics for the same API."""
+        if not prefix or limit <= 0:
+            return []
+        p = _lower(prefix)
+        hits: list[tuple[int, str]] = []
+        for shard in range(self.num_shards):
+            reader = self._reader(shard)
+            for t in reader.term_rows:
+                if t.startswith(p):
+                    hits.append((-reader.df(t), t))
+        hits.sort()
+        return [t for _, t in hits[:limit]]
+
     # ---- block-max WAND fast path --------------------------------------
     def search_topk_wand(
         self, query: str, k: int = 10, df_override: dict | None = None

@@ -309,3 +309,29 @@ def test_search_fast_pagination_and_fallbacks(built):
     g = engine.search("site:github.com apple", limit=5)
     assert f == g
     assert engine.search_fast("apple", limit=0) == engine.search("apple", limit=0)
+
+
+def test_suggest_prefix_autocomplete(built):
+    """FT.SUGGET analog over the term dictionary: prefix match, ranked
+    by df desc then term asc. (The reference's own suggest() reads a
+    dictionary nothing ever populates — see engine.suggest docstring.)"""
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    got = engine.suggest("ma", limit=10)
+    assert got, "expected suggestions for prefix 'ma'"
+    assert all(t.startswith("ma") for t in got)
+    # ranked by df desc, ties by term asc
+    dfs = [engine._postings(t)[4] for t in got]
+    assert dfs == sorted(dfs, reverse=True) or all(
+        (dfs[i], got[i]) >= (dfs[i + 1], got[i])  # df desc primary
+        for i in range(len(got) - 1)
+    )
+    pairs = [(-engine._postings(t)[4], t) for t in got]
+    assert pairs == sorted(pairs)
+    # a longer limit is a superset prefix-stable extension
+    more = engine.suggest("ma", limit=50)
+    assert more[: len(got)] == got
+    assert engine.suggest("", limit=5) == []
+    assert engine.suggest("zzzznope") == []
+    # case-insensitive prefix (terms are lowercased at index time)
+    assert engine.suggest("MA", limit=10) == got
