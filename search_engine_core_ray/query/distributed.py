@@ -58,8 +58,13 @@ class _BucketActor:
     def local_dfs(self, terms: list[str]) -> dict[str, int]:
         return self.engine.local_dfs(terms)
 
-    def search_raw(self, query: str, df_override: dict):
-        cands, scores, pure_filter = self.engine.search_raw(query, df_override)
+    def local_df_tcs(self, terms: list[str]) -> dict[str, int]:
+        return self.engine.local_df_tcs(terms)
+
+    def search_raw(self, query: str, df_override: dict, df_tc_override=None):
+        cands, scores, pure_filter = self.engine.search_raw(
+            query, df_override, df_tc_override=df_tc_override
+        )
         return cands, scores, pure_filter
 
     def topk(self, query: str, k: int, df_override: dict):
@@ -79,14 +84,7 @@ class DistributedSearch:
     """Coordinator over one bucket actor per docID range."""
 
     def __init__(self, index_dir: str, **engine_kwargs):
-        if engine_kwargs.get("algorithm", "bm25") != "bm25":
-            # TFIDF/combined need the title+content-only document
-            # frequencies gathered globally as well (the reference's
-            # updateDocumentFrequencies semantics); that second exchange
-            # isn't wired yet — refuse rather than serve wrong scores.
-            raise NotImplementedError(
-                "DistributedSearch currently supports algorithm='bm25'"
-            )
+        self.algorithm = engine_kwargs.get("algorithm", "bm25")
         manifest = load_manifest(index_dir)
         self.n_buckets = 1 << int(manifest["bucket_bits"])
         self.analyzer = manifest.get("analyzer", "default")
@@ -101,12 +99,17 @@ class DistributedSearch:
             __import__("json").dumps(manifest["config"])
         )
         self._df_cache: dict[str, int] = {}
+        self._df_tc_cache: dict[str, int] = {}
 
     # ---- global statistics --------------------------------------------
-    def _global_dfs(self, query: str) -> dict[str, int]:
+    def _query_terms(self, query: str) -> set[str]:
         terms: set[str] = set()
         for t in walk_terms(parse_query(query)):
             terms.update(analyze(t.value, self.analyzer))
+        return terms
+
+    def _global_dfs(self, query: str) -> dict[str, int]:
+        terms = self._query_terms(query)
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             parts = ray.get([a.local_dfs.remote(missing) for a in self.actors])
@@ -114,13 +117,29 @@ class DistributedSearch:
                 self._df_cache[t] = sum(p[t] for p in parts)
         return {t: self._df_cache[t] for t in terms}
 
+    def _global_df_tcs(self, query: str) -> dict[str, int] | None:
+        """TFIDF's second statistics exchange: docs-with-term-in-
+        title-or-content summed across buckets (the reference's
+        updateDocumentFrequencies, SearchScorer.cpp:358-375). Only the
+        tfidf algorithm consumes it; bm25/combined return None."""
+        if self.algorithm != "tfidf":
+            return None
+        terms = self._query_terms(query)
+        missing = [t for t in terms if t not in self._df_tc_cache]
+        if missing:
+            parts = ray.get([a.local_df_tcs.remote(missing) for a in self.actors])
+            for t in missing:
+                self._df_tc_cache[t] = sum(p[t] for p in parts)
+        return {t: self._df_tc_cache[t] for t in terms}
+
     # ---- fidelity path -------------------------------------------------
     def search(
         self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
     ) -> dict:
         dfs = self._global_dfs(query)
+        df_tcs = self._global_df_tcs(query)
         parts = ray.get(
-            [a.search_raw.remote(query, dfs) for a in self.actors]
+            [a.search_raw.remote(query, dfs, df_tcs) for a in self.actors]
         )
         cands = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
@@ -208,7 +227,10 @@ class DistributedSearch:
                 return any(has_filter(c) for c in node.children)
             return False
 
-        if _ep(ast) or has_filter(ast):
+        if _ep(ast) or has_filter(ast) or self.algorithm != "bm25":
+            # non-bm25 bucket actors would fall back to their LOCAL
+            # fidelity path (bucket-normalized scores, incomparable
+            # across buckets) — route through the global fidelity path
             r = self.search(query, limit=k)
             return [(x["doc_id"], x["score"]) for x in r["results"]]
         dfs = self._global_dfs(query)

@@ -83,16 +83,12 @@ class SearchEngine:
         """
         if algorithm not in ("bm25", "tfidf", "combined"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
-        if bucket is not None and algorithm != "bm25":
-            # TFIDF's df is docs-with-term-in-title-or-content, counted
-            # from the postings the engine can SEE — in bucket mode that
-            # is bucket-local while N stays global, so scores would be
-            # silently wrong. DistributedSearch refuses the same way
-            # (distributed.py); mirror the guard for direct construction.
-            raise NotImplementedError(
-                "bucket-mode engines support algorithm='bm25' only "
-                "(tfidf/combined need globally-gathered title+content dfs)"
-            )
+        # Bucket-mode TFIDF needs the GLOBAL title+content document
+        # frequencies injected per query (``df_tc_override``) — the
+        # coordinator gathers them (DistributedSearch._global_df_tcs).
+        # A direct bucket engine scoring a term WITHOUT that override
+        # raises in _score_candidates rather than serving silently
+        # wrong scores (bucket-local df_tc against global N).
         self.algorithm = algorithm
         # bucket mode: serve ONE docID-range bucket (doc-partitioned
         # serving; see query/distributed.py). Loads only that bucket's
@@ -101,6 +97,7 @@ class SearchEngine:
         # coordinator so scores are identical to a whole-index engine.
         self.bucket = bucket
         self._df_override: dict[str, int] = {}
+        self._df_tc_override: dict[str, int] = {}
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
         self.num_shards = int(self.manifest["num_shards"])
@@ -298,6 +295,21 @@ class SearchEngine:
             out[t] = reader.df(t)
         return out
 
+    def local_df_tcs(self, terms: list[str]) -> dict[str, int]:
+        """Bucket-local docs-with-term-in-TITLE-OR-CONTENT counts — the
+        TFIDFAlgorithm df (updateDocumentFrequencies semantics). The
+        coordinator sums these across buckets into the global
+        df_tc_override."""
+        out = {}
+        for t in set(terms):
+            p = self._postings(t)
+            if p is None:
+                out[t] = 0
+            else:
+                _, tft, tfc, _, _ = p
+                out[t] = int(np.count_nonzero((tft > 0) | (tfc > 0)))
+        return out
+
     # ---- retrieval -----------------------------------------------------
     _EMPTY = np.empty(0, dtype=np.int64)
 
@@ -393,8 +405,17 @@ class SearchEngine:
                 if tfidf:
                     # TFIDFAlgorithm df = docs with the term in title or
                     # content only (SearchScorer.cpp:358-375); postings
-                    # carry per-field tfs so it's a cheap count
-                    df_tc = int(np.count_nonzero((tft > 0) | (tfc > 0)))
+                    # carry per-field tfs so it's a cheap count. Bucket
+                    # engines must receive the GLOBAL count per query.
+                    df_tc = self._df_tc_override.get(term)
+                    if df_tc is None:
+                        if self.bucket is not None:
+                            raise RuntimeError(
+                                "bucket-mode tfidf scoring requires a "
+                                "df_tc_override (global title+content "
+                                "dfs) — serve via DistributedSearch"
+                            )
+                        df_tc = int(np.count_nonzero((tft > 0) | (tfc > 0)))
                     idf = np.log(self.N / max(df_tc, 1))
                 else:
                     idf = np.log((self.N - df + 0.5) / (df + 0.5))
@@ -484,7 +505,12 @@ class SearchEngine:
         return total
 
     # ---- public API ----------------------------------------------------
-    def search_raw(self, query: str, df_override: dict | None = None) -> tuple:
+    def search_raw(
+        self,
+        query: str,
+        df_override: dict | None = None,
+        df_tc_override: dict | None = None,
+    ) -> tuple:
         """Retrieve + score WITHOUT normalization/sort/pagination —
         the partial a doc-partitioned bucket actor returns to the
         coordinator. -> (cands int64, raw scores float64, pure_filter).
@@ -492,6 +518,8 @@ class SearchEngine:
         are raw (pre-min-score-filter) totals."""
         if df_override is not None:
             self._df_override = df_override
+        if df_tc_override is not None:
+            self._df_tc_override = df_tc_override
         try:
             ast = parse_query(query)
             terms = scoring_terms(ast, self.text_analyzer)
@@ -510,6 +538,8 @@ class SearchEngine:
         finally:
             if df_override is not None:
                 self._df_override = {}
+            if df_tc_override is not None:
+                self._df_tc_override = {}
 
     def search(
         self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False

@@ -120,15 +120,39 @@ def test_distributed_topk_phrase_and_filter_queries(built, dist):
             assert sa == pytest.approx(sb, abs=1e-12), q
 
 
-def test_bucket_mode_refuses_non_bm25(built):
-    # bucket-local TFIDF dfs with global N would be silently wrong;
-    # direct construction must refuse like DistributedSearch does
+def test_bucket_mode_tfidf_requires_global_df_tc(built):
+    # a direct bucket engine scoring tfidf WITHOUT the coordinator's
+    # global title+content dfs must refuse rather than serve silently
+    # wrong scores (bucket-local df_tc against global N)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        SearchEngine(built, bucket=0, algorithm="tfidf")
-    with _pytest.raises(NotImplementedError):
-        SearchEngine(built, bucket=0, algorithm="combined")
+    eng = SearchEngine(built, bucket=0, algorithm="tfidf")
+    with _pytest.raises(RuntimeError, match="df_tc_override"):
+        eng.search("apple", limit=3)
+
+
+@pytest.mark.parametrize("algorithm", ["tfidf", "combined"])
+def test_distributed_non_bm25_matches_single_engine(built, algorithm):
+    """The second statistics exchange (global df_tc for tfidf) makes
+    doc-partitioned serving rank-identical for every algorithm."""
+    eng = SearchEngine(built, algorithm=algorithm)
+    dist = DistributedSearch(built, algorithm=algorithm)
+    try:
+        for q in QUERIES:
+            got = dist.search(q, limit=10)
+            exp = eng.search(q, limit=10)
+            assert [r["doc_id"] for r in got["results"]] == [
+                r["doc_id"] for r in exp["results"]
+            ], (algorithm, q)
+            for g, e in zip(got["results"], exp["results"]):
+                assert g["score"] == pytest.approx(e["score"], abs=1e-9)
+            assert got["total"] == exp["total"]
+        # topk routes non-bm25 through the global fidelity path
+        t = dist.topk("apple OR banana", k=5)
+        f = eng.search("apple OR banana", limit=5)["results"]
+        assert [d for d, _ in t] == [r["doc_id"] for r in f]
+    finally:
+        dist.shutdown()
 
 
 def test_bucket_engine_prunes_docstore_read(built):
