@@ -215,6 +215,167 @@ def embedding_dupes(embeddings_ds, threshold: float = 0.95, block_rows: int = 40
     )
 
 
+_IVF_SEED = 9176
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic seeded k-means (Lloyd, fixed iterations) — the
+    coarse quantizer. Small sample only; runs on the driver."""
+    rng = np.random.RandomState(_IVF_SEED)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].astype(np.float64).copy()
+    for _ in range(iters):
+        sims = cosine_block(sample, cents)  # (S, C)
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        # empty clusters re-seed deterministically from the sample
+        for c in np.flatnonzero(np.bincount(assign, minlength=len(cents)) == 0):
+            cents[c] = sample[rng.randint(len(sample))]
+    return cents
+
+
+def ivf_ann(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+):
+    """IVF-bucketed approximate nearest neighbours — the coarse-
+    quantizer scale path: a seeded k-means over a bounded sample gives
+    C centroids (broadcast once); every corpus vector is assigned to
+    its nearest centroid inside map_batches; each query probes its
+    ``n_probe`` nearest centroids. The all-to-all is ONE groupby on the
+    centroid id whose groups are ~N/C vectors; per-group search is an
+    exact cosine top-k, and a tiny per-query merge finishes.
+
+    Probing every centroid (n_probe == n_centroids) makes this EXACT —
+    equal to ``ann_topk`` — which the tests pin; smaller n_probe trades
+    recall for touching only n_probe/C of the corpus per query.
+    """
+    import ray
+    import ray.data
+    import polars as pl
+
+    # bounded deterministic sample for the quantizer (first blocks)
+    sample_rows = embeddings_ds.limit(sample_size).take_all()
+    sample = np.asarray(
+        [r["embedding"] for r in sample_rows], dtype=np.float64
+    )
+    cents = _kmeans(sample, n_centroids)
+    cref = ray.put(cents)
+
+    qset = set(query_ids)
+    qrows = embeddings_ds.filter(lambda r: r["vec_id"] in qset).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    # per-query probe lists (n_probe nearest centroids)
+    qsims = cosine_block(qmat, cents)
+    probes = np.argsort(-qsims, axis=1)[:, : min(n_probe, len(cents))]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        m = _to_matrix(batch)
+        a = cosine_block(m, C).argmax(axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(a.astype(np.int64), pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+                "is_query": pa.array(np.zeros(len(a), dtype=bool)),
+                "query_id": pa.array(np.full(len(a), -1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    assigned = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    sch = assigned.schema()
+    arrow_schema = getattr(sch, "base_schema", sch)
+    emb_type = arrow_schema.field("embedding").type
+    qb, qv, qe, qq = [], [], [], []
+    for row, qid in enumerate(qids):
+        for c in probes[row]:
+            qb.append(int(c))
+            qv.append(int(qid))
+            qe.append(qmat[row].tolist())
+            qq.append(int(qid))
+    query_rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(qb, pa.int64()),
+                "vec_id": pa.array(qv, pa.int64()),
+                "embedding": pa.array(qe, emb_type),
+                "is_query": pa.array([True] * len(qb)),
+                "query_id": pa.array(qq, pa.int64()),
+            }
+        )
+    )
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        isq = group.column("is_query").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+        if not isq.any() or isq.all():
+            return empty
+        corpus_t = group.filter(pa.array(~isq))
+        query_t = group.filter(pa.array(isq))
+        cm = _to_matrix(corpus_t)
+        cids = corpus_t.column("vec_id").to_numpy()
+        qm = _to_matrix(query_t)
+        qids_l = query_t.column("query_id").to_numpy()
+        sims = cosine_block(qm, cm)
+        out_q, out_n, out_c = [], [], []
+        for row, qid in enumerate(qids_l.tolist()):
+            keep = cids != qid
+            cand_ids, cand = cids[keep], sims[row][keep]
+            if len(cand_ids) > k:
+                sel = np.lexsort((cand_ids, -cand))[:k]
+                cand_ids, cand = cand_ids[sel], cand[sel]
+            out_q.append(np.full(len(cand_ids), qid, dtype=np.int64))
+            out_n.append(cand_ids)
+            out_c.append(cand)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(
+                    np.concatenate(out_n).astype(np.int64), pa.int64()
+                ),
+                "cos": pa.array(
+                    np.concatenate(out_c).astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    per_bucket = (
+        assigned.union(query_rows)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        df = df.sort(["cos", "neighbor_id"], descending=[True, False]).head(k)
+        return pa.table(
+            {
+                "query_id": df["query_id"].to_arrow(),
+                "neighbor_id": df["neighbor_id"].to_arrow(),
+                "rank": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+                "cos": df["cos"].to_arrow(),
+            }
+        )
+
+    return per_bucket.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
 _LSH_PLANES_SEED = 1234
 
 

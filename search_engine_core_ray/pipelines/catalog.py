@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 from ..stages import textstats as ts
 from ..stages.dedup import exact_dedup, minhash_near_dupes, simhash64
-from ..functions.similarity import ann_topk, embedding_dupes, lsh_bucket_ann
+from ..functions.similarity import ann_topk, embedding_dupes, ivf_ann, lsh_bucket_ann
 
 BM25_QUERY_TERMS = ("dup", "vector")
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -885,6 +885,17 @@ def q_ann_topk(sf_dir: str):
 def q_embedding_dupes(sf_dir: str):
     out = embedding_dupes(_read(sf_dir, "embeddings"), threshold=0.4)
     return out.map_batches(lambda t: _round_col(t, "cos", 4), batch_format="pyarrow")
+
+
+@_q("ivf_ann")  # rows-only: approximate by construction (exact when n_probe==n_centroids)
+def q_ivf_ann(sf_dir: str):
+    """IVF coarse-quantizer ANN: seeded k-means centroids, one
+    groupby(centroid) shuffle, per-bucket exact search, per-query
+    merge. Probing 2 of 8 buckets touches ~25% of the corpus per
+    query; tests pin full-probe == exact brute force."""
+    return ivf_ann(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+    )
 
 
 @_q("lsh_ann")  # rows-only: approximate by construction

@@ -292,3 +292,48 @@ def test_doc_fingerprint_matches_independent_oracle():
     for i, text in enumerate(texts):
         assert got[i] == _oracle_fingerprint(text), (i, text)
     assert got[0] != got[1]  # order sensitivity
+
+
+def test_ivf_full_probe_equals_exact(ray_session):
+    """Probing every centroid makes IVF exact: identical ids AND cosines
+    to the brute-force ann_topk baseline."""
+    import os
+
+    from search_engine_core_ray.functions.similarity import ann_topk, ivf_ann
+
+    sf = os.environ.get("SECR_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {}
+    for r in ann_topk(emb, qids, k=5).take_all():
+        exact.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    got = {}
+    for r in ivf_ann(emb, qids, k=5, n_centroids=4, n_probe=4).take_all():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    assert set(got) == set(exact)
+    for q in exact:
+        assert [n for n, _ in got[q]] == [n for n, _ in exact[q]], q
+        for (gn, gc), (en, ec) in zip(got[q], exact[q]):
+            assert gc == pytest.approx(ec, abs=1e-12)
+
+
+def test_ivf_partial_probe_shape_and_recall(ray_session):
+    import os
+
+    from search_engine_core_ray.functions.similarity import ann_topk, ivf_ann
+
+    sf = os.environ.get("SECR_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {}
+    for r in ann_topk(emb, qids, k=10).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = ivf_ann(emb, qids, k=10, n_centroids=8, n_probe=4).take_all()
+    got = {}
+    for r in rows:
+        assert r["query_id"] in set(qids) and r["neighbor_id"] != r["query_id"]
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # half the buckets probed: expect meaningful (not perfect) recall
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.3, hits / total
