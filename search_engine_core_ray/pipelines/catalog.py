@@ -605,6 +605,22 @@ def q_doc_keywords(sf_dir: str):
 
 
 @_q(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish token budgets per doc — the pattern avoids
+    lookaheads so Python/polars/RE2 tokenize identically."""
+    return _docs(sf_dir).map_batches(ts.token_counts, batch_format="pyarrow")
+
+
+@_q(
     "language_id",
     r"""
     SELECT doc_id,

@@ -141,6 +141,26 @@ def quality_metrics(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pretokenizer shape WITHOUT lookaheads, so Python re,
+# polars (rust regex) and DuckDB (RE2) agree token-for-token:
+# contractions, letter runs, digit runs, punctuation runs — each with
+# an optional leading space. Counts approximate BPE token budgets.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """Per-doc token budgets: whitespace tokens and BPE-ish tokens
+    (vectorized regex counts — the training-data cost estimator)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text").fill_null("")
+    )
+    out = df.with_columns(
+        ws_tokens=pl.col("text").str.count_matches(WS_TOKEN_RE).cast(pl.Int64),
+        bpe_tokens=pl.col("text").str.count_matches(BPE_RE).cast(pl.Int64),
+    ).drop("text")
+    return out.to_arrow()
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
 
