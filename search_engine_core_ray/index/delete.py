@@ -59,9 +59,16 @@ def compact_index(index_dir: str, new_index_dir: str, **build_kw) -> None:
 
     tomb = set(load_tombstones(index_dir)["doc_ids"])
     # prune to the docstore columns: the hive layout would otherwise
-    # resurrect the bucket partition key as a data column
+    # resurrect the bucket partition key as a data column. Intersect
+    # with the ACTUAL schema so docstores written before newer columns
+    # (e.g. category) existed still compact — the engine already reads
+    # them tolerantly.
+    import pyarrow.dataset as pads
+
+    present = set(pads.dataset(os.path.join(index_dir, "docstore")).schema.names)
     docs = ray.data.read_parquet(
-        os.path.join(index_dir, "docstore"), columns=DOCSTORE_COLUMNS
+        os.path.join(index_dir, "docstore"),
+        columns=[c for c in DOCSTORE_COLUMNS if c in present],
     )
     if tomb:
         docs = docs.map_batches(

@@ -230,10 +230,7 @@ def q_bm25_topk(sf_dir: str):
     def score(b: pa.Table) -> pa.Table:
         tf = b.column("tf").to_numpy().astype(np.float64)
         dl = b.column("doc_len").to_numpy().astype(np.float64)
-        terms_np = np.asarray(b.column("term").to_pylist(), dtype=object)
-        df_arr = np.zeros(len(terms_np), dtype=np.float64)
-        for t_, v_ in dfs.items():  # vectorized per distinct query term
-            df_arr[terms_np == t_] = v_
+        df_arr = _map_terms(b.column("term"), dfs, default=0.0)
         idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5))
         s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
         return pa.table({"doc_id": b.column("doc_id"), "s": pa.array(s, pa.float64())})

@@ -617,30 +617,20 @@ class SearchEngine:
         for did, s, rp in zip(cands.tolist(), scores.tolist(), pos.tolist()):
             content = self.contents[rp] or ""
             title = self.titles[rp] or ""
+            if highlight_terms is not None and hfn is not None:
+                title = hfn(title)
+                content = hfn(content)
+            snippet = content[:200] + "..." if len(content) > 200 else content
+            row = {
+                "doc_id": did,
+                "url": self.urls[rp],
+                "title": title,
+                "snippet": snippet,
+                "domain": self.domains[rp],
+                "score": s,
+            }
             if highlight_terms is not None:
-                if hfn is not None:
-                    title = hfn(title)
-                    content = hfn(content)
-                snippet = content[:200] + "..." if len(content) > 200 else content
-                row = {
-                    "doc_id": did,
-                    "url": self.urls[rp],
-                    "title": title,
-                    "snippet": snippet,
-                    "domain": self.domains[rp],
-                    "score": s,
-                    "highlights": {"title": title, "content": snippet},
-                }
-            else:
-                snippet = content[:200] + "..." if len(content) > 200 else content
-                row = {
-                    "doc_id": did,
-                    "url": self.urls[rp],
-                    "title": title,
-                    "snippet": snippet,
-                    "domain": self.domains[rp],
-                    "score": s,
-                }
+                row["highlights"] = {"title": title, "content": snippet}
             results.append(row)
         return results
 
@@ -668,7 +658,7 @@ class SearchEngine:
             or self.algorithm != "bm25"
         ):
             return self.search(query, limit=limit, offset=offset, highlight=highlight)
-        ranked = self._topk_wand_inner(query, offset + limit)
+        ranked = self._topk_wand_inner(query, offset + limit, ast=ast)
         # total = retrieval-set size (cheap: union of posting lists)
         cands = self._eval(ast)
         if len(self.tombstones):
@@ -723,8 +713,8 @@ class SearchEngine:
             if df_override is not None:
                 self._df_override = {}
 
-    def _topk_wand_inner(self, query: str, k: int) -> list[tuple[int, float]]:
-        ast = parse_query(query)
+    def _topk_wand_inner(self, query: str, k: int, ast=None) -> list[tuple[int, float]]:
+        ast = ast if ast is not None else parse_query(query)
         phrases = exact_phrases(ast)
         has_filter = self._has_filter(ast)
         if phrases or has_filter or self.algorithm != "bm25":
@@ -820,9 +810,11 @@ class SearchEngine:
                 tf_max > 0, (tf_max * (k1 + 1)) / (tf_max + k1 * (1 - b)), 0.0
             )
 
-        # bounds depend on df; in bucket mode df comes from a per-query
-        # override (global vs local), so only whole-index engines cache
-        cacheable = self.bucket is None
+        # bounds depend on df, which a per-query df_override changes —
+        # cache only when no override is active on a whole-index engine
+        # (an override-derived bound could be too LOW for a later
+        # override-free query and over-prune true top-k docs)
+        cacheable = self.bucket is None and not self._df_override
         term_blocks: list[tuple[np.ndarray, np.ndarray] | None] = []
         for t in terms:
             if cacheable and t in self._block_bounds_cache:

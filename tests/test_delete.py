@@ -53,3 +53,34 @@ def test_compaction_rewrites_without_tombstones(built, tmp_path_factory):
     # surviving docs still searchable (pure-filter query: quality-ranked;
     # common terms would be IDF-negative on this tiny head-skewed corpus)
     assert eng.search("language:en")["total"] > 0
+
+
+def test_compact_pre_category_docstore(ray_session, tmp_path_factory):
+    """Docstores written before the category column existed must still
+    compact (column list intersected with the actual schema)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_table
+    from search_engine_core_ray.index.build import build_index
+    from search_engine_core_ray.index.delete import compact_index, tombstone_domain
+    from search_engine_core_ray.query.engine import SearchEngine
+
+    src = str(tmp_path_factory.mktemp("old_idx"))
+    dst = str(tmp_path_factory.mktemp("compacted_idx"))
+    pages = synth_pages_table(SynthConfig(n_docs=120, seed=31))
+    build_index(ray.data.from_arrow(pages), src, lineage="old", num_shards=4)
+    # simulate the pre-category layout: strip the column from every file
+    for f in _glob.glob(os.path.join(src, "docstore", "**", "*.parquet"),
+                        recursive=True):
+        t = _pq.read_table(f)
+        _pq.write_table(t.drop_columns(["category"]), f)
+    dom = SearchEngine(src).domains[0]
+    n = tombstone_domain(src, dom)
+    assert n > 0
+    compact_index(src, dst, lineage="compacted", num_shards=4)
+    eng = SearchEngine(dst)
+    assert dom not in set(eng.domains)
+    assert len(eng.doc_ids) > 0

@@ -335,3 +335,21 @@ def test_suggest_prefix_autocomplete(built):
     assert engine.suggest("zzzznope") == []
     # case-insensitive prefix (terms are lowercased at index time)
     assert engine.suggest("MA", limit=10) == got
+
+
+def test_block_bounds_cache_not_poisoned_by_df_override(built):
+    """A df_override must not leave override-derived (too low) upper
+    bounds in the cache — later override-free queries would over-prune
+    true top-k docs."""
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    clean = engine.search_topk_wand("apple OR banana", k=10)
+    # inflated df -> idf ~ 0 -> tiny upper bounds; must NOT be cached
+    engine.search_topk_wand(
+        "apple OR banana", k=10,
+        df_override={"apple": engine.N - 1, "banana": engine.N - 1},
+    )
+    again = engine.search_topk_wand("apple OR banana", k=10)
+    assert [d for d, _ in again] == [d for d, _ in clean]
+    for (d1, s1), (d2, s2) in zip(again, clean):
+        assert s1 == pytest.approx(s2, abs=1e-12)
