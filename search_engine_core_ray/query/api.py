@@ -31,8 +31,20 @@ class ApiError(ValueError):
         self.message = message
 
 
+def search_simple(engine, q: str, limit: int = 10) -> dict:
+    """searchSimple parity (RedisSearchStorage.cpp:365-372): highlight
+    is ALWAYS on; returns the engine result shape with tagged
+    title/snippet + highlights maps."""
+    return engine.search(q, limit=limit, offset=0, highlight=True)
+
+
 def search_api(
-    engine, q: str | None, page: int = 1, limit: int = 10, fast: bool = False
+    engine,
+    q: str | None,
+    page: int = 1,
+    limit: int = 10,
+    fast: bool = False,
+    highlight: bool = False,
 ) -> dict:
     if q is None or not str(q).strip():
         raise ApiError(400, "missing or empty query parameter 'q'")
@@ -49,9 +61,11 @@ def search_api(
     try:
         if fast and hasattr(engine, "search_fast"):
             # pruned top-k serving: same ranked ids, raw scores
-            out = engine.search_fast(q, limit=limit, offset=offset)
+            out = engine.search_fast(q, limit=limit, offset=offset,
+                                     highlight=highlight)
         else:
-            out = engine.search(q, limit=limit, offset=offset)
+            out = engine.search(q, limit=limit, offset=offset,
+                                highlight=highlight)
     except ParseError as e:
         raise ApiError(400, f"invalid query: {e}")
     return {

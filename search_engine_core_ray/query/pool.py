@@ -45,14 +45,41 @@ class QueryPool:
     ``fast=True`` routes ``search``/``search_many`` through the
     engine's pruned top-k serving path (``SearchEngine.search_fast``)
     — same ranked ids, raw scores, p99 without full-candidate scoring
-    on head-term queries."""
+    on head-term queries.
 
-    def __init__(self, index_dir: str, size: int = 4, fast: bool = False, **engine_kwargs):
+    ``max_size > size`` enables autoscaling: ``search_many`` grows the
+    pool toward one actor per ``scale_batch`` queued queries (each new
+    actor opens the index in __init__ — the connection-pool warmup),
+    and the pool never shrinks below ``size``. Scaling is demand-driven
+    and monotone within a pool lifetime — the simple policy that fits
+    a replicated read-only index."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        size: int = 4,
+        fast: bool = False,
+        max_size: int | None = None,
+        scale_batch: int = 32,
+        **engine_kwargs,
+    ):
+        self.index_dir = index_dir
+        self.engine_kwargs = engine_kwargs
+        self.max_size = max(max_size or size, size)
+        self.scale_batch = scale_batch
         self.actors = [
             _EngineActor.remote(index_dir, engine_kwargs) for _ in range(size)
         ]
         self._rr = itertools.cycle(range(size))
         self.fast = fast
+
+    def _scale_to(self, n: int) -> None:
+        n = min(n, self.max_size)
+        while len(self.actors) < n:
+            self.actors.append(
+                _EngineActor.remote(self.index_dir, self.engine_kwargs)
+            )
+        self._rr = itertools.cycle(range(len(self.actors)))
 
     def search(
         self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
@@ -64,15 +91,15 @@ class QueryPool:
         )
 
     def search_many(self, queries: list[str], limit: int = 10) -> list[dict]:
-        """Scatter a batch across the pool; preserves input order."""
-        refs = [
-            (
-                self.actors[next(self._rr)].search_fast
-                if self.fast
-                else self.actors[next(self._rr)].search
-            ).remote(q, limit=limit)
-            for q in queries
-        ]
+        """Scatter a batch across the pool; preserves input order.
+        Autoscales first when the batch justifies more actors."""
+        if self.max_size > len(self.actors):
+            self._scale_to(-(-len(queries) // self.scale_batch))
+        refs = []
+        for q in queries:
+            actor = self.actors[next(self._rr)]
+            m = actor.search_fast if self.fast else actor.search
+            refs.append(m.remote(q, limit=limit))
         return ray.get(refs)
 
     def shutdown(self) -> None:

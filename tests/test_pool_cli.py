@@ -82,3 +82,29 @@ def test_cli_build_and_search(built, tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert bad.returncode == 2
+
+
+def test_pool_autoscaling(built, ray_session):
+    from search_engine_core_ray.query.pool import QueryPool
+
+    pool = QueryPool(built, size=2, max_size=6, scale_batch=10)
+    try:
+        assert len(pool.actors) == 2
+        # small batch: no scaling
+        pool.search_many(["apple"] * 5)
+        assert len(pool.actors) == 2
+        # big batch: grows toward ceil(80/10)=8, capped at max_size=6
+        out = pool.search_many(["apple", "banana"] * 40)
+        assert len(pool.actors) == 6
+        assert len(out) == 80
+        # results identical to a single engine
+        from search_engine_core_ray.query.engine import SearchEngine
+
+        eng = SearchEngine(built)
+        exp = eng.search("apple", limit=10)
+        assert out[0]["total"] == exp["total"]
+        assert [r["doc_id"] for r in out[0]["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ]
+    finally:
+        pool.shutdown()
