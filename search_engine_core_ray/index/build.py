@@ -292,11 +292,75 @@ def build_index(
         # just saw. Stage markers stay per-stage for resume.
         import shutil
 
-        for d in (docstore_dir, segments_dir, partials_dir):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-
         from ..stages.profile import prededup_pages
+
+        def _wipe_outputs():
+            for d in (docstore_dir, segments_dir, partials_dir):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+
+        def _chain(pages_in, dedup_stage):
+            """read -> extract -> profile -> [dedup_stage] -> docstore
+            side-effect write -> encode -> runs."""
+            # Extraction holds no per-actor state (one parser per page),
+            # so it runs as elastic stateless TASKS by default —
+            # measured ~1.6x faster than an actor pool and it can never
+            # starve the read/write operators of CPUs. Pass
+            # extract_concurrency for an autoscaling (1, N) actor pool
+            # (never a fixed pool == num_cpus, which deadlocks the
+            # streaming executor).
+            if extract_concurrency is None:
+                extracted = pages_in.map_batches(
+                    HtmlExtract(), batch_format="pyarrow", batch_size=batch_size
+                )
+            else:
+                extracted = pages_in.map_batches(
+                    HtmlExtract,
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    concurrency=extract_concurrency,
+                )
+            profiled = extracted.map_batches(
+                ProfileDocs(), batch_format="pyarrow", batch_size=batch_size
+            )
+            # prune to the docstore columns BEFORE any exchange — the
+            # raw html bytes must never ride through an all-to-all
+            profiled = profiled.select_columns(DOCSTORE_COLUMNS)
+            docs = dedup_stage(profiled)
+            # the write/encode batch size sets the FUSED chain's task
+            # granularity (Ray bundles the whole fused map chain at the
+            # largest batch_size): ~1k rows/task keeps >=4 tasks per CPU
+            # in flight at 32 CPUs while writing ~128-row-per-bucket
+            # files. Larger encode batches also mean better map-side run
+            # compression (more postings combined per emitted run).
+            passed = docs.map_batches(
+                WriteDocstorePass(docstore_dir, bucket_bits, partials_dir),
+                batch_format="pyarrow",
+                batch_size=encode_batch_size or max(batch_size, 1024),
+            )
+            return passed.map_batches(
+                EncodePostings(
+                    num_shards=num_shards, bucket_bits=bucket_bits,
+                    analyzer=analyzer,
+                ),
+                batch_format="pyarrow",
+                batch_size=encode_batch_size or batch_size,
+            )
+
+        def _finish(runs):
+            # materialize the COMPRESSED runs (map-side combined,
+            # ~20-100x smaller than raw postings) before the groupby:
+            # with the all-to-all in the same pipeline, the executor's
+            # shuffle resource reservation starves the extract/encode
+            # map operator at low CPU counts (measured 3-of-8 effective
+            # parallelism). The runs are the one thing small enough to
+            # pin.
+            runs_mat = runs.materialize()
+            sds = runs_mat.groupby(["shard", "bucket"]).map_groups(
+                lambda g: _commit_segment(g, segments_dir, lineage),
+                batch_format="pyarrow",
+            )
+            return _finish_segments(sds), sds
 
         # LWW URL dedup via the NARROW pre-pass: the survivor rule needs
         # only (url, warc_ts), so the all-to-all moves two columns and
@@ -304,66 +368,18 @@ def build_index(
         # the html payload never rides a shuffle and superseded crawls
         # never cost a parse. Falls back to the payload-shuffle
         # lww_dedup when the loser set is too big to broadcast or a
-        # winner is tied (see prededup_pages docstring).
-        pages_ds, prededup_clean = prededup_pages(
+        # winner is tied (prededup_pages docstring). The pass runs
+        # SERIALLY before the main pipeline: overlapping it via a gate
+        # actor deadlocks — the fused map tasks fill every CPU slot and
+        # then block on the gate while the narrow pass's own tasks
+        # starve (Ray Data's resource manager does not yield slots of
+        # blocked tasks to another dataset's executor).
+        _wipe_outputs()
+        deduped_pages, clean = prededup_pages(
             pages_ds, narrow_ds=narrow_pages_ds
         )
-        # Extraction holds no per-actor state (one parser per page), so it
-        # runs as elastic stateless TASKS by default — measured ~1.6x
-        # faster than an actor pool and it can never starve the read/write
-        # operators of CPUs. Pass extract_concurrency to opt into an actor
-        # pool (e.g. when a future analyzer loads per-actor models; use an
-        # autoscaling (1, N) pool, never a fixed pool == num_cpus, which
-        # deadlocks the streaming executor).
-        if extract_concurrency is None:
-            extracted = pages_ds.map_batches(
-                HtmlExtract(), batch_format="pyarrow", batch_size=batch_size
-            )
-        else:
-            extracted = pages_ds.map_batches(
-                HtmlExtract,
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=extract_concurrency,
-            )
-        profiled = extracted.map_batches(
-            ProfileDocs(), batch_format="pyarrow", batch_size=batch_size
-        )
-        # prune to the docstore columns BEFORE any exchange — the raw
-        # html bytes must never ride through an all-to-all
-        profiled = profiled.select_columns(DOCSTORE_COLUMNS)
-        docs = profiled if prededup_clean else lww_dedup(profiled)
-        # the write/encode batch size sets the FUSED chain's task
-        # granularity (Ray bundles the whole fused map chain at the
-        # largest batch_size): ~1k rows/task keeps ≥4 tasks per CPU in
-        # flight at 32 CPUs while writing ~128-row-per-bucket files
-        passed = docs.map_batches(
-            WriteDocstorePass(docstore_dir, bucket_bits, partials_dir),
-            batch_format="pyarrow",
-            batch_size=encode_batch_size or max(batch_size, 1024),
-        )
-        # larger encode batches = better map-side run compression (more
-        # postings combined per emitted run); extract wants SMALLER
-        # batches for task packing — the two are tuned independently
-        runs = passed.map_batches(
-            EncodePostings(
-                num_shards=num_shards, bucket_bits=bucket_bits, analyzer=analyzer
-            ),
-            batch_format="pyarrow",
-            batch_size=encode_batch_size or batch_size,
-        )
-        # materialize the COMPRESSED runs (map-side combined, ~20-100x
-        # smaller than raw postings) before the groupby: with the
-        # all-to-all in the same pipeline, the executor's resource
-        # reservation for the shuffle starves the extract/encode map
-        # operator at low CPU counts (measured 3-of-8 effective
-        # parallelism). The runs are the one thing small enough to pin.
-        runs_mat = runs.materialize()
-        seg_ds = runs_mat.groupby(["shard", "bucket"]).map_groups(
-            lambda g: _commit_segment(g, segments_dir, lineage),
-            batch_format="pyarrow",
-        )
-        shards_meta = _finish_segments(seg_ds)
+        runs = _chain(deduped_pages, (lambda d: d) if clean else lww_dedup)
+        shards_meta, seg_ds = _finish(runs)
         stats = collect_stats_partials(partials_dir)
         elapsed = time.monotonic() - t0
         excerpt = _stats_excerpt(seg_ds)

@@ -94,22 +94,46 @@ def _pick_latest(group: pa.Table, key: str, ts: str) -> pa.Table:
     return out.to_arrow()
 
 
-def _page_digests(batch: pa.Table) -> tuple[list[bytes], list[str]]:
-    """Per row: (16-byte blake2b digest of (norm_url, ts_us, url),
-    norm_url). The digest identifies a page ROW across the narrow
-    dedup pre-pass and the main pipeline's filter."""
-    import hashlib
+def _row_digests(norm: list[str], ts_us: list[int], urls: list) -> list[bytes]:
+    """16-byte digest per (norm_url, ts_us, url) row — TWO
+    independently-seeded vectorized polars hashes (128 bits total,
+    collision-safe at any realistic row count; one Rust kernel call per
+    batch instead of per-row Python hashing). Identifies a page ROW
+    across the narrow dedup pre-pass and the main pipeline's filter."""
+    df = pl.DataFrame(
+        {
+            "n": pl.Series(norm, dtype=pl.String),
+            "t": pl.Series(ts_us, dtype=pl.Int64),
+            "u": pl.Series([u or "" for u in urls], dtype=pl.String),
+        }
+    ).with_columns(
+        key=pl.concat_str(
+            [pl.col("n"), pl.col("t").cast(pl.String), pl.col("u")],
+            separator="\x00",
+        )
+    )
+    h1 = df["key"].hash(seed=101).to_numpy().astype("<u8")
+    h2 = df["key"].hash(seed=202).to_numpy().astype("<u8")
+    packed = np.column_stack([h1, h2]).tobytes()
+    return [packed[i * 16 : (i + 1) * 16] for i in range(len(norm))]
 
+
+def _page_digests(batch: pa.Table) -> tuple[list[bytes], list[str]]:
+    """Digests + normalized urls for a raw pages batch."""
     urls = batch.column("url").to_pylist()
     ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
     norm = [normalize_url(u or "") for u in urls]
-    digests = [
-        hashlib.blake2b(
-            f"{n}\x00{t}\x00{u}".encode("utf-8"), digest_size=16
-        ).digest()
-        for n, t, u in zip(norm, ts, urls)
-    ]
-    return digests, norm
+    return _row_digests(norm, ts, urls), norm
+
+
+def compute_losers(
+    narrow_src, max_broadcast: int = 2_000_000, buckets: int = 64
+):
+    """The narrow LWW pre-pass -> ("filter", frozenset[digest]) |
+    ("none", None) (no duplicates) | ("fallback", None) (loser set too
+    big to broadcast, or a winner tied on (warc_ts, url)). Only the
+    (url, warc_ts) columns of ``narrow_src`` are read."""
+    return _compute_losers_impl(narrow_src, max_broadcast, buckets)
 
 
 def prededup_pages(
@@ -137,6 +161,25 @@ def prededup_pages(
     """
     import ray
 
+    mode, loser_set = _compute_losers_impl(
+        narrow_ds if narrow_ds is not None else pages_ds, max_broadcast, buckets
+    )
+    if mode == "fallback":
+        return pages_ds, False
+    if mode == "none":
+        return pages_ds, True
+    lref = ray.put(loser_set)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ls = ray.get(lref)
+        digests, _ = _page_digests(batch)
+        mask = pa.array([d not in ls for d in digests])
+        return batch.filter(mask)
+
+    return pages_ds.map_batches(flt, batch_format="pyarrow"), True
+
+
+def _compute_losers_impl(src, max_broadcast: int, buckets: int):
     def narrow(batch: pa.Table) -> pa.Table:
         digests, norm = _page_digests(batch)
         b = np.asarray(
@@ -178,11 +221,10 @@ def prededup_pages(
             }
         )
 
-    # narrow_ds: caller-supplied PRUNED (url, warc_ts) source — e.g. a
-    # read_parquet(columns=[...]) of the same files. select_columns on
-    # the full pages dataset does NOT push the projection into the read,
-    # so without this the narrow pass decompresses every html payload.
-    src = narrow_ds if narrow_ds is not None else pages_ds
+    # src should be a PRUNED (url, warc_ts) source when the pages come
+    # from parquet — select_columns does NOT push the projection into
+    # the read, so narrowing the full pages dataset would decompress
+    # every html payload.
     narrowed = src.select_columns(["url", "warc_ts"]).map_batches(
         narrow, batch_format="pyarrow"
     )
@@ -191,21 +233,13 @@ def prededup_pages(
     # max_broadcast+1 rows — one row past the cap proves the fallback
     rows = loss.take(max_broadcast + 1)
     if len(rows) > max_broadcast:
-        return pages_ds, False
+        return "fallback", None
     if any(r["tied"] for r in rows):
-        return pages_ds, False
+        return "fallback", None
     loser_set = frozenset(r["digest"] for r in rows)
     if not loser_set:
-        return pages_ds, True
-    lref = ray.put(loser_set)
-
-    def flt(batch: pa.Table) -> pa.Table:
-        ls = ray.get(lref)
-        digests, _ = _page_digests(batch)
-        mask = pa.array([d not in ls for d in digests])
-        return batch.filter(mask)
-
-    return pages_ds.map_batches(flt, batch_format="pyarrow"), True
+        return "none", None
+    return "filter", loser_set
 
 
 def lww_dedup(ds, key: str = "norm_url", ts: str = "warc_ts", buckets: int = 64):

@@ -87,3 +87,36 @@ def test_prededup_matches_lww_dedup_on_synth(ray_session):
             expected[nu] = key
     got = {(r["warc_ts"], r["url"]) for r in out.take_all()}
     assert got == set(expected.values())
+
+
+def test_build_falls_back_on_tied_winners(ray_session, tmp_path_factory):
+    """Exact (url, warc_ts) ties make the broadcast filter unsplittable:
+    the LoserFilter stage raises mid-pipeline and build_index re-runs
+    once with the payload-shuffle dedup — docstore still one row per
+    normalized URL."""
+    import pyarrow.parquet as pq
+
+    from search_engine_core_ray.index.build import build_index
+    from search_engine_core_ray.query.engine import SearchEngine
+
+    rows = {
+        "url": ["https://a.com/x", "https://a.com/x", "https://b.com/y"],
+        "warc_ts": [_TS, _TS, _TS + datetime.timedelta(seconds=1)],
+        "html": [b"<html><body><p>one</p></body></html>",
+                 b"<html><body><p>two</p></body></html>",
+                 b"<html><body><p>other</p></body></html>"],
+        "lang": ["en", "en", "en"],
+    }
+    t = pa.table({
+        "url": pa.array(rows["url"], pa.string()),
+        "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us")),
+        "html": pa.array(rows["html"], pa.binary()),
+        "text": pa.array(["one ", "two ", "other "], pa.string()),
+        "lang": pa.array(rows["lang"], pa.string()),
+    })
+    idx = str(tmp_path_factory.mktemp("tie_idx"))
+    r = build_index(ray.data.from_arrow(t), idx, lineage="tie", num_shards=2)
+    assert r.stats.total_docs == 2  # one survivor per normalized URL
+    eng = SearchEngine(idx)
+    assert len(eng.doc_ids) == 2
+    assert len(set(eng.urls.tolist())) == 2
