@@ -924,19 +924,26 @@ def q_lsh_ann(sf_dir: str):
 
 @_q("media_features")  # rows-only: deterministic fake decode
 def q_media_features(sf_dir: str):
-    """Binary media column -> per-item feature vector via an actor-pool
-    decode stage (stubbed codec, real plumbing — stages/multimodal.py).
-    Small batch_size: payload bytes x batch x concurrency must fit the
-    worker heap."""
+    """Binary media column -> per-item feature vector via actor-pool
+    decode stages with REAL codecs (functions/codecs.py): PNG images
+    are zlib-inflated and filter-reconstructed, WAV audio is PCM-decoded
+    — no stub on this path. Small batch_size: payload bytes x batch x
+    concurrency must fit the worker heap."""
     import ray.data
 
-    from ..stages.multimodal import DecodeImage, synth_media_table
+    from ..stages.multimodal import DecodeAudio, DecodeImage, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(96, seed=11)).repartition(4)
-    return ds.map_batches(
-        DecodeImage, fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow", batch_size=16, concurrency=2,
+    # AUTOSCALING (1, N) pools: two fixed pools would pin every CPU of
+    # a small cluster and deadlock the streaming executor (no slots
+    # left for the filter/read tasks feeding them)
+    images = ds.filter(lambda r: r["kind"] == "image").map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     )
+    audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+    )
+    return images.union(audio)
 
 
 @_q("media_frame_samples")  # rows-only

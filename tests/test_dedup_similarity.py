@@ -155,8 +155,16 @@ def test_multimodal_stub_plumbing(ray_session):
     assert resized.column("width").to_pylist() == [64] * 30
     frames = SampleFrames(n_frames=4, fake=True)(t)
     assert frames.num_rows == 30 * 4
-    with pytest.raises(NotImplementedError):
-        DecodeImage()(t)
+    # the REAL decoder (round-2) decodes the PNG rows and rejects
+    # non-PNG payloads loudly (tests/test_codecs_multimodal.py covers
+    # the codec itself)
+    imgs = t.filter(
+        __import__("pyarrow").compute.equal(t.column("kind"), "image")
+    )
+    real = DecodeImage()(imgs)
+    assert real.num_rows == imgs.num_rows
+    with pytest.raises(ValueError):
+        DecodeImage()(t)  # mixed kinds: audio/video payloads aren't PNG
 
 
 def test_synth_ds_matches_partitioning(ray_session):
