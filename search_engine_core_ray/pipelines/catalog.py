@@ -919,10 +919,10 @@ def q_lsh_ann(sf_dir: str):
 
 
 # ======================================================================
-# multimodal plumbing (stubbed codecs; real Ray-side schema/batching)
+# multimodal: REAL stdlib PNG/WAV codecs (video decode stays stubbed)
 # ======================================================================
 
-@_q("media_features")  # rows-only: deterministic fake decode
+@_q("media_features")  # rows-only: feature vectors from real decodes
 def q_media_features(sf_dir: str):
     """Binary media column -> per-item feature vector via actor-pool
     decode stages with REAL codecs (functions/codecs.py): PNG images

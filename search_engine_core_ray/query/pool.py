@@ -66,7 +66,7 @@ class QueryPool:
         self.index_dir = index_dir
         self.engine_kwargs = engine_kwargs
         self.max_size = max(max_size or size, size)
-        self.scale_batch = scale_batch
+        self.scale_batch = max(1, scale_batch)
         self.actors = [
             _EngineActor.remote(index_dir, engine_kwargs) for _ in range(size)
         ]

@@ -94,28 +94,23 @@ def _pick_latest(group: pa.Table, key: str, ts: str) -> pa.Table:
     return out.to_arrow()
 
 
-def _row_digests(norm: list[str], ts_us: list[int], urls: list) -> list[bytes]:
-    """16-byte digest per (norm_url, ts_us, url) row — TWO
-    independently-seeded vectorized polars hashes (128 bits total,
-    collision-safe at any realistic row count; one Rust kernel call per
-    batch instead of per-row Python hashing). Identifies a page ROW
-    across the narrow dedup pre-pass and the main pipeline's filter."""
-    df = pl.DataFrame(
-        {
-            "n": pl.Series(norm, dtype=pl.String),
-            "t": pl.Series(ts_us, dtype=pl.Int64),
-            "u": pl.Series([u or "" for u in urls], dtype=pl.String),
-        }
-    ).with_columns(
-        key=pl.concat_str(
-            [pl.col("n"), pl.col("t").cast(pl.String), pl.col("u")],
-            separator="\x00",
-        )
-    )
-    h1 = df["key"].hash(seed=101).to_numpy().astype("<u8")
-    h2 = df["key"].hash(seed=202).to_numpy().astype("<u8")
-    packed = np.column_stack([h1, h2]).tobytes()
-    return [packed[i * 16 : (i + 1) * 16] for i in range(len(norm))]
+def _row_digests(norm: list[str], ts_us: list, urls: list) -> list[bytes]:
+    """16-byte blake2b digest per (norm_url, ts_us, url) row.
+    Identifies a page ROW across the narrow dedup pre-pass and the main
+    pipeline's filter, so it must be (a) stable across processes,
+    nodes AND library versions (blake2b is; polars Series.hash is
+    documented as unstable across polars versions), and (b) null-safe:
+    a null warc_ts renders as the literal 'None' INSIDE a key that
+    still contains the url — unlike string-concat hashing where a null
+    component nulls the whole key and every null-ts row collides."""
+    import hashlib
+
+    return [
+        hashlib.blake2b(
+            f"{n}\x00{t}\x00{u or ''}".encode("utf-8"), digest_size=16
+        ).digest()
+        for n, t, u in zip(norm, ts_us, urls)
+    ]
 
 
 def _page_digests(batch: pa.Table) -> tuple[list[bytes], list[str]]:
@@ -124,16 +119,6 @@ def _page_digests(batch: pa.Table) -> tuple[list[bytes], list[str]]:
     ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
     norm = [normalize_url(u or "") for u in urls]
     return _row_digests(norm, ts, urls), norm
-
-
-def compute_losers(
-    narrow_src, max_broadcast: int = 2_000_000, buckets: int = 64
-):
-    """The narrow LWW pre-pass -> ("filter", frozenset[digest]) |
-    ("none", None) (no duplicates) | ("fallback", None) (loser set too
-    big to broadcast, or a winner tied on (warc_ts, url)). Only the
-    (url, warc_ts) columns of ``narrow_src`` are read."""
-    return _compute_losers_impl(narrow_src, max_broadcast, buckets)
 
 
 def prededup_pages(

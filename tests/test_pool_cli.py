@@ -108,3 +108,25 @@ def test_pool_autoscaling(built, ray_session):
         ]
     finally:
         pool.shutdown()
+
+
+def test_search_simple_always_highlights(built):
+    from search_engine_core_ray.query.api import search_simple
+    from search_engine_core_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built)
+    out = search_simple(eng, "apple", limit=5)
+    assert out == eng.search("apple", limit=5, offset=0, highlight=True)
+    for r in out["results"]:
+        assert "highlights" in r
+
+
+def test_pool_scale_batch_guard(built, ray_session):
+    from search_engine_core_ray.query.pool import QueryPool
+
+    pool = QueryPool(built, size=1, max_size=2, scale_batch=0)
+    try:
+        out = pool.search_many(["apple", "apple"])  # must not divide by zero
+        assert len(out) == 2
+    finally:
+        pool.shutdown()

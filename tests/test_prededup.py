@@ -91,9 +91,9 @@ def test_prededup_matches_lww_dedup_on_synth(ray_session):
 
 def test_build_falls_back_on_tied_winners(ray_session, tmp_path_factory):
     """Exact (url, warc_ts) ties make the broadcast filter unsplittable:
-    the LoserFilter stage raises mid-pipeline and build_index re-runs
-    once with the payload-shuffle dedup — docstore still one row per
-    normalized URL."""
+    the narrow pre-pass detects them up front (clean=False) and
+    build_index takes the payload-shuffle lww_dedup branch — docstore
+    still one row per normalized URL."""
     import pyarrow.parquet as pq
 
     from search_engine_core_ray.index.build import build_index
@@ -120,3 +120,26 @@ def test_build_falls_back_on_tied_winners(ray_session, tmp_path_factory):
     eng = SearchEngine(idx)
     assert len(eng.doc_ids) == 2
     assert len(set(eng.urls.tolist())) == 2
+
+
+def test_prededup_null_ts_rows_not_conflated(ray_session):
+    """Null warc_ts must not collapse digests: two DIFFERENT urls with
+    null ts are distinct rows — dropping one url's loser must never
+    drop the other url (regression for the concat-str null-propagation
+    bug)."""
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["https://a.com/x", "https://a.com/x", "https://b.com/y"],
+                pa.string(),
+            ),
+            "warc_ts": pa.array([None, _TS, None], pa.timestamp("us")),
+            "html": pa.array([b"<p>1</p>", b"<p>2</p>", b"<p>3</p>"], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out, clean = prededup_pages(ds)
+    assert clean
+    rows = sorted((r["url"], r["warc_ts"]) for r in out.take_all())
+    # a.com/x keeps its non-null (newer) crawl; b.com/y SURVIVES
+    assert rows == [("https://a.com/x", _TS), ("https://b.com/y", None)]
