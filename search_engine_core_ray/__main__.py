@@ -67,6 +67,16 @@ def main(argv: list[str] | None = None) -> int:
     p_sug.add_argument("prefix")
     p_sug.add_argument("--limit", type=int, default=10)
 
+    p_upd = sub.add_parser(
+        "update", help="upsert a pages delta into an index (new generation)"
+    )
+    p_upd.add_argument("--index", required=True, help="existing index dir")
+    p_upd.add_argument("--pages", required=True, help="parquet dir with the delta")
+    p_upd.add_argument("--out", required=True, help="output dir for the new generation")
+    p_upd.add_argument("--num-shards", type=int, default=32)
+    p_upd.add_argument("--bucket-bits", type=int, default=2)
+    p_upd.add_argument("--lineage", default="cli-update")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":
@@ -125,6 +135,24 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = SearchEngine(args.index)
         print(json.dumps(eng.suggest(args.prefix, limit=args.limit)))
+        return 0
+
+    if args.cmd == "update":
+        ray = _init_ray(args.num_cpus)
+
+        from .index.update import add_pages
+        from .sources.pages import read_pages
+
+        r = add_pages(
+            args.index, read_pages(args.pages), args.out,
+            num_shards=args.num_shards, bucket_bits=args.bucket_bits,
+            lineage=args.lineage,
+        )
+        print(json.dumps({
+            "out": args.out, "docs": r.stats.total_docs,
+            "avgdl": round(r.stats.avgdl, 2),
+        }))
+        ray.shutdown()
         return 0
 
     return 1
