@@ -186,20 +186,38 @@ def _commit_segment(group: pa.Table, segments_dir: str, lineage: str = "") -> pa
     file atomically (tmp + rename) with a sidecar meta json carrying
     the partition's lineage + metrics (north_rule: per-partition
     lineage and metrics per segment)."""
-    merged = merge_bucket_runs(group)
     empty = pa.table(
         {"shard": pa.array([], pa.int32()), "bucket": pa.array([], pa.int32()),
          "terms": pa.array([], pa.int64()), "postings": pa.array([], pa.int64()),
          "bytes": pa.array([], pa.int64())}
     )
+    if group.num_rows == 0:
+        return empty
+    shard = group.column("shard")[0].as_py()
+    bucket = group.column("bucket")[0].as_py()
+    shard_dir = os.path.join(segments_dir, f"shard={shard:05d}")
+    # per-partition resume BEFORE paying the merge: a committed segment
+    # with MATCHING lineage is final (tmp+rename atomic + fsync) — skip
+    # straight to its recorded metrics, so a retried/re-run merge pass
+    # only merges and writes what a previous attempt didn't finish
+    final = os.path.join(shard_dir, f"bucket={bucket:03d}.parquet")
+    meta_path = os.path.join(shard_dir, f"bucket={bucket:03d}.meta.json")
+    prev = read_json(meta_path)
+    if prev is not None and prev.get("lineage") == lineage and os.path.exists(final):
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int32()),
+                "bucket": pa.array([bucket], pa.int32()),
+                "terms": pa.array([int(prev["terms"])], pa.int64()),
+                "postings": pa.array([int(prev["postings"])], pa.int64()),
+                "bytes": pa.array([int(prev["bytes"])], pa.int64()),
+            }
+        )
+    merged = merge_bucket_runs(group)
     if merged.num_rows == 0:
         return empty
-    shard = merged.column("shard")[0].as_py()
-    bucket = merged.column("bucket")[0].as_py()
-    shard_dir = os.path.join(segments_dir, f"shard={shard:05d}")
     os.makedirs(shard_dir, exist_ok=True)
     tmp = os.path.join(shard_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-    final = os.path.join(shard_dir, f"bucket={bucket:03d}.parquet")
     pq.write_table(merged.drop_columns(["shard"]), tmp, compression="zstd")
     # durability matches state/checkpoint.atomic_write_json: fsync the
     # data, rename, fsync the directory — a power failure can't leave a
