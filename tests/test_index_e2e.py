@@ -385,3 +385,46 @@ def test_segment_commit_is_idempotent_per_partition(built, tmp_path_factory):
     assert os.path.getmtime(seg) == before  # not rewritten
     assert out.column("terms").to_pylist() == [meta["terms"]]
     assert out.column("postings").to_pylist() == [meta["postings"]]
+
+
+def test_hot_term_splits_across_buckets(ray_session, tmp_path_factory):
+    """Skew handling: a term occurring in EVERY doc must split across
+    the 2^bucket_bits docID-range groups (bounded merge-group size)
+    and still decode to the full posting list at query time."""
+    import pyarrow as pa
+
+    n = 400
+    t = pa.table(
+        {
+            "url": pa.array([f"https://s.com/p/{i}" for i in range(n)], pa.string()),
+            "warc_ts": pa.array(
+                [__import__("datetime").datetime(2024, 1, 1)] * n, pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [f"<html><body><p>hotterm filler{i}</p></body></html>".encode()
+                 for i in range(n)],
+                pa.binary(),
+            ),
+            "text": pa.array([f"hotterm filler{i} " for i in range(n)], pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("hot_idx"))
+    build_index(ray.data.from_arrow(t), idx, lineage="hot", num_shards=4,
+                bucket_bits=2)
+    # the hot term's postings live in MULTIPLE bucket files of its shard
+    from search_engine_core_ray.index.segments import shard_of_term
+
+    import pyarrow.parquet as _pq
+
+    shard = shard_of_term("hotterm", 4)
+    files = sorted(glob.glob(os.path.join(
+        idx, "segments", f"shard={shard:05d}", "bucket=*.parquet")))
+    holding = [
+        f for f in files
+        if "hotterm" in set(_pq.read_table(f, columns=["term"]).column("term").to_pylist())
+    ]
+    assert len(holding) >= 3, "hot term should span several docID buckets"
+    # and the engine reassembles the full df
+    eng = SearchEngine(idx)
+    assert eng._postings("hotterm")[4] == n
