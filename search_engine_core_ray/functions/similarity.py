@@ -46,6 +46,29 @@ def cosine_block(queries: np.ndarray, corpus: np.ndarray) -> np.ndarray:
     return (queries @ corpus.T) / (qn * cn.T)
 
 
+def _collect_query_vectors(embeddings_ds, query_ids):
+    """Fetch the Q query vectors with a vectorized columnar mask
+    (``pc.is_in`` per Arrow batch) — no per-row Python predicate runs
+    over the corpus, and only the Q matching rows ever leave the scan.
+    Returns (qmat float64 (Q, d), qids sorted ascending)."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted({int(q) for q in query_ids}), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("vec_id"), value_set=value_set))
+
+    rows = (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    qmat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in rows]
+    return qmat, qids
+
+
 class BatchCosine:
     """map_batches stage: per batch, emit each query's PARTIAL top-k
     (query_id, vec_id, cos) rows under the final merge's total order
@@ -103,11 +126,7 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10, round_digits: int
     import ray
     import polars as pl
 
-    qset = set(query_ids)
-    qrows = embeddings_ds.filter(lambda r: r["vec_id"] in qset).take_all()
-    qrows.sort(key=lambda r: r["vec_id"])
-    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    qids = [r["vec_id"] for r in qrows]
+    qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
     qref = ray.put(qmat)
 
     sims = embeddings_ds.map_batches(
@@ -269,11 +288,7 @@ def ivf_ann(
     cents = _kmeans(sample, n_centroids)
     cref = ray.put(cents)
 
-    qset = set(query_ids)
-    qrows = embeddings_ds.filter(lambda r: r["vec_id"] in qset).take_all()
-    qrows.sort(key=lambda r: r["vec_id"])
-    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    qids = [r["vec_id"] for r in qrows]
+    qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
     # per-query probe lists (n_probe nearest centroids)
     qsims = cosine_block(qmat, cents)
     probes = np.argsort(-qsims, axis=1)[:, : min(n_probe, len(cents))]
@@ -400,11 +415,11 @@ def lsh_bucket_ann(embeddings_ds, query_ids: list[int], k: int = 10, n_planes: i
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     bucketed = embeddings_ds.map_batches(sign_bucket, batch_format="pyarrow")
-    qset = set(query_ids)
+    qarr = np.asarray(sorted({int(q) for q in query_ids}), dtype=np.int64)
 
     def bucket_topk(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy()
-        local_q = [i for i, v in enumerate(ids) if v in qset]
+        local_q = np.flatnonzero(np.isin(ids, qarr)).tolist()
         if not local_q:
             return pa.table(
                 {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),

@@ -51,6 +51,32 @@ def tombstone_domain(index_dir: str, domain: str) -> int:
     return len(ids)
 
 
+def tombstone_url(index_dir: str, url: str) -> int:
+    """Single-document delete — RedisSearchStorage::deleteDocument(url)
+    (include/search_engine/storage/RedisSearchStorage.h:91,
+    src/storage/RedisSearchStorage.cpp:203-216): the URL is normalized
+    with the same rule that keyed it at index time, its doc row is
+    tombstoned, and the next ``compact_index`` drops it physically.
+    Returns how many docs were marked (0 when the URL isn't indexed)."""
+    from ..functions.urls import normalize_url
+
+    norm = normalize_url(url or "")
+    t = pq.read_table(
+        os.path.join(index_dir, "docstore"), columns=["doc_id", "norm_url"]
+    )
+    hit = t.filter(pc.equal(t.column("norm_url"), norm))
+    ids = hit.column("doc_id").to_pylist()
+    if not ids:
+        return 0
+    cur = load_tombstones(index_dir)
+    merged = sorted(set(cur["doc_ids"]) | set(ids))
+    atomic_write_json(
+        os.path.join(index_dir, TOMBSTONES),
+        {"domains": cur["domains"], "doc_ids": merged},
+    )
+    return len(ids)
+
+
 def compact_index(index_dir: str, new_index_dir: str, **build_kw) -> None:
     """Rewrite the index at ``new_index_dir`` without tombstoned docs."""
     import ray.data

@@ -332,6 +332,10 @@ class ShardReader:
         for i, term in enumerate(t.column("term").to_pylist()):
             self.term_rows.setdefault(term, []).append(i)
         self._df = t.column("df").to_numpy() if t.num_rows else np.empty(0, np.int64)
+        # rows are (term, bucket)-sorted, so insertion order == term
+        # order: this list is ASCENDING — suggest() bisects it for
+        # prefix ranges instead of scanning the whole dictionary
+        self.terms_sorted: list[str] = list(self.term_rows.keys())
 
     def df(self, term: str) -> int:
         rows = self.term_rows.get(term)

@@ -76,13 +76,32 @@ def add_pages(
         ProfileDocs(), batch_format="pyarrow", batch_size=batch_size
     ).select_columns(DOCSTORE_COLUMNS)
 
+    # backfill types for docstore columns missing from an old generation
+    # (only string-typed TAG columns like ``category`` can legitimately
+    # be absent today, but backfilling anything else as string "" would
+    # union mismatched types — use the column's REAL type instead)
+    _BACKFILL: dict[str, tuple[pa.DataType, object]] = {
+        "doc_id": (pa.int64(), None),
+        "keywords": (pa.list_(pa.string()), None),
+        "quality": (pa.float64(), 0.0),
+        "word_count": (pa.int32(), 0),
+        "len_title": (pa.int32(), 0),
+        "len_content": (pa.int32(), 0),
+        "len_desc": (pa.int32(), 0),
+        "warc_ts": (pa.timestamp("us"), None),
+    }
+
     def _align(b: pa.Table) -> pa.Table:
         # old docstores may predate newer optional columns
         for c in DOCSTORE_COLUMNS:
             if c not in b.column_names:
-                b = b.append_column(
-                    c, pa.array([""] * b.num_rows, pa.string())
+                typ, default = _BACKFILL.get(c, (pa.string(), ""))
+                col = (
+                    pa.nulls(b.num_rows, typ)
+                    if default is None
+                    else pa.array([default] * b.num_rows, typ)
                 )
+                b = b.append_column(c, col)
         return b.select(DOCSTORE_COLUMNS)
 
     merged = old_docs.map_batches(_align, batch_format="pyarrow").union(

@@ -60,7 +60,11 @@ def search_api(
     offset = (page - 1) * limit
     try:
         if fast and hasattr(engine, "search_fast"):
-            # pruned top-k serving: same ranked ids, raw scores
+            # pruned top-k serving: same ranked ids, raw scores, and
+            # meta.total counts the RETRIEVAL set (pre min-score
+            # filter) — the fidelity path's total is post-filter, so
+            # pagination keyed on total may differ when fast toggles
+            # (see SearchEngine.search_fast docstring)
             out = engine.search_fast(q, limit=limit, offset=offset,
                                      highlight=highlight)
         else:

@@ -164,6 +164,12 @@ class SearchEngine:
                 _glob.glob(os.path.join(docstore_dir, "**", "*.parquet"),
                            recursive=True)
             )
+            if not any_file:
+                raise FileNotFoundError(
+                    f"no docstore parquet files under {docstore_dir!r} — "
+                    "the index was built over an empty corpus or the "
+                    "index_dir path is wrong"
+                )
             t = pq.read_schema(any_file[0]).empty_table()
         if self.bucket is not None and not pruned:
             from ..index.segments import range_bucket
@@ -204,27 +210,53 @@ class SearchEngine:
         self.len_title = t.column("len_title").to_numpy().astype(np.float64)
         self.len_content = t.column("len_content").to_numpy().astype(np.float64)
         self.len_desc = t.column("len_desc").to_numpy().astype(np.float64)
-        # keyword posting lists: term -> sorted doc_id array
+        # keyword + metadata posting lists, built VECTORIZED — one
+        # stable argsort per column + run slicing (doc_ids ascend in t,
+        # so every sliced run comes out docID-sorted); the old per-row
+        # dict-append loops dominated bucket-actor warmup at large
+        # partitions
+        import pyarrow.compute as _pc
+
+        def _runs(keys: np.ndarray, docs: np.ndarray) -> dict:
+            order = np.argsort(keys, kind="stable")
+            ks, ds = keys[order], docs[order]
+            if len(ks) == 0:
+                return {}
+            change = np.concatenate(([True], ks[1:] != ks[:-1]))
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [len(ks)]))
+            return {ks[s]: ds[s:e] for s, e in zip(starts.tolist(), ends.tolist())}
+
         self.kw_postings: dict[str, np.ndarray] = {}
-        kw_lists = t.column("keywords").to_pylist()
-        acc: dict[str, list[int]] = {}
-        for did, kws in zip(self.doc_ids.tolist(), kw_lists):
-            for kw in kws or ():
-                acc.setdefault(kw, []).append(did)
-        for k, v in acc.items():
-            self.kw_postings[k] = np.asarray(v, dtype=np.int64)  # already sorted
+        if t.num_rows:
+            kw_col = t.column("keywords")
+            if isinstance(kw_col, pa.ChunkedArray):
+                kw_col = kw_col.combine_chunks()
+            lens = (
+                _pc.fill_null(_pc.list_value_length(kw_col), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = np.asarray(_pc.list_flatten(kw_col).to_pylist(), dtype=object)
+            self.kw_postings = _runs(flat, np.repeat(self.doc_ids, lens))
         # metadata posting lists
         self._meta_postings: dict[tuple[str, str], np.ndarray] = {}
-        for fld, col in (
-            ("domain", self.domains),
-            ("lang", self.langs),
-            ("category", self.categories),
-        ):
-            vals: dict[str, list[int]] = {}
-            for did, v in zip(self.doc_ids.tolist(), col.tolist()):
-                vals.setdefault(v or "", []).append(did)
-            for v, ids in vals.items():
-                self._meta_postings[(fld, v)] = np.asarray(ids, dtype=np.int64)
+        if t.num_rows:
+            meta_cols = {
+                "domain": t.column("domain"),
+                "lang": t.column("lang"),
+                "category": (
+                    t.column("category")
+                    if "category" in t.column_names
+                    else pa.array([""] * t.num_rows, pa.string())
+                ),
+            }
+            for fld, col in meta_cols.items():
+                vals = np.asarray(
+                    _pc.fill_null(col, "").to_pylist(), dtype=object
+                )
+                for v, ids in _runs(vals, self.doc_ids).items():
+                    self._meta_postings[(fld, v)] = ids
 
     def _lower_pa(self, which: str) -> "pa.Array":
         """Lazily-built ASCII-lowered Arrow column for phrase kernels."""
@@ -648,8 +680,12 @@ class SearchEngine:
         ``search`` (asserted in tests), but scores are RAW (no min-max
         normalization: that needs the min over all candidate scores,
         which pruning exists to avoid) and ``total`` counts the full
-        candidate set. Falls back to the fidelity path for phrases,
-        filters, limit=0 (return-all) and non-bm25 engines."""
+        RETRIEVAL set — pre min-score filter, so it can exceed the
+        fidelity path's post-filter total (computing the filtered count
+        would require scoring every candidate, which pruning exists to
+        avoid; the divergence is surfaced in search_api too). Falls
+        back to the fidelity path for phrases, filters, limit=0
+        (return-all) and non-bm25 engines."""
         ast = parse_query(query)
         if (
             limit == 0
@@ -683,18 +719,28 @@ class SearchEngine:
         suggestion dictionary IS the index's term dictionary: indexed
         terms with the given (lowercased) prefix, ranked by document
         frequency descending then lexicographically — the natural
-        engine-side semantics for the same API."""
+        engine-side semantics for the same API.
+
+        Each shard's term dictionary is kept term-sorted, so the prefix
+        range is found by bisect — O(log V + hits) per shard, and the
+        accumulation is bounded by ``heapq.nsmallest`` instead of
+        collecting every match before truncating."""
+        import bisect
+
         if not prefix or limit <= 0:
             return []
         p = _lower(prefix)
-        hits: list[tuple[int, str]] = []
-        for shard in range(self.num_shards):
-            reader = self._reader(shard)
-            for t in reader.term_rows:
-                if t.startswith(p):
-                    hits.append((-reader.df(t), t))
-        hits.sort()
-        return [t for _, t in hits[:limit]]
+
+        def gen():
+            for shard in range(self.num_shards):
+                reader = self._reader(shard)
+                terms = reader.terms_sorted
+                i = bisect.bisect_left(terms, p)
+                while i < len(terms) and terms[i].startswith(p):
+                    yield (-reader.df(terms[i]), terms[i])
+                    i += 1
+
+        return [t for _, t in heapq.nsmallest(limit, gen())]
 
     # ---- block-max WAND fast path --------------------------------------
     def search_topk_wand(

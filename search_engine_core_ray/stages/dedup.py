@@ -217,12 +217,13 @@ def minhash_near_dupes(
     1. minhash + banding per doc (map_batches);
     2. groupby(band, band_hash) emits candidate pairs per LSH bucket;
     3. groupby(a, b) dedups pairs that collided in several bands;
-    4. pairs explode to one row per SIDE (a, b, doc_id) and hash-JOIN
-       the per-doc shingle sets on doc_id — on a dup-heavy web corpus
-       the candidate set is NOT collision-sized, so the verify texts
-       travel via shuffle, not through the driver;
-    5. groupby(a, b) reunites each pair's two shingle sets and verifies
-       exact Jaccard inside the group (vectorized intersect).
+    4. TWO hash-JOINs attach each pair's shingle sets (pairs x shingles
+       on a, then on b) — on a dup-heavy web corpus the candidate set
+       is NOT collision-sized, so the verify payloads travel via
+       shuffle, not through the driver;
+    5. one map_batches verifies exact Jaccard over whole join-output
+       batches (sorted-array intersect per pair — no per-pair
+       map_groups call overhead).
     """
     bands = docs_ds.map_batches(
         lambda b: minhash_bands(b, k), batch_format="pyarrow"
@@ -253,51 +254,59 @@ def minhash_near_dupes(
             )
         )
 
-    def explode_sides(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        return pa.table(
-            {
-                "a": pa.array(np.repeat(a, 2), pa.int64()),
-                "b": pa.array(np.repeat(b, 2), pa.int64()),
-                "doc_id": pa.array(
-                    np.column_stack([a, b]).reshape(-1).astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
-    sides = uniq.map_batches(explode_sides, batch_format="pyarrow")
     sh_ds = docs_ds.map_batches(lambda b: doc_shingles(b, k), batch_format="pyarrow")
-    joined = sides.join(
-        sh_ds, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
+
+    def as_side(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {side: batch.column("doc_id"), f"sh_{side}": batch.column("sh")}
+            )
+
+        return fn
+
+    joined = uniq.join(
+        sh_ds.map_batches(as_side("a"), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+    ).join(
+        sh_ds.map_batches(as_side("b"), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
     )
 
-    def verify(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-        if group.num_rows != 2:
-            return empty
-        sh_col = group.column("sh")
-        sa = np.frombuffer(sh_col[0].as_py() or b"", dtype=np.uint64)
-        sb = np.frombuffer(sh_col[1].as_py() or b"", dtype=np.uint64)
-        if len(sa) == 0 or len(sb) == 0:
-            j = 0.0
-        else:
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-        if j < threshold:
-            return empty
-        return pa.table(
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        sa_col = batch.column("sh_a").combine_chunks() if isinstance(
+            batch.column("sh_a"), pa.ChunkedArray
+        ) else batch.column("sh_a")
+        sb_col = batch.column("sh_b").combine_chunks() if isinstance(
+            batch.column("sh_b"), pa.ChunkedArray
+        ) else batch.column("sh_b")
+        jac = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            sa = np.frombuffer(sa_col[i].as_py() or b"", dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i].as_py() or b"", dtype=np.uint64)
+            if len(sa) and len(sb):
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = jac >= threshold
+        out = pa.table(
             {
-                "a": group.column("a").slice(0, 1),
-                "b": group.column("b").slice(0, 1),
-                "jaccard": pa.array([j], pa.float64()),
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "jaccard": pa.array(jac, pa.float64()),
             }
         )
+        return out.filter(pa.array(keep))
 
-    return joined.groupby(["a", "b"]).map_groups(verify, batch_format="pyarrow")
+    return joined.map_batches(verify_batch, batch_format="pyarrow")
 
 
 # ---- simhash -----------------------------------------------------------

@@ -84,3 +84,47 @@ def test_compact_pre_category_docstore(ray_session, tmp_path_factory):
     eng = SearchEngine(dst)
     assert dom not in set(eng.domains)
     assert len(eng.doc_ids) > 0
+
+
+def test_tombstone_single_url(ray_session, tmp_path_factory):
+    """deleteDocument(url) parity (RedisSearchStorage.h:91): one URL
+    tombstoned -> absent from search; compaction drops it physically;
+    the rest of its domain keeps serving."""
+    from search_engine_core_ray.index.delete import tombstone_url
+
+    src = str(tmp_path_factory.mktemp("url_del_idx"))
+    dst = str(tmp_path_factory.mktemp("url_del_compacted"))
+    pages = synth_pages_table(SynthConfig(n_docs=120, seed=47))
+    build_index(ray.data.from_arrow(pages), src, lineage="urldel", num_shards=4)
+
+    eng0 = SearchEngine(src)
+    # pick a domain with >= 2 docs so the domain keeps serving after
+    from collections import Counter
+
+    dom, cnt = Counter(eng0.domains.tolist()).most_common(1)[0]
+    assert cnt >= 2
+    pos = next(i for i, d in enumerate(eng0.domains.tolist()) if d == dom)
+    victim_url = eng0.urls[pos]
+    victim_id = int(eng0.doc_ids[pos])
+
+    # the raw (pre-normalization) URL resolves through normalize_url too
+    assert tombstone_url(src, victim_url) == 1
+    assert tombstone_url(src, "http://nowhere.invalid/none") == 0
+
+    eng = SearchEngine(src)  # reload picks up tombstones
+    assert victim_id in set(eng.tombstones.tolist())
+    hits = eng.search(f"site:{dom}", limit=100)
+    assert all(r["doc_id"] != victim_id for r in hits["results"])
+    assert hits["total"] == cnt - 1  # domain minus the one url
+    # domain-level tombstones untouched
+    assert load_tombstones(src)["domains"] == []
+
+    # idempotent: deleting again re-marks the same doc, no growth
+    tombstone_url(src, victim_url)
+    assert len(load_tombstones(src)["doc_ids"]) == 1
+
+    compact_index(src, dst, lineage="urldel2", num_shards=4)
+    eng2 = SearchEngine(dst)
+    assert victim_id not in set(eng2.doc_ids.tolist())
+    assert eng2.N == eng0.N - 1
+    assert eng2.search(f"site:{dom}", limit=100)["total"] == cnt - 1
