@@ -111,6 +111,8 @@ class SearchEngine:
         self.text_analyzer = self.manifest.get("analyzer", "default")
         self._shards: dict[int, ShardReader] = {}
         self._postings_cache: dict[str, tuple] = {}
+        self._pos_cache: dict[str, tuple] = {}
+        self._fscore_cache: dict[str, np.ndarray] = {}
         self._block_bounds_cache: dict[str, tuple] = {}
         self._load_docstore(os.path.join(index_dir, "docstore"))
         # doc-level tombstones (deleteDocumentsByDomain analog):
@@ -119,6 +121,11 @@ class SearchEngine:
         self.tombstones = np.asarray(
             load_tombstones(index_dir)["doc_ids"], dtype=np.int64
         )
+        if len(self.tombstones) and len(self.doc_ids):
+            # positions-space twin for the hot path (sorted asc)
+            loc = np.searchsorted(self.doc_ids, self.tombstones)
+            loc = np.minimum(loc, len(self.doc_ids) - 1)
+            self._tomb_pos = loc[self.doc_ids[loc] == self.tombstones]
         if preload_shards:
             # open every term dictionary up front: first-query latency
             # moves into __init__ (the actor-pool warmup), flattening p99
@@ -199,6 +206,8 @@ class SearchEngine:
         self.is_authority = np.asarray(
             [d in AUTHORITY_DOMAINS for d in self.domains], dtype=bool
         )
+        # positions-space tombstones (set after tombstones load below)
+        self._tomb_pos = np.empty(0, dtype=np.int64)
         self._title_boost_cache: dict[str, np.ndarray] = {}
         # Arrow string arrays for substring kernels (C++ match_substring
         # beats any Python/pandas loop by ~100x on the p99 path).
@@ -210,12 +219,24 @@ class SearchEngine:
         self.len_title = t.column("len_title").to_numpy().astype(np.float64)
         self.len_content = t.column("len_content").to_numpy().astype(np.float64)
         self.len_desc = t.column("len_desc").to_numpy().astype(np.float64)
-        # keyword + metadata posting lists, built VECTORIZED — one
-        # stable argsort per column + run slicing (doc_ids ascend in t,
-        # so every sliced run comes out docID-sorted); the old per-row
-        # dict-append loops dominated bucket-actor warmup at large
-        # partitions
+        # precomputed BM25 length normalizers k1*(1 - b + b*len/avgdl):
+        # the per-query tf component becomes tf*(k1+1)/(tf + norm[pos])
+        # — one gather instead of recomputing the normalizer per query
+        k1, b = self.config.bm25_params.k1, self.config.bm25_params.b
+        avg = max(self.avgdl, 1e-9)
+        self._bm25_norm = {
+            "title": k1 * (1.0 - b + b * self.len_title / avg),
+            "content": k1 * (1.0 - b + b * self.len_content / avg),
+            "desc": k1 * (1.0 - b + b * self.len_desc / avg),
+        }
+        # keyword + metadata posting lists in POSITIONS space (docstore
+        # row indices; position order == docID order because t is
+        # doc_id-sorted), built VECTORIZED — one stable argsort per
+        # column + run slicing; the old per-row dict-append loops
+        # dominated bucket-actor warmup at large partitions
         import pyarrow.compute as _pc
+
+        all_pos = np.arange(t.num_rows, dtype=np.int64)
 
         def _runs(keys: np.ndarray, docs: np.ndarray) -> dict:
             order = np.argsort(keys, kind="stable")
@@ -238,7 +259,7 @@ class SearchEngine:
                 .astype(np.int64)
             )
             flat = np.asarray(_pc.list_flatten(kw_col).to_pylist(), dtype=object)
-            self.kw_postings = _runs(flat, np.repeat(self.doc_ids, lens))
+            self.kw_postings = _runs(flat, np.repeat(all_pos, lens))
         # metadata posting lists
         self._meta_postings: dict[tuple[str, str], np.ndarray] = {}
         if t.num_rows:
@@ -255,7 +276,7 @@ class SearchEngine:
                 vals = np.asarray(
                     _pc.fill_null(col, "").to_pylist(), dtype=object
                 )
-                for v, ids in _runs(vals, self.doc_ids).items():
+                for v, ids in _runs(vals, all_pos).items():
                     self._meta_postings[(fld, v)] = ids
 
     def _lower_pa(self, which: str) -> "pa.Array":
@@ -299,10 +320,8 @@ class SearchEngine:
             self._shards[shard] = r
         return r
 
-    def _postings(self, term: str):
-        """-> (ids, tft, tfc, tfd, df) or None; decoded once per engine.
-        In bucket mode the coordinator injects GLOBAL df per query via
-        ``_df_override`` (local postings, global statistics)."""
+    def _postings_base(self, term: str) -> tuple:
+        """Raw decoded postings (ids, tft, tfc, tfd, base_df) or ()."""
         hit = self._postings_cache.get(term)
         if hit is None:
             if len(self._postings_cache) >= 8192:
@@ -314,6 +333,44 @@ class SearchEngine:
             p = reader.postings(term)
             hit = () if p is None else (*p, reader.df(term))
             self._postings_cache[term] = hit
+        return hit
+
+    def _postings(self, term: str):
+        """-> (ids, tft, tfc, tfd, df) or None; decoded once per engine.
+        In bucket mode the coordinator injects GLOBAL df per query via
+        ``_df_override`` (local postings, global statistics)."""
+        hit = self._postings_base(term)
+        if hit == ():
+            return None
+        df = self._df_override.get(term)
+        return hit if df is None else (*hit[:4], df)
+
+    def _postings_pos(self, term: str):
+        """Positions-space postings: (pos, tft, tfc, tfd, df) where
+        ``pos`` are docstore ROW POSITIONS (monotone in doc_id, so all
+        sorted-set algebra carries over) and the tf arrays are float64.
+        Mapping + cast happen ONCE per term per engine — the per-query
+        hot path never binary-searches doc_ids into the docstore again.
+        df honors the per-query ``_df_override`` exactly like
+        ``_postings``."""
+        hit = self._pos_cache.get(term)
+        if hit is None:
+            base = self._postings_base(term)
+            if base == ():
+                hit = ()
+            else:
+                ids, tft, tfc, tfd, df = base
+                pos = np.searchsorted(self.doc_ids, ids)
+                hit = (
+                    pos,
+                    tft.astype(np.float64),
+                    tfc.astype(np.float64),
+                    tfd.astype(np.float64),
+                    df,
+                )
+            if len(self._pos_cache) >= 8192:
+                self._pos_cache.clear()
+            self._pos_cache[term] = hit
         if hit == ():
             return None
         df = self._df_override.get(term)
@@ -343,18 +400,46 @@ class SearchEngine:
         return out
 
     # ---- retrieval -----------------------------------------------------
+    # All retrieval set algebra runs in POSITIONS space (docstore row
+    # indices): the docstore is doc_id-sorted, so position order equals
+    # docID order and intersections/unions/tombstone-subtraction carry
+    # over unchanged — while docstore gathers become direct indexing
+    # instead of a 20k-element binary search per query.
     _EMPTY = np.empty(0, dtype=np.int64)
 
+    @staticmethod
+    def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Sorted-unique intersection via ONE binary-search pass of the
+        smaller array into the larger (cheaper than np.intersect1d's
+        concat+sort for pre-sorted posting lists)."""
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) == 0 or len(b) == 0:
+            return a[:0]
+        loc = np.searchsorted(b, a)
+        loc[loc == len(b)] = len(b) - 1
+        return a[b[loc] == a]
+
+    @staticmethod
+    def _setdiff_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """a minus b for sorted-unique arrays, one binary-search pass."""
+        if len(a) == 0 or len(b) == 0:
+            return a
+        loc = np.searchsorted(b, a)
+        loc[loc == len(b)] = len(b) - 1
+        return a[b[loc] != a]
+
     def _eval(self, node) -> np.ndarray:
+        """-> candidate POSITIONS (sorted ascending)."""
         if isinstance(node, Term):
             toks = analyze(node.value, self.text_analyzer)
             if not toks:
                 return self._EMPTY
             cur: np.ndarray | None = None
             for t in toks:
-                p = self._postings(t)
+                p = self._postings_pos(t)
                 ids = p[0] if p is not None else self._EMPTY
-                cur = ids if cur is None else np.intersect1d(cur, ids, assume_unique=True)
+                cur = ids if cur is None else self._intersect_sorted(cur, ids)
                 if len(cur) == 0:
                     return cur
             if node.exact:
@@ -375,7 +460,7 @@ class SearchEngine:
             cur = None
             for c in node.children:
                 ids = self._eval(c)
-                cur = ids if cur is None else np.intersect1d(cur, ids, assume_unique=True)
+                cur = ids if cur is None else self._intersect_sorted(cur, ids)
                 if len(cur) == 0:
                     return cur
             return cur if cur is not None else self._EMPTY
@@ -387,7 +472,8 @@ class SearchEngine:
         return self._EMPTY
 
     def _pos_of(self, ids: np.ndarray) -> np.ndarray:
-        """doc_ids -> row positions in the docstore arrays."""
+        """doc_ids -> row positions in the docstore arrays (the output
+        boundary only: hydrate gets page-sized doc_id lists)."""
         return np.searchsorted(self.doc_ids, ids)
 
     @staticmethod
@@ -398,100 +484,161 @@ class SearchEngine:
         taken = arr.take(pa.array(pos))
         return _pc.match_substring(taken, needle).to_numpy(zero_copy_only=False)
 
-    def _verify_phrase(self, ids: np.ndarray, phrase: str) -> np.ndarray:
-        if len(ids) == 0:
-            return ids
+    def _verify_phrase(self, pos: np.ndarray, phrase: str) -> np.ndarray:
+        """Substring-verify candidate POSITIONS; returns the survivors."""
+        if len(pos) == 0:
+            return pos
         p = _lower(phrase)
-        pos = self._pos_of(ids)
         mask = self._contains(self.titles_lower_pa, pos, p)
         mask |= self._contains(self.contents_lower_pa, pos, p)
         mask |= self._contains(self.descs_lower_pa, pos, p)
-        return ids[mask] if mask.any() else self._EMPTY
+        return pos[mask] if mask.any() else self._EMPTY
 
     # ---- scoring -------------------------------------------------------
+    def _fscores(self, term: str) -> np.ndarray | None:
+        """Posting-aligned combined BM25 field score for one term —
+        idf- and query-INDEPENDENT, so it's computed once per term per
+        engine:
+
+            w_t*C(tft) + w_c*C(tfc) + w_d*C(tfd)*[len_desc > 0],
+            C(tf) = tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+
+        A per-query term contribution is then just ``idf * fscores``
+        gathered at the candidates — the whole per-field scoring loop
+        collapses to one fused multiply-add (the p99 lever: head terms
+        score ~N candidates per query)."""
+        fs = self._fscore_cache.get(term)
+        if fs is None:
+            p = self._postings_pos(term)
+            if p is None:
+                return None
+            pos, tft, tfc, tfd, _ = p
+            w = self.config.field_weights
+            k1 = self.config.bm25_params.k1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                fs = (tft * (k1 + 1.0)) / (tft + self._bm25_norm["title"][pos])
+                fs *= w.title
+                c = (tfc * (k1 + 1.0)) / (tfc + self._bm25_norm["content"][pos])
+                fs += c * w.content
+                d = (tfd * (k1 + 1.0)) / (tfd + self._bm25_norm["desc"][pos])
+                d *= self.len_desc[pos] > 0  # hasDescription gate
+                fs += d * w.description
+            # 0/0 (tf=0 with a zero normalizer, only when b=1 and len=0)
+            # means "term absent from the field" -> contributes 0
+            np.nan_to_num(fs, copy=False, nan=0.0)
+            if len(self._fscore_cache) >= 8192:
+                self._fscore_cache.clear()
+            self._fscore_cache[term] = fs
+        return fs
+
     def _score_candidates(
         self, cands: np.ndarray, terms: list[str], phrases: list[str]
     ) -> np.ndarray:
         """Vectorized scoring with the selected algorithm ("bm25",
         "tfidf" or "combined" — the reference's pluggable
-        ScoringAlgorithm hierarchy, SearchScorer.h:125-222)."""
+        ScoringAlgorithm hierarchy, SearchScorer.h:125-222).
+
+        ``cands`` are docstore ROW POSITIONS (see the retrieval section
+        note). When a candidate set IS one term's posting array (the
+        single-term query — the p99 worst case), the postings→candidate
+        mapping is skipped entirely (object identity check)."""
         cfg = self.config
         w = cfg.field_weights
-        k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
         tfidf = self.algorithm == "tfidf"
         n = len(cands)
-        pos = self._pos_of(cands)
-        title_s = np.zeros(n)
-        content_s = np.zeros(n)
-        desc_s = np.zeros(n)
+        pos = cands
+        field_s = np.zeros(n)
         kw_s = np.zeros(n)
-        lt = self.len_title[pos]
-        lc = self.len_content[pos]
-        ld = self.len_desc[pos]
-        has_desc = ld > 0
 
-        for term in terms:
-            p = self._postings(term)
-            if p is not None:
+        if tfidf:
+            lt = self.len_title[pos]
+            lc = self.len_content[pos]
+            ld = self.len_desc[pos]
+            has_desc = ld > 0
+            for term in terms:
+                p = self._postings_pos(term)
+                if p is None:
+                    continue
                 ids, tft, tfc, tfd, df = p
-                if tfidf:
-                    # TFIDFAlgorithm df = docs with the term in title or
-                    # content only (SearchScorer.cpp:358-375); postings
-                    # carry per-field tfs so it's a cheap count. Bucket
-                    # engines must receive the GLOBAL count per query.
-                    df_tc = self._df_tc_override.get(term)
-                    if df_tc is None:
-                        if self.bucket is not None:
-                            raise RuntimeError(
-                                "bucket-mode tfidf scoring requires a "
-                                "df_tc_override (global title+content "
-                                "dfs) — serve via DistributedSearch"
-                            )
-                        df_tc = int(np.count_nonzero((tft > 0) | (tfc > 0)))
-                    idf = np.log(self.N / max(df_tc, 1))
+                # TFIDFAlgorithm df = docs with the term in title or
+                # content only (SearchScorer.cpp:358-375); postings
+                # carry per-field tfs so it's a cheap count. Bucket
+                # engines must receive the GLOBAL count per query.
+                df_tc = self._df_tc_override.get(term)
+                if df_tc is None:
+                    if self.bucket is not None:
+                        raise RuntimeError(
+                            "bucket-mode tfidf scoring requires a "
+                            "df_tc_override (global title+content "
+                            "dfs) — serve via DistributedSearch"
+                        )
+                    df_tc = int(np.count_nonzero((tft > 0) | (tfc > 0)))
+                idf = np.log(self.N / max(df_tc, 1))
+                identity = ids is cands
+                if identity:
+                    h = lh = None
+                elif len(ids) == 0:
+                    continue
                 else:
-                    idf = np.log((self.N - df + 0.5) / (df + 0.5))
-                # map postings onto candidate positions
-                loc = np.searchsorted(ids, cands)
-                loc = np.minimum(loc, len(ids) - 1) if len(ids) else loc
-                hit = np.zeros(n, dtype=bool) if len(ids) == 0 else ids[loc] == cands
-                if hit.any():
+                    loc = np.searchsorted(ids, cands)
+                    loc = np.minimum(loc, len(ids) - 1)
+                    hit = ids[loc] == cands
+                    if not hit.any():
+                        continue
                     h = np.flatnonzero(hit)
                     lh = loc[h]
-                    for tf_arr, lens, acc, weight, gate in (
-                        (tft, lt, title_s, w.title, None),
-                        (tfc, lc, content_s, w.content, None),
-                        (tfd, ld, desc_s, w.description, has_desc),
-                    ):
-                        tf = tf_arr[lh].astype(np.float64)
-                        m = tf > 0
-                        if gate is not None:
-                            m &= gate[h]
-                        if m.any():
-                            hm = h[m]
-                            tfm = tf[m]
-                            if tfidf:
-                                # min(tf, cap) -> log(1+tf) -> / byte len
-                                tfn = np.minimum(tfm, cfg.tf_params.max_term_frequency)
-                                if cfg.tf_params.use_log_normalization:
-                                    tfn = np.log(1.0 + tfn)
-                                if cfg.tf_params.normalize_by_length:
-                                    lz = lens[hm]
-                                    tfn = np.where(lz > 0, tfn / np.maximum(lz, 1.0), tfn)
-                                acc[hm] += tfn * idf * weight
-                            else:
-                                norm_len = lens[hm] / self.avgdl
-                                tf_comp = (tfm * (k1 + 1)) / (
-                                    tfm + k1 * (1 - b + b * norm_len)
-                                )
-                                acc[hm] += (idf * tf_comp) * weight
-            if not tfidf:  # TFIDFAlgorithm has no keyword scoring
+                for tf_arr, lens, weight, gate in (
+                    (tft, lt, w.title, None),
+                    (tfc, lc, w.content, None),
+                    (tfd, ld, w.description, has_desc),
+                ):
+                    tf = tf_arr if identity else tf_arr[lh]
+                    m = tf > 0
+                    if gate is not None:
+                        m &= gate if identity else gate[h]
+                    if m.any():
+                        hm = np.flatnonzero(m) if identity else h[m]
+                        tfm = tf[m]
+                        # min(tf, cap) -> log(1+tf) -> / byte len
+                        tfn = np.minimum(tfm, cfg.tf_params.max_term_frequency)
+                        if cfg.tf_params.use_log_normalization:
+                            tfn = np.log(1.0 + tfn)
+                        if cfg.tf_params.normalize_by_length:
+                            lz = lens[hm]
+                            tfn = np.where(lz > 0, tfn / np.maximum(lz, 1.0), tfn)
+                        field_s[hm] += tfn * idf * weight
+        else:
+            # bm25 / combined: per-term contribution is one gather of the
+            # cached posting-aligned field score + a fused multiply-add
+            for term in terms:
+                p = self._postings_pos(term)
+                if p is not None:
+                    ids, _, _, _, df = p
+                    idf = np.log((self.N - df + 0.5) / (df + 0.5))
+                    fs = self._fscores(term)
+                    if ids is cands:
+                        field_s += idf * fs
+                    elif len(ids):
+                        loc = np.searchsorted(ids, cands)
+                        loc = np.minimum(loc, len(ids) - 1)
+                        hit = ids[loc] == cands
+                        if hit.any():
+                            h = np.flatnonzero(hit)
+                            field_s[h] += idf * fs[loc[h]]
+                # TFIDFAlgorithm has no keyword scoring; bm25/combined do
                 kw_ids = self.kw_postings.get(term)
-                if kw_ids is not None:
-                    loc = np.searchsorted(kw_ids, cands)
-                    loc = np.minimum(loc, len(kw_ids) - 1)
-                    hit = kw_ids[loc] == cands
-                    kw_s[hit] += 1.0 * w.keywords
+                if kw_ids is not None and len(kw_ids):
+                    if len(kw_ids) * 4 < n:
+                        # probe the small side into the big side
+                        loc = np.searchsorted(cands, kw_ids)
+                        loc = np.minimum(loc, n - 1)
+                        sel = loc[cands[loc] == kw_ids]
+                        kw_s[sel] += 1.0 * w.keywords
+                    else:
+                        loc = np.searchsorted(kw_ids, cands)
+                        loc = np.minimum(loc, len(kw_ids) - 1)
+                        hit = kw_ids[loc] == cands
+                        kw_s[hit] += 1.0 * w.keywords
 
         exact_s = np.zeros(n)
         if phrases:
@@ -506,7 +653,7 @@ class SearchEngine:
                 hit_c = self._contains(self.contents_lower_pa, pos, pl)
                 exact_s[hit_c] += cfg.boost_factors.exact_match_boost * w_content
 
-        total = title_s + content_s + desc_s + kw_s + exact_s
+        total = field_s + kw_s + exact_s
         q = self.quality[pos]
         total = np.where(q > 0, total * q, total)
         if self.algorithm == "combined":
@@ -556,17 +703,22 @@ class SearchEngine:
             ast = parse_query(query)
             terms = scoring_terms(ast, self.text_analyzer)
             phrases = exact_phrases(ast)
-            cands = self._eval(ast)
-            if len(self.tombstones):
-                cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+            cands = self._eval(ast)  # positions
+            if len(self._tomb_pos):
+                cands = self._setdiff_sorted(cands, self._tomb_pos)
             pure_filter = not terms and not phrases
             if len(cands) == 0:
-                return cands, np.empty(0, dtype=np.float64), pure_filter
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64),
+                    pure_filter,
+                )
             if pure_filter:
-                scores = self.quality[self._pos_of(cands)]
+                scores = self.quality[cands]
             else:
                 scores = self._score_candidates(cands, terms, phrases)
-            return cands, scores, pure_filter
+            # doc_ids at the public boundary (distributed merge contract)
+            return self.doc_ids[cands], scores, pure_filter
         finally:
             if df_override is not None:
                 self._df_override = {}
@@ -694,11 +846,14 @@ class SearchEngine:
             or self.algorithm != "bm25"
         ):
             return self.search(query, limit=limit, offset=offset, highlight=highlight)
-        ranked = self._topk_wand_inner(query, offset + limit, ast=ast)
-        # total = retrieval-set size (cheap: union of posting lists)
+        # evaluate the retrieval set ONCE: it is both the wand path's
+        # candidate set (non-Or shapes) and the reported total
         cands = self._eval(ast)
-        if len(self.tombstones):
-            cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+        if len(self._tomb_pos):
+            cands = self._setdiff_sorted(cands, self._tomb_pos)
+        ranked = self._topk_wand_inner(
+            query, offset + limit, ast=ast, cands=cands
+        )
         page = ranked[offset : offset + limit]
         hl = None
         if highlight:
@@ -759,7 +914,9 @@ class SearchEngine:
             if df_override is not None:
                 self._df_override = {}
 
-    def _topk_wand_inner(self, query: str, k: int, ast=None) -> list[tuple[int, float]]:
+    def _topk_wand_inner(
+        self, query: str, k: int, ast=None, cands=None
+    ) -> list[tuple[int, float]]:
         ast = ast if ast is not None else parse_query(query)
         phrases = exact_phrases(ast)
         has_filter = self._has_filter(ast)
@@ -798,26 +955,28 @@ class SearchEngine:
                     )
                     if rem * max_mult < heap[0][0]:
                         break  # no unscored doc can beat the k-th best
-                p = self._postings(or_tokens[i])
+                p = self._postings_pos(or_tokens[i])
                 if p is None:
                     continue
-                cand = np.setdiff1d(p[0], scored, assume_unique=True)
-                if len(self.tombstones):
-                    cand = np.setdiff1d(cand, self.tombstones, assume_unique=True)
+                cand = self._setdiff_sorted(p[0], scored)
+                if len(self._tomb_pos):
+                    cand = self._setdiff_sorted(cand, self._tomb_pos)
                 if len(cand):
                     self._chunk_score_into_heap(
                         cand, terms, term_blocks, k, heap, max_mult
                     )
                 scored = np.union1d(scored, p[0])
         else:
-            cands = self._eval(ast)
-            if len(self.tombstones):
-                cands = np.setdiff1d(cands, self.tombstones, assume_unique=True)
+            if cands is None:
+                cands = self._eval(ast)
+                if len(self._tomb_pos):
+                    cands = self._setdiff_sorted(cands, self._tomb_pos)
             if len(cands) == 0:
                 return []
             self._chunk_score_into_heap(cands, terms, term_blocks, k, heap, max_mult)
+        # heap holds (score, -position); positions -> doc_ids here only
         out = sorted(((s, -nd) for s, nd in heap), key=lambda t: (-t[0], t[1]))
-        return [(did, s) for s, did in out]
+        return [(int(self.doc_ids[p_]), s) for s, p_ in out]
 
     def _flat_or_tokens(self, ast) -> list[str] | None:
         """-> one analyzed token per child when the AST is a flat Or of
@@ -894,15 +1053,20 @@ class SearchEngine:
     def _chunk_score_into_heap(
         self, cands, terms, term_blocks, k, heap, max_mult
     ) -> None:
-        """Score candidates in doc-id-ordered chunks; a chunk whose
-        summed per-term block bounds (over the blocks its id-range
-        touches) cannot beat the heap minimum is skipped entirely."""
+        """Score candidate POSITIONS in docID-ordered chunks (positions
+        ascend with doc_id); a chunk whose summed per-term block bounds
+        (over the blocks its docID-range touches) cannot beat the heap
+        minimum is skipped entirely. Heap entries are (score, -pos)."""
         cfg = self.config
         B = 4096
         for start in range(0, len(cands), B):
-            chunk = cands[start : start + B]
+            # keep object identity for one-chunk candidate sets so the
+            # scorer's postings==candidates shortcut still fires
+            chunk = cands if len(cands) <= B else cands[start : start + B]
             if len(heap) >= k:
-                lo, hi = int(chunk[0]), int(chunk[-1])
+                # block-max metadata lives in docID space
+                lo = int(self.doc_ids[chunk[0]])
+                hi = int(self.doc_ids[chunk[-1]])
                 bound = 0.0
                 for tb in term_blocks:
                     if tb is None:
