@@ -20,14 +20,35 @@ Reproduces the observable semantics of the reference's ContentParser
 The per-page parse is inherently row-wise (like the reference), so the
 stage is a callable CLASS for ``map_batches``: the parser machinery is
 constructed once per actor, and ``__call__`` loops rows inside a
-zero-copy Arrow batch. Known deviation: we use Python's html.parser
-(lenient HTML4-style tokenizer) instead of Gumbo (HTML5 tree builder);
-on well-formed input — the F1 generator constraint — the trees agree,
-and the byte-identical-text invariant is pinned per URL in tests.
+zero-copy Arrow batch.
+
+HTML5 (Gumbo) tokenizer parity — the reference parses with Gumbo, an
+HTML5 tree builder; Python's html.parser is an HTML4-style tokenizer,
+so the divergent behaviors that change extractText output are
+implemented here explicitly (tests/test_extract_html5.py pins each):
+
+- RAWTEXT elements (``xmp iframe noembed noframes plaintext``): HTML5
+  tokenizes their contents as ONE raw text node — ``<xmp><b>x</b></xmp>``
+  emits the literal ``<b>x</b>``, no tag parsing, no charref decoding.
+- RCDATA elements (``title textarea``): literal markup, but character
+  references DO decode — ``<title>a <b> c</title>`` has the single text
+  child ``a <b> c`` (html.unescape implements the HTML5 charref rules).
+- Contiguous character tokens coalesce into ONE text node: stray ``<``
+  before a non-letter is text per HTML5, and ``a < b`` must emit one
+  node ``a < b`` (one trailing space in extractText), not three.
+
+Pinned deviations (documented, structure-only):
+- Foster parenting: HTML5 moves stray text inside ``<table>`` BEFORE the
+  table, so Gumbo's DFS can emit it earlier than source order; this
+  streaming extractor preserves source order (same text, same
+  separators, different order for that malformed shape).
+- ``</plaintext>`` terminates our raw-text mode; HTML5's PLAINTEXT
+  state is unrecoverable and would keep it literal.
 """
 
 from __future__ import annotations
 
+from html import unescape
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -35,6 +56,10 @@ import pyarrow as pa
 from ..functions.urls import is_valid_url, normalize_link, sanitize_url
 
 _SKIP_SUBTREES = ("script", "style")
+# HTML5 tokenizer content modes (WHATWG 13.2.5.1): raw text never
+# decodes charrefs; RCDATA decodes charrefs but parses no tags.
+_RAWTEXT = ("script", "style", "xmp", "iframe", "noembed", "noframes", "plaintext")
+_RCDATA = ("title", "textarea")
 # Void elements never get end tags; excluding them keeps the open-element
 # stack honest when input omits optional end tags.
 _VOID = frozenset(
@@ -44,6 +69,11 @@ _VOID = frozenset(
 
 class _PageExtractor(HTMLParser):
     """One-pass streaming extractor with Gumbo-equivalent output."""
+
+    # html.parser enters cdata mode (no tag parsing, no charref
+    # conversion) for these start tags — the HTML5 RAWTEXT/RCDATA set,
+    # not just script/style
+    CDATA_CONTENT_ELEMENTS = _RAWTEXT + _RCDATA
 
     def __init__(self, base_url: str):
         super().__init__(convert_charrefs=True)
@@ -56,9 +86,11 @@ class _PageExtractor(HTMLParser):
         self._stack: list[str] = []   # open element stack
         self._head_title_seen = False
         self._title_run: list[str] | None = None  # accumulating first-title text
+        self._pending: list[str] = []  # coalescing buffer: one text NODE
 
     # -- tag events ------------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._flush_text()
         self._flush_title_run(ended=tag != "title")
         if tag in _SKIP_SUBTREES:
             self._skip_depth += 1
@@ -93,6 +125,7 @@ class _PageExtractor(HTMLParser):
             self._stack.pop()
 
     def handle_endtag(self, tag: str) -> None:
+        self._flush_text()
         self._flush_title_run(ended=True)
         if tag in _SKIP_SUBTREES and self._skip_depth > 0:
             self._skip_depth -= 1
@@ -106,10 +139,36 @@ class _PageExtractor(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
+        if self.cdata_elem in _RCDATA:
+            # RCDATA: literal markup but charrefs decode (HTML5 rules)
+            data = unescape(data)
         if self._title_run is not None:
             self._title_run.append(data)
-        if data.strip():  # whitespace-only runs are GUMBO_NODE_WHITESPACE
-            self.text_parts.append(data)
+        # buffer: contiguous character tokens form ONE text node
+        self._pending.append(data)
+
+    def _flush_text(self) -> None:
+        """Close the current text node at a structural boundary."""
+        if not self._pending:
+            return
+        run = "".join(self._pending)
+        self._pending.clear()
+        if run.strip():  # whitespace-only runs are GUMBO_NODE_WHITESPACE
+            self.text_parts.append(run)
+
+    # comments / declarations / PIs are their own DOM nodes: they split
+    # adjacent text into separate text nodes, exactly like a tag would
+    def handle_comment(self, data: str) -> None:
+        self._flush_text()
+
+    def handle_decl(self, decl: str) -> None:
+        self._flush_text()
+
+    def handle_pi(self, data: str) -> None:
+        self._flush_text()
+
+    def unknown_decl(self, data: str) -> None:
+        self._flush_text()
 
     def _flush_title_run(self, ended: bool) -> None:
         """Finish the first-title text run at the first structural event."""
@@ -122,7 +181,16 @@ class _PageExtractor(HTMLParser):
             self.title = run
 
     def close(self) -> None:
+        if self.cdata_elem is not None and self.rawdata:
+            # HTML5: EOF inside RAWTEXT/RCDATA emits the pending
+            # characters as text (html.parser would silently drop them
+            # while waiting for the end tag — e.g. <plaintext>, whose
+            # end tag never comes, or an unclosed <title>)
+            data, self.rawdata = self.rawdata, ""
+            if self._skip_depth == 0:
+                self.handle_data(data)
         super().close()
+        self._flush_text()
         self._flush_title_run(ended=True)
 
     def result(self) -> tuple[str | None, str | None, str, list[str]]:
