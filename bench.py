@@ -107,15 +107,16 @@ def run_build_synth(tag: str, n: int = None) -> dict:
     shutil.rmtree(idx, ignore_errors=True)
     pages = ray.data.read_parquet(pages_dir)
     t0 = time.monotonic()
+    import glob as _glob
+
     result = build_index(
         pages, idx, lineage=f"bench-synth-{n}", num_shards=32, bucket_bits=3,
         # small extract batches -> ~4x num_cpus tasks (packing); encode
         # batches sized so the sort barrier gets enough tasks to pack
         batch_size=512, encode_batch_size=1024,
-        # pruned (url, warc_ts) source for the dedup narrow pre-pass
-        narrow_pages_ds=ray.data.read_parquet(
-            pages_dir, columns=["url", "warc_ts"]
-        ),
+        # plain-task narrow pre-pass over the parquet files (skips a
+        # whole Dataset executor launch in the build's serial prefix)
+        narrow_paths=sorted(_glob.glob(os.path.join(pages_dir, "*.parquet"))),
     )
     dt = time.monotonic() - t0
     return {

@@ -251,6 +251,97 @@ def _commit_segment(group: pa.Table, segments_dir: str, lineage: str = "") -> pa
     )
 
 
+def _split_runs_block(table: pa.Table, num_shards: int, n_buckets: int):
+    """Plain-task split: one materialized runs block -> one (possibly
+    empty) slice per (shard, bucket) group, zero-copy."""
+    import numpy as np
+
+    n_groups = num_shards * n_buckets
+    if table.num_rows == 0:
+        empty = table.slice(0, 0)
+        return [empty] * n_groups
+    key = (
+        table.column("shard").to_numpy().astype(np.int64) * n_buckets
+        + table.column("bucket").to_numpy().astype(np.int64)
+    )
+    order = np.argsort(key, kind="stable")
+    t = table.take(pa.array(order))
+    ks = key[order]
+    out = []
+    lo = 0
+    bounds = np.searchsorted(ks, np.arange(n_groups + 1))
+    for g in range(n_groups):
+        lo, hi = int(bounds[g]), int(bounds[g + 1])
+        out.append(t.slice(lo, hi - lo))
+    return out
+
+
+def _reduce_commit_group(segments_dir: str, lineage: str, *parts: pa.Table) -> dict:
+    """Plain-task reduce: one (shard, bucket) group's run slices from
+    every split task -> merged + committed segment; returns the
+    per-partition metrics row as a dict."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return {}
+    group = pa.concat_tables(tables)
+    m = _commit_segment(group, segments_dir, lineage)
+    if m.num_rows == 0:
+        return {}
+    return {
+        "shard": m.column("shard")[0].as_py(),
+        "bucket": m.column("bucket")[0].as_py(),
+        "terms": m.column("terms")[0].as_py(),
+        "postings": m.column("postings")[0].as_py(),
+        "bytes": m.column("bytes")[0].as_py(),
+    }
+
+
+def _shuffle_commit_segments(
+    runs_mat, segments_dir: str, lineage: str, num_shards: int, bucket_bits: int
+) -> dict[int, dict]:
+    """Hand-rolled (shard, bucket) exchange over the MATERIALIZED runs:
+    one plain split task per block (zero-copy per-group slices into the
+    object store), one plain reduce task per group (concat + k-way
+    merge + atomic commit). Replaces Ray Data's sort-based groupby for
+    this bounded-cardinality key — the sort barrier alone cost ~4.6 s
+    of the 32-CPU build tail, all of it avoidable when there are only
+    num_shards * 2^bucket_bits groups.
+
+    Object-store ref count scales as blocks x groups; both sides are
+    configuration-bounded (the runs were repartitioned to ~num_cpus
+    blocks, groups = num_shards * 2^bucket_bits). The Ray Data groupby
+    twin remains on the resume path — same ``_commit_segment`` kernel,
+    byte-identical segments either way (asserted in tests)."""
+    import ray
+
+    n_buckets = 1 << bucket_bits
+    n_groups = num_shards * n_buckets
+    block_refs = runs_mat.to_arrow_refs()
+    split = ray.remote(num_returns=n_groups)(_split_runs_block)
+    reduce_ = ray.remote(_reduce_commit_group)
+    split_out = [split.remote(b, num_shards, n_buckets) for b in block_refs]
+    if n_groups == 1:
+        split_out = [[r] for r in split_out]
+    red = [
+        reduce_.remote(
+            segments_dir, lineage, *[s[g] for s in split_out]
+        )
+        for g in range(n_groups)
+    ]
+    meta: dict[int, dict] = {}
+    for row in ray.get(red):
+        if not row:
+            continue
+        m = meta.setdefault(
+            int(row["shard"]), {"terms": 0, "postings": 0, "bytes": 0, "buckets": 0}
+        )
+        m["terms"] += int(row["terms"])
+        m["postings"] += int(row["postings"])
+        m["bytes"] += int(row["bytes"])
+        m["buckets"] += 1
+    return meta
+
+
 def build_index(
     pages_ds,
     index_dir: str,
@@ -264,6 +355,7 @@ def build_index(
     batch_size: int = 256,
     encode_batch_size: int | None = None,
     narrow_pages_ds=None,
+    narrow_paths: list[str] | None = None,
 ) -> BuildResult:
     """Build the full index under ``index_dir``; resumable per stage."""
     import ray.data  # noqa: F401  (Dataset ops)
@@ -367,27 +459,28 @@ def build_index(
 
         def _finish(runs):
             # materialize the COMPRESSED runs (map-side combined,
-            # ~20-100x smaller than raw postings) before the groupby:
-            # with the all-to-all in the same pipeline, the executor's
+            # ~20-100x smaller than raw postings) before the exchange:
+            # with an all-to-all in the same pipeline, the executor's
             # shuffle resource reservation starves the extract/encode
             # map operator at low CPU counts (measured 3-of-8 effective
             # parallelism). The runs are the one thing small enough to
             # pin.
             runs_mat = runs.materialize()
-            # coalesce the many small encode-output blocks before the
-            # groupby: the sort's cost scales with block count, and a
-            # repartition of MATERIALIZED data is a cheap ref concat
-            # (measured 1.8 s -> 0.5 s for the whole sort+merge tail)
+            # coalesce the many small encode-output blocks: the split
+            # fan-out scales with block count, and a repartition of
+            # MATERIALIZED data is a cheap ref concat
             import ray as _ray
 
             target = max(32, int(_ray.cluster_resources().get("CPU", 32)))
             if runs_mat.num_blocks() > target:
                 runs_mat = runs_mat.repartition(target).materialize()
-            sds = runs_mat.groupby(["shard", "bucket"]).map_groups(
-                lambda g: _commit_segment(g, segments_dir, lineage),
-                batch_format="pyarrow",
+            # plain-task (shard, bucket) exchange + per-group commit —
+            # replaces the sort-based groupby whose barrier alone cost
+            # ~4.6 s of the 32-CPU build tail
+            meta = _shuffle_commit_segments(
+                runs_mat, segments_dir, lineage, num_shards, bucket_bits
             )
-            return _finish_segments(sds), sds
+            return meta, runs_mat
 
         # LWW URL dedup via the NARROW pre-pass: the survivor rule needs
         # only (url, warc_ts), so the all-to-all moves two columns and
@@ -396,14 +489,16 @@ def build_index(
         # never cost a parse. Falls back to the payload-shuffle
         # lww_dedup when the loser set is too big to broadcast or a
         # winner is tied (prededup_pages docstring). The pass runs
-        # SERIALLY before the main pipeline: overlapping it via a gate
-        # actor deadlocks — the fused map tasks fill every CPU slot and
-        # then block on the gate while the narrow pass's own tasks
-        # starve (Ray Data's resource manager does not yield slots of
-        # blocked tasks to another dataset's executor).
+        # SERIALLY before the main pipeline (its result decides the
+        # pipeline's shape; overlapping it via a gate actor deadlocks —
+        # Ray Data's resource manager does not yield blocked tasks'
+        # slots to another dataset's executor), so pass ``narrow_paths``
+        # for parquet corpora: the plain-task narrow pass skips the
+        # Dataset executor's fixed costs (measured 0.6 s vs 2-11 s at
+        # 200k pages), shrinking the build's serial prefix.
         _wipe_outputs()
         deduped_pages, clean = prededup_pages(
-            pages_ds, narrow_ds=narrow_pages_ds
+            pages_ds, narrow_ds=narrow_pages_ds, narrow_paths=narrow_paths
         )
         runs = _chain(deduped_pages, (lambda d: d) if clean else lww_dedup)
         shards_meta, seg_ds = _finish(runs)

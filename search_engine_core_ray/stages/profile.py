@@ -122,7 +122,11 @@ def _page_digests(batch: pa.Table) -> tuple[list[bytes], list[str]]:
 
 
 def prededup_pages(
-    pages_ds, max_broadcast: int = 2_000_000, buckets: int = 64, narrow_ds=None
+    pages_ds,
+    max_broadcast: int = 2_000_000,
+    buckets: int = 64,
+    narrow_ds=None,
+    narrow_paths: list[str] | None = None,
 ):
     """LWW URL dedup WITHOUT shuffling page payloads -> (pages_ds', clean).
 
@@ -136,6 +140,14 @@ def prededup_pages(
        drops losers in a map filter BEFORE extraction — losers never
        cost a parse, and the html payload never rides a shuffle.
 
+    ``narrow_paths``: when the pages live in parquet, pass the file
+    paths and the narrow pass runs as PLAIN Ray tasks (one map per file
+    chunk emitting per-bucket slices, one reduce per bucket) instead of
+    a second Ray Data job — same loser set (asserted in tests), but it
+    skips the Dataset executor's fixed costs entirely (measured 0.6 s
+    vs 2-11 s for 200k pages at 32 CPUs; this serial pre-pass is part
+    of the build's non-overlappable tail).
+
     Returns clean=False (caller must run the payload-shuffle
     ``lww_dedup``) when the loser set exceeds ``max_broadcast`` (dup-
     heavy corpus where a broadcast would not fit workers) or when some
@@ -146,9 +158,16 @@ def prededup_pages(
     """
     import ray
 
-    mode, loser_set = _compute_losers_impl(
-        narrow_ds if narrow_ds is not None else pages_ds, max_broadcast, buckets
-    )
+    if narrow_paths is not None:
+        mode, loser_set = _compute_losers_tasks(
+            narrow_paths, max_broadcast, buckets
+        )
+    else:
+        mode, loser_set = _compute_losers_impl(
+            narrow_ds if narrow_ds is not None else pages_ds,
+            max_broadcast,
+            buckets,
+        )
     if mode == "fallback":
         return pages_ds, False
     if mode == "none":
@@ -162,6 +181,80 @@ def prededup_pages(
         return batch.filter(mask)
 
     return pages_ds.map_batches(flt, batch_format="pyarrow"), True
+
+
+def _narrow_map_files(paths: list[str], buckets: int) -> list[pa.Table]:
+    """Plain-task narrow map: read (url, warc_ts) of some parquet files,
+    emit one (norm, ts, url, digest) slice per hash bucket."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(paths, columns=["url", "warc_ts"])
+    digests, norm = _page_digests(t)
+    b = np.asarray(
+        [zlib.crc32(n.encode("utf-8")) % buckets for n in norm], np.int32
+    )
+    tbl = pa.table(
+        {
+            "norm": pa.array(norm, pa.string()),
+            "ts": pc.cast(t.column("warc_ts"), pa.int64()),
+            "url": t.column("url"),
+            "digest": pa.array(digests, pa.binary(16)),
+        }
+    )
+    return [tbl.filter(pa.array(b == j)) for j in range(buckets)]
+
+
+def _narrow_reduce_bucket(*parts: pa.Table):
+    """Plain-task narrow reduce: one bucket's rows from every map task
+    -> (loser digests, n_tied). Same winner rule as ``losers`` in
+    ``_compute_losers_impl``."""
+    group = pa.concat_tables(parts)
+    df = pl.from_arrow(group).sort(["norm", "ts", "url"])
+    win = df.group_by("norm", maintain_order=True).last()
+    tied = (
+        df.join(win.select(["norm", "ts", "url"]), on=["norm", "ts", "url"])
+        .group_by("norm")
+        .len()
+        .filter(pl.col("len") > 1)
+    )
+    lose = df.join(
+        win.select(["norm", "digest"]), on=["norm", "digest"], how="anti"
+    )
+    return lose["digest"].to_list(), len(tied)
+
+
+def _compute_losers_tasks(paths: list[str], max_broadcast: int, buckets: int):
+    """Narrow LWW pass as plain Ray tasks over parquet files — a
+    hand-rolled two-stage exchange through the object store (map emits
+    per-bucket slices; one reduce per bucket). Chosen over a second
+    Ray Data job because the pass is the build's SERIAL prefix: Dataset
+    executor startup/teardown dominates its actual work. Bucket-bounded
+    like the Ray Data twin: each reduce holds one bucket's (url, ts)
+    rows; raise ``buckets`` with corpus size."""
+    import ray
+
+    if not paths:
+        return "none", None
+    # ~4 map tasks per CPU slot; each task reads a chunk of files
+    n_cpus = int(ray.cluster_resources().get("CPU", 32))
+    n_chunks = min(len(paths), max(1, 4 * n_cpus))
+    chunks = [paths[i::n_chunks] for i in range(n_chunks)]
+    nmap = ray.remote(num_returns=buckets)(_narrow_map_files)
+    nred = ray.remote(_narrow_reduce_bucket)
+    map_out = [nmap.remote(c, buckets) for c in chunks]
+    if buckets == 1:  # num_returns=1 yields a bare ref, not a list
+        map_out = [[r] for r in map_out]
+    red = [nred.remote(*[m[j] for m in map_out]) for j in range(buckets)]
+    losers: set[bytes] = set()
+    tied = 0
+    for digests, t in ray.get(red):
+        losers.update(digests)
+        tied += t
+    if tied or len(losers) > max_broadcast:
+        return "fallback", None
+    if not losers:
+        return "none", None
+    return "filter", frozenset(losers)
 
 
 def _compute_losers_impl(src, max_broadcast: int, buckets: int):

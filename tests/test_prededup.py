@@ -143,3 +143,102 @@ def test_prededup_null_ts_rows_not_conflated(ray_session):
     rows = sorted((r["url"], r["warc_ts"]) for r in out.take_all())
     # a.com/x keeps its non-null (newer) crawl; b.com/y SURVIVES
     assert rows == [("https://a.com/x", _TS), ("https://b.com/y", None)]
+
+
+def _pages_table(rows):
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [_TS + datetime.timedelta(seconds=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array([b"<html></html>"] * len(rows), pa.binary()),
+        }
+    )
+
+
+class TestPlainTaskNarrowPass:
+    """The plain-task narrow pass (narrow_paths=...) must compute the
+    SAME loser set / mode as the Ray Data twin on every input shape."""
+
+    def _write(self, tmp_path, rows, n_files=3):
+        import pyarrow.parquet as pq
+
+        t = _pages_table(rows)
+        paths = []
+        step = max(1, -(-t.num_rows // n_files))
+        for i in range(0, t.num_rows, step):
+            p = str(tmp_path / f"part-{i}.parquet")
+            pq.write_table(t.slice(i, step), p)
+            paths.append(p)
+        return paths
+
+    def _both(self, tmp_path, rows, **kw):
+        from search_engine_core_ray.stages.profile import (
+            _compute_losers_impl,
+            _compute_losers_tasks,
+        )
+
+        paths = self._write(tmp_path, rows)
+        ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+        ref = _compute_losers_impl(ds, kw.get("max_broadcast", 2_000_000), 8)
+        got = _compute_losers_tasks(paths, kw.get("max_broadcast", 2_000_000), 8)
+        return ref, got
+
+    def test_matches_ray_data_with_dups(self, ray_session, tmp_path):
+        rows = [("https://a.com/x", 0), ("https://a.com/x", 5),
+                ("https://a.com/x#frag", 3), ("https://b.com/y", 1),
+                ("https://c.com/z", 2), ("https://c.com/z", 9)]
+        (m1, s1), (m2, s2) = self._both(tmp_path, rows)
+        assert m1 == m2 == "filter"
+        assert s1 == s2 and len(s1) == 3
+
+    def test_matches_no_dups(self, ray_session, tmp_path):
+        rows = [("https://a.com/1", 0), ("https://a.com/2", 1)]
+        (m1, _), (m2, _) = self._both(tmp_path, rows)
+        assert m1 == m2 == "none"
+
+    def test_tied_winner_falls_back(self, ray_session, tmp_path):
+        rows = [("https://a.com/x", 7), ("https://a.com/x", 7)]
+        (m1, _), (m2, _) = self._both(tmp_path, rows)
+        assert m1 == m2 == "fallback"
+
+    def test_broadcast_cap_falls_back(self, ray_session, tmp_path):
+        rows = [(f"https://a.com/x", i) for i in range(10)]  # 9 losers
+        (m1, _), (m2, _) = self._both(tmp_path, rows, max_broadcast=4)
+        assert m1 == m2 == "fallback"
+
+    def test_build_via_narrow_paths_end_to_end(self, ray_session, tmp_path):
+        """build_index(narrow_paths=...) equals the narrow_ds build."""
+        from search_engine_core_ray.corpus.synth import (
+            SynthConfig,
+            synth_pages_table,
+        )
+        from search_engine_core_ray.index.build import build_index
+        from search_engine_core_ray.query.engine import SearchEngine
+        import pyarrow.parquet as pq
+
+        pages = synth_pages_table(SynthConfig(n_docs=120, seed=11))
+        pdir = tmp_path / "pages"
+        pdir.mkdir()
+        pq.write_table(pages.slice(0, 60), str(pdir / "a.parquet"))
+        pq.write_table(pages.slice(60), str(pdir / "b.parquet"))
+        import glob as _glob
+
+        paths = sorted(_glob.glob(str(pdir / "*.parquet")))
+        idx1 = str(tmp_path / "idx_tasks")
+        idx2 = str(tmp_path / "idx_ds")
+        src = ray.data.read_parquet(paths)
+        build_index(src, idx1, lineage="np", num_shards=4, narrow_paths=paths)
+        build_index(
+            ray.data.read_parquet(paths), idx2, lineage="np", num_shards=4,
+            narrow_pages_ds=ray.data.read_parquet(
+                paths, columns=["url", "warc_ts"]
+            ),
+        )
+        e1, e2 = SearchEngine(idx1), SearchEngine(idx2)
+        assert e1.N == e2.N
+        assert sorted(e1.doc_ids.tolist()) == sorted(e2.doc_ids.tolist())
+        for q in ["machine", "data OR search"]:
+            assert e1.rank(q, 10) == e2.rank(q, 10)
