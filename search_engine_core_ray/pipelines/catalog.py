@@ -1565,6 +1565,150 @@ def flagship(sf_dir: str, index_root: str | None = None):
     )
 
 
+@_q(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, len(t) - 1)]) AS s
+      FROM toks WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+      WHERE j >= 0.5),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach AS (
+      SELECT u AS node, v AS peer FROM edges
+      UNION
+      SELECT r.node, e.v AS peer FROM reach r JOIN edges e ON e.u = r.peer),
+    losers AS (SELECT DISTINCT node FROM reach WHERE peer < node)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def q_dedup_survivors(sf_dir: str):
+    """Cluster-level near-dup dedup: keep ONE doc (min doc_id) per
+    connected COMPONENT of the near-duplicate graph — the dedup a
+    training pipeline actually applies (pair output alone mishandles
+    transitive chains). Ray side: MinHash+LSH pairs -> distributed
+    min-label propagation (stages/dedup.near_dup_survivors); oracle:
+    exact-Jaccard pairs + recursive-CTE transitive closure."""
+    from ..stages.dedup import near_dup_survivors
+
+    return near_dup_survivors(_docs(sf_dir), threshold=0.5, k=3)
+
+
+@_q(
+    "quality_filter",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+             length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS nonspace,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|is|in|to|a)\b'))::BIGINT AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_words,
+           CAST(nonspace AS DOUBLE) / GREATEST(n_words, 1) AS mean_word_len,
+           stop_hits
+    FROM m
+    WHERE n_words >= 30
+      AND CAST(nonspace AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3.0 AND 5.0
+      AND stop_hits >= 1
+    """,
+)
+def q_quality_filter(sf_dir: str):
+    """Gopher-style document quality gate (word-count floor, mean word
+    length band, stopword presence — the heuristic filter family of
+    Rae et al. 2021 §A1.1, public method) as one vectorized
+    map_batches filter over the quality_metrics columns; rows =
+    passing docs with the deciding metrics."""
+    def gate(b: pa.Table) -> pa.Table:
+        m = ts.quality_metrics(b)
+        n_words = m.column("n_words").to_numpy()
+        mwl = m.column("mean_word_len").to_numpy()
+        stop = m.column("stop_hits").to_numpy()
+        keep = (n_words >= 30) & (mwl >= 3.0) & (mwl <= 5.0) & (stop >= 1)
+        out = pa.table(
+            {
+                "doc_id": m.column("doc_id"),
+                "n_words": m.column("n_words"),
+                "mean_word_len": m.column("mean_word_len"),
+                "stop_hits": m.column("stop_hits"),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+SUGGEST_PREFIXES = ("ve", "do", "s")
+
+
+@_q(
+    "suggest_topk",
+    """
+    WITH prefixes(prefix) AS (VALUES ('ve'), ('do'), ('s')),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+      FROM documents
+      UNION
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               lower('Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source),
+               '[a-z0-9]{2,}')) AS term
+      FROM documents),
+    df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+           FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT p.prefix,
+             row_number() OVER (
+               PARTITION BY p.prefix ORDER BY d.df DESC, d.term) AS rnk,
+             d.term, d.df
+      FROM prefixes p JOIN df d ON d.term LIKE p.prefix || '%')
+    SELECT prefix, rnk, term, df FROM ranked WHERE rnk <= 10
+    ORDER BY prefix, rnk
+    """,
+)
+def q_suggest_topk(sf_dir: str):
+    """FT.SUGGET autocomplete served from the BUILT index's term
+    dictionaries (SearchEngine.suggest: bisected prefix range per
+    shard, ranked by df desc then term) — SQL-checked end-to-end: the
+    oracle recomputes the same ranking from the raw documents table
+    with the indexed-field token union (text + deterministic page
+    title; the description is the text's first 10 words, so its tokens
+    add nothing to the union)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(_ensure_index(sf_dir))
+    rows = {"prefix": [], "rnk": [], "term": [], "df": []}
+    for p in SUGGEST_PREFIXES:
+        terms = eng.suggest(p, limit=10)
+        dfs = eng.local_dfs(terms)
+        for r, t in enumerate(terms, 1):
+            rows["prefix"].append(p)
+            rows["rnk"].append(r)
+            rows["term"].append(t)
+            rows["df"].append(int(dfs[t]))
+    return pa.table(
+        {
+            "prefix": pa.array(rows["prefix"], pa.string()),
+            "rnk": pa.array(rows["rnk"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+        }
+    )
+
+
 @_q("distributed_search")  # rows-only: scatter-gather over bucket actors
 def q_distributed_search(sf_dir: str):
     """Doc-partitioned serving demo: same fixture queries as

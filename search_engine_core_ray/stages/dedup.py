@@ -306,7 +306,113 @@ def minhash_near_dupes(
         )
         return out.filter(pa.array(keep))
 
-    return joined.map_batches(verify_batch, batch_format="pyarrow")
+    verified = joined.map_batches(verify_batch, batch_format="pyarrow")
+    # Dataset.join emits SCHEMA-LESS empty blocks for empty hash
+    # partitions; they bypass downstream map UDFs and break later joins
+    # (Acero: "no match for key field"). A repartition of the (small)
+    # verified pair set merges them away and normalizes block schemas
+    # for every consumer.
+    return verified.repartition(num_partitions)
+
+
+def near_dup_survivors(
+    docs_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int = 8,
+    max_iters: int = 32,
+):
+    """Cluster-level near-dup dedup -> Dataset(doc_id) of SURVIVORS:
+    one doc (the min doc_id) kept per connected component of the
+    near-duplicate pair graph — what a training-data pipeline actually
+    applies, where pair output alone would double-drop transitive
+    chains (a~b, b~c keeps only a, even when a!~c directly).
+
+    Fully distributed: MinHash+LSH pairs (``minhash_near_dupes``) give
+    the edge list; components come from iterative MIN-LABEL PROPAGATION
+    over Ray Data joins/groupbys — every doc starts labeled with its own
+    id, each round every node takes the min of its label and its
+    neighbors' labels (edges ⋈ labels -> messages, union, groupby-min),
+    until a fixed point. Nothing materializes on the driver; the
+    per-round convergence probe is an order-independent 64-bit digest
+    of the label table. Rounds needed = component diameter (near-dup
+    components are dense, so typically 1-3); ``max_iters`` bounds
+    adversarial chains.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    pairs = minhash_near_dupes(docs_ds, threshold, k, num_partitions).materialize()
+    ids_ds = docs_ds.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    if pairs.count() == 0:
+        return ids_ds
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "v": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = ids_ds.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("doc_id"), "label": b.column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    _C1, _C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def digest(ds) -> int:
+        """Order-independent label-table digest (sum of per-row mixes,
+        mod 2^64): equal digests across rounds == fixed point, without
+        a full old-vs-new join per round."""
+        h = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            n = b.column("node").to_numpy().astype(np.uint64)
+            l = b.column("label").to_numpy().astype(np.uint64)
+            mix = (n * _C1) ^ (l * _C2)
+            h = (h + int(mix.sum(dtype=np.uint64))) % (1 << 64)
+        return h
+
+    prev = digest(labels)
+    for _ in range(max_iters):
+        lab_u = labels.map_batches(
+            lambda b: pa.table({"u": b.column("node"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        msgs = edges.join(
+            lab_u, join_type="inner", num_partitions=num_partitions, on=("u",)
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("v"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            # merge away the groupby's schema-less empty blocks: they
+            # would land on the next round's join side and break Acero
+            .repartition(num_partitions)
+            .materialize()
+        )
+        d = digest(labels)
+        if d == prev:
+            break
+        prev = d
+
+    def survivors(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy()
+        label = b.column("label").to_numpy()
+        return pa.table({"doc_id": pa.array(node[label == node], pa.int64())})
+
+    return labels.map_batches(survivors, batch_format="pyarrow")
 
 
 # ---- simhash -----------------------------------------------------------

@@ -345,3 +345,106 @@ def test_ivf_partial_probe_shape_and_recall(ray_session):
     hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.3, hits / total
+
+
+def test_lsh_ann_matches_independent_oracle(ray_session):
+    """lsh_bucket_ann's planes are deterministic (seeded), so an
+    independent scalar re-derivation pins it: every query's result must
+    equal brute-force cosine top-k RESTRICTED to the query's LSH bucket
+    (recomputed here from the same seed, no engine code)."""
+    import collections
+
+    from search_engine_core_ray.functions.similarity import (
+        _LSH_PLANES_SEED,
+        cosine_block,
+        lsh_bucket_ann,
+    )
+
+    rng = np.random.RandomState(7)
+    n, d, n_planes, k = 80, 8, 3, 5
+    emb = rng.randn(n, d)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "embedding": pa.array([e.tolist() for e in emb]),
+            }
+        )
+    )
+    qids = [0, 3, 17]
+    got = lsh_bucket_ann(ds, qids, k=k, n_planes=n_planes).take_all()
+
+    # independent oracle: same seeded planes, numpy only
+    planes = np.random.RandomState(_LSH_PLANES_SEED).randn(n_planes, d)
+    sig = (emb @ planes.T) > 0
+    bucket = np.zeros(n, dtype=np.int64)
+    for i in range(n_planes):
+        bucket |= sig[:, i].astype(np.int64) << i
+
+    by_q = collections.defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q[r["query_id"]].append((r["neighbor_id"], r["cos"]))
+    assert set(by_q) == set(qids)
+    for q in qids:
+        members = np.flatnonzero(bucket == bucket[q])
+        cands = members[members != q]
+        sims = cosine_block(emb[[q]], emb[cands])[0]
+        order = np.lexsort((cands, -sims))[:k]
+        want = [(int(cands[i]), float(sims[i])) for i in order]
+        assert [g[0] for g in by_q[q]] == [w[0] for w in want]
+        for (gid, gc), (wid, wc) in zip(by_q[q], want):
+            assert abs(gc - wc) < 1e-9
+
+
+def test_near_dup_survivors_union_find_oracle(ray_session):
+    """near_dup_survivors == union-find over the engine's own verified
+    pair set, on a corpus with a transitive CHAIN (a~b, b~c, a!~c) so
+    cluster-level semantics actually differ from pair-level."""
+    from search_engine_core_ray.stages.dedup import (
+        minhash_near_dupes,
+        near_dup_survivors,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[:18] + ["changed", "words"]),      # ~ 1
+        3: " ".join(base[:15] + ["more", "different", "tail", "words", "here"]),  # ~ 2, maybe not ~1
+        10: "completely unrelated content about ray data pipelines and arrow",
+        11: "completely unrelated content about ray data pipelines and arrow",  # exact dup of 10
+        20: "a singleton document with its own vocabulary entirely",
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    pair_rows = minhash_near_dupes(ds, threshold=0.5).take_all()
+    pairs = {(r["a"], r["b"]) for r in pair_rows}
+    assert (1, 2) in pairs and (10, 11) in pairs  # sanity: graph non-trivial
+
+    # independent union-find over the same pair set
+    parent = {d: d for d in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for d in texts:
+        comp.setdefault(find(d), []).append(d)
+    want = sorted(min(members) for members in comp.values())
+
+    got = sorted(
+        r["doc_id"] for r in near_dup_survivors(ds, threshold=0.5).take_all()
+    )
+    assert got == want
