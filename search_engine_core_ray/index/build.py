@@ -264,6 +264,15 @@ def _split_runs_block(table: pa.Table, num_shards: int, n_buckets: int):
         table.column("shard").to_numpy().astype(np.int64) * n_buckets
         + table.column("bucket").to_numpy().astype(np.int64)
     )
+    # a key outside [0, n_groups) would silently fall past the last
+    # searchsorted bound and vanish from the index — fail loudly instead
+    if key.min() < 0 or key.max() >= n_groups:
+        raise ValueError(
+            f"run row with (shard,bucket) outside the exchange's "
+            f"{num_shards}x{n_buckets} grid (key range "
+            f"[{key.min()}, {key.max()}]) — num_shards/bucket_bits "
+            "mismatch between EncodePostings and the segment commit"
+        )
     order = np.argsort(key, kind="stable")
     t = table.take(pa.array(order))
     ks = key[order]

@@ -382,6 +382,7 @@ def near_dup_survivors(
         return h
 
     prev = digest(labels)
+    converged = False
     for _ in range(max_iters):
         lab_u = labels.map_batches(
             lambda b: pa.table({"u": b.column("node"), "label": b.column("label")}),
@@ -404,8 +405,17 @@ def near_dup_survivors(
         )
         d = digest(labels)
         if d == prev:
+            converged = True
             break
         prev = d
+    if not converged:
+        # exiting here would keep >1 survivor in any component whose
+        # diameter exceeds max_iters — a silently-retained duplicate
+        raise RuntimeError(
+            f"near_dup_survivors: min-label propagation did not reach a "
+            f"fixed point within max_iters={max_iters} (a near-dup "
+            "component's diameter exceeds the bound); raise max_iters"
+        )
 
     def survivors(b: pa.Table) -> pa.Table:
         node = b.column("node").to_numpy()

@@ -204,10 +204,12 @@ def _narrow_map_files(paths: list[str], buckets: int) -> list[pa.Table]:
     return [tbl.filter(pa.array(b == j)) for j in range(buckets)]
 
 
-def _narrow_reduce_bucket(*parts: pa.Table):
+def _narrow_reduce_bucket(cap: int, *parts: pa.Table):
     """Plain-task narrow reduce: one bucket's rows from every map task
-    -> (loser digests, n_tied). Same winner rule as ``losers`` in
-    ``_compute_losers_impl``."""
+    -> (loser digests capped at ``cap``+1, n_tied, n_losers_total).
+    Same winner rule as ``losers`` in ``_compute_losers_impl``. The cap
+    bounds what ships back to the driver: past it the driver falls back
+    to the full LWW shuffle anyway, so only the COUNT matters."""
     group = pa.concat_tables(parts)
     df = pl.from_arrow(group).sort(["norm", "ts", "url"])
     win = df.group_by("norm", maintain_order=True).last()
@@ -220,7 +222,7 @@ def _narrow_reduce_bucket(*parts: pa.Table):
     lose = df.join(
         win.select(["norm", "digest"]), on=["norm", "digest"], how="anti"
     )
-    return lose["digest"].to_list(), len(tied)
+    return lose["digest"].head(cap + 1).to_list(), len(tied), len(lose)
 
 
 def _compute_losers_tasks(paths: list[str], max_broadcast: int, buckets: int):
@@ -234,7 +236,12 @@ def _compute_losers_tasks(paths: list[str], max_broadcast: int, buckets: int):
     import ray
 
     if not paths:
-        return "none", None
+        # an empty glob here would silently skip URL dedup for the whole
+        # build — a wrong pages_dir layout must fail loudly instead
+        raise ValueError(
+            "narrow_paths is an empty list — no parquet files matched; "
+            "pass None to use the Ray Data narrow pass, or fix the glob"
+        )
     # ~4 map tasks per CPU slot; each task reads a chunk of files
     n_cpus = int(ray.cluster_resources().get("CPU", 32))
     n_chunks = min(len(paths), max(1, 4 * n_cpus))
@@ -244,14 +251,24 @@ def _compute_losers_tasks(paths: list[str], max_broadcast: int, buckets: int):
     map_out = [nmap.remote(c, buckets) for c in chunks]
     if buckets == 1:  # num_returns=1 yields a bare ref, not a list
         map_out = [[r] for r in map_out]
-    red = [nred.remote(*[m[j] for m in map_out]) for j in range(buckets)]
+    red = [
+        nred.remote(max_broadcast, *[m[j] for m in map_out])
+        for j in range(buckets)
+    ]
+    # incremental gather with early exit: driver memory stays bounded by
+    # max_broadcast+1 digests per fetched bucket (the reduce caps its
+    # return), and a dup-heavy corpus flips to fallback without ever
+    # materializing the full loser set on the driver
     losers: set[bytes] = set()
-    tied = 0
-    for digests, t in ray.get(red):
+    pending = list(red)
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        digests, tied, n_total = ray.get(done[0])
+        if tied or n_total > max_broadcast:
+            return "fallback", None
         losers.update(digests)
-        tied += t
-    if tied or len(losers) > max_broadcast:
-        return "fallback", None
+        if len(losers) > max_broadcast:
+            return "fallback", None
     if not losers:
         return "none", None
     return "filter", frozenset(losers)

@@ -448,3 +448,23 @@ def test_near_dup_survivors_union_find_oracle(ray_session):
         r["doc_id"] for r in near_dup_survivors(ds, threshold=0.5).take_all()
     )
     assert got == want
+
+def test_near_dup_survivors_nonconvergence_raises(ray_session):
+    """An exhausted max_iters must raise, not silently keep extra
+    survivors (round-3 review finding)."""
+    from search_engine_core_ray.stages.dedup import near_dup_survivors
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma delta epsilon zeta eta theta",
+                 "alpha beta gamma delta epsilon zeta eta theta"],
+                pa.string(),
+            ),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not reach a fixed point"):
+        near_dup_survivors(
+            ray.data.from_arrow(docs), threshold=0.5, max_iters=0
+        )

@@ -242,3 +242,31 @@ class TestPlainTaskNarrowPass:
         assert sorted(e1.doc_ids.tolist()) == sorted(e2.doc_ids.tolist())
         for q in ["machine", "data OR search"]:
             assert e1.rank(q, 10) == e2.rank(q, 10)
+
+
+class TestLoudFailures:
+    """Silent-skip hazards must raise instead (round-3 review findings)."""
+
+    def test_empty_narrow_paths_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from search_engine_core_ray.stages.profile import prededup_pages
+
+        ds = ray.data.from_arrow(
+            pa.table({"url": ["https://a.com/x"],
+                      "warc_ts": pa.array([1], pa.int64())})
+        )
+        with pytest.raises(ValueError, match="empty list"):
+            prededup_pages(ds, narrow_paths=[])
+
+    def test_split_runs_block_rejects_out_of_grid_keys(self):
+        import pyarrow as pa
+        from search_engine_core_ray.index.build import _split_runs_block
+
+        t = pa.table({
+            "shard": pa.array([0, 5], pa.int32()),   # 5 >= num_shards
+            "bucket": pa.array([0, 0], pa.int32()),
+            "payload": pa.array([b"x", b"y"], pa.binary()),
+        })
+        with pytest.raises(ValueError, match="outside the exchange"):
+            _split_runs_block(t, num_shards=4, n_buckets=2)
