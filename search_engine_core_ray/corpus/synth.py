@@ -76,6 +76,12 @@ class SynthConfig:
     # (reference README.md:511-515: ~7 KB static, ~580 KB SPA).
     paras: tuple = (2, 7)
     para_words: tuple = (10, 60)
+    # fraction of pages carrying a Zipf-length "topic burst" (one word
+    # repeated with a Pareto tail). The default corpus has near-uniform
+    # per-doc tf, so per-block tf_max is flat and block-max pruning
+    # cannot bite; real web corpora are tf-skewed. 0.0 = byte-identical
+    # to the pre-knob corpus (no rng draws are consumed when off).
+    tf_zipf_frac: float = 0.0
 
 
 def _words(rng: random.Random, vocab: list[str], n: int) -> list[str]:
@@ -153,6 +159,15 @@ def _gen_page(rng: random.Random, url: str, domain: str, lang: str, cfg: SynthCo
         b.raw(f'<div><a href="{href}">')
         b.textnode(" ".join(_words(rng, vocab, 2)))
         b.raw("</a></div>")
+    if cfg.tf_zipf_frac > 0 and rng.random() < cfg.tf_zipf_frac:
+        # tf skew: a head-region topic word repeated with a Pareto-tail
+        # burst — a few docs get tf in the hundreds while most stay at
+        # 1-3, so per-block tf_max (the block-max WAND bound) varies
+        topic = vocab[int(len(vocab) * rng.random() ** 2 * 0.25)]
+        burst = 2 + min(400, int(1.0 / max(1e-9, rng.random()) ** 0.7))
+        b.raw("\n<p>")
+        b.textnode(" ".join([topic] * burst))
+        b.raw("</p>")
     b.raw("</body></html>")
     return "".join(b.html), b.build_text(), title
 

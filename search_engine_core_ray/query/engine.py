@@ -20,10 +20,12 @@ Execution of one query:
    (RedisSearchStorage.cpp:286-288).
 
 ``search_topk_wand`` is the scale path for pure term queries: block-max
-WAND pruning over the per-block (last_docid, max tf per field) metadata
-with a bounded min-heap — it returns the same top-k doc_ids as the
-fidelity path (asserted in tests) without scoring every candidate; raw
-(pre-normalization) scores.
+WAND pruning with a bounded min-heap over EXACT per-block score bounds
+(``np.maximum.reduceat`` of the cached posting-aligned field scores —
+see ``_term_block_bounds`` for why the stored max-tf metadata bound is
+too loose to ever fire under BM25 tf saturation) — it returns the same
+top-k doc_ids as the fidelity path (asserted in tests) without scoring
+every candidate; raw (pre-normalization) scores.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ import pyarrow.parquet as pq
 
 from ..functions.analyzers import analyze
 from ..index.build import load_manifest
-from ..index.segments import ShardReader, shard_of_term
+from ..index.segments import BLOCK_SIZE, ShardReader, shard_of_term
 from ..query.parser import And, Filter, Or, Term, parse_query
 from ..query.plan import exact_phrases, normalize_filter_field, scoring_terms
 from ..scoring.config import AUTHORITY_DOMAINS, ScoringConfig
@@ -114,6 +116,8 @@ class SearchEngine:
         self._pos_cache: dict[str, tuple] = {}
         self._fscore_cache: dict[str, np.ndarray] = {}
         self._block_bounds_cache: dict[str, tuple] = {}
+        # observability: chunks considered / skipped by block-max pruning
+        self.prune_stats = {"chunks": 0, "pruned": 0, "pruned_cands": 0}
         self._load_docstore(os.path.join(index_dir, "docstore"))
         # doc-level tombstones (deleteDocumentsByDomain analog):
         from ..index.delete import load_tombstones
@@ -203,6 +207,9 @@ class SearchEngine:
             else np.asarray([""] * t.num_rows, dtype=object)
         )
         self.quality = t.column("quality").to_numpy().astype(np.float64)
+        # scoring multiplies by quality where quality > 0; the pruning
+        # bound must cover corpora where quality exceeds 1.0
+        self._q_mult_max = float(max(1.0, self.quality.max())) if t.num_rows else 1.0
         self.is_authority = np.asarray(
             [d in AUTHORITY_DOMAINS for d in self.domains], dtype=bool
         )
@@ -928,7 +935,11 @@ class SearchEngine:
             return [(x["doc_id"], x["score"]) for x in r["results"]]
         terms = scoring_terms(ast, self.text_analyzer)
         cfg = self.config
-        max_mult = 1.0 + cfg.boost_factors.domain_authority_boost + cfg.boost_factors.title_match_boost
+        max_mult = (
+            1.0
+            + cfg.boost_factors.domain_authority_boost
+            + cfg.boost_factors.title_match_boost
+        ) * self._q_mult_max
         term_blocks = self._term_block_bounds(terms)
 
         heap: list[tuple[float, int]] = []
@@ -948,10 +959,21 @@ class SearchEngine:
                 key=lambda i: -(self._term_ub(term_blocks[i]) if i < len(term_blocks) else 0.0),
             )
             scored = np.empty(0, dtype=np.int64)
+            kw_all = [tb[2] if tb is not None else None for tb in term_blocks]
+            w_kw = cfg.field_weights.keywords
             for n_done, i in enumerate(order):
                 if len(heap) >= k:
                     rem = sum(
                         self._term_ub(term_blocks[j]) for j in order[n_done:]
+                    )
+                    # an unscored doc is outside every scored term's
+                    # postings but can still hold a scored term's
+                    # KEYWORD bonus if that term's kw set reaches
+                    # beyond its postings
+                    rem += sum(
+                        w_kw
+                        for j in order[:n_done]
+                        if term_blocks[j] is not None and term_blocks[j][3]
                     )
                     if rem * max_mult < heap[0][0]:
                         break  # no unscored doc can beat the k-th best
@@ -962,8 +984,20 @@ class SearchEngine:
                 if len(self._tomb_pos):
                     cand = self._setdiff_sorted(cand, self._tomb_pos)
                 if len(cand):
+                    # bound only with the CURRENT + REMAINING terms'
+                    # blocks: cand was set-subtracted from every
+                    # already-scored term's postings, so those terms
+                    # contribute exactly 0 — including their block ubs
+                    # would inflate every candidate's bound and stop
+                    # the prune from ever firing
                     self._chunk_score_into_heap(
-                        cand, terms, term_blocks, k, heap, max_mult
+                        cand,
+                        terms,
+                        [term_blocks[j] for j in order[n_done:]],
+                        k,
+                        heap,
+                        max_mult,
+                        kw_all=kw_all,
                     )
                 scored = np.union1d(scored, p[0])
         else:
@@ -973,7 +1007,15 @@ class SearchEngine:
                     cands = self._setdiff_sorted(cands, self._tomb_pos)
             if len(cands) == 0:
                 return []
-            self._chunk_score_into_heap(cands, terms, term_blocks, k, heap, max_mult)
+            self._chunk_score_into_heap(
+                cands,
+                terms,
+                term_blocks,
+                k,
+                heap,
+                max_mult,
+                kw_all=[tb[2] if tb is not None else None for tb in term_blocks],
+            )
         # heap holds (score, -position); positions -> doc_ids here only
         out = sorted(((s, -nd) for s, nd in heap), key=lambda t: (-t[0], t[1]))
         return [(int(self.doc_ids[p_]), s) for s, p_ in out]
@@ -994,27 +1036,38 @@ class SearchEngine:
             toks.append(t[0])
         return toks
 
-    @staticmethod
-    def _term_ub(tb) -> float:
-        """Global score upper bound of one term (max over its blocks)."""
+    def _term_ub(self, tb) -> float:
+        """Global score upper bound of one term (max over its blocks,
+        plus the keyword bonus if any doc carries it)."""
         if tb is None:
             return 0.0
-        return float(tb[1].max(initial=0.0))
+        kw = (
+            self.config.field_weights.keywords
+            if tb[2] is not None and len(tb[2])
+            else 0.0
+        )
+        return float(tb[1].max(initial=0.0)) + kw
 
     def _term_block_bounds(self, terms: list[str]):
-        """Per-term (block_last_docid, block upper bound) arrays from the
-        stored block-max metadata; None for absent terms."""
-        cfg = self.config
-        w = cfg.field_weights
-        k1, b = cfg.bm25_params.k1, cfg.bm25_params.b
+        """Per-term (block_last_position, block upper bound) arrays,
+        computed EXACTLY from the positions-space postings; None for
+        absent terms.
 
-        def tf_bound(tf_max: np.ndarray) -> np.ndarray:
-            # upper bound of the tf component: len -> 0 in the BM25
-            # normalizer maximizes it (docLen only shrinks the score)
-            return np.where(
-                tf_max > 0, (tf_max * (k1 + 1)) / (tf_max + k1 * (1 - b)), 0.0
-            )
-
+        Earlier rounds derived bounds from the stored per-block max-tf
+        metadata with the document length sent to 0 in the BM25
+        normalizer. That bound is valid but so loose it never fires:
+        BM25's tf saturation squeezes every block's bound toward
+        idf*(k1+1)*sum(w_f) regardless of the actual tfs (tf=1 at len 0
+        already reaches (k1+1)/(1+k1*(1-b)) ~ 77% of the ceiling with
+        the default k1=1.2, b=0.75), so the summed chunk bound always
+        clears the heap minimum. The engine already holds the cached
+        posting-aligned combined field score (`_fscores`) — the exact
+        per-doc score modulo idf and boosts — so the TIGHT bound is one
+        ``np.maximum.reduceat`` over it per term, once per engine.
+        Bounds and block boundaries both live in positions space, which
+        also removes the docID translation from the chunk scorer.
+        """
+        w = self.config.field_weights
         # bounds depend on df, which a per-query df_override changes —
         # cache only when no override is active on a whole-index engine
         # (an override-derived bound could be too LOW for a later
@@ -1025,24 +1078,32 @@ class SearchEngine:
             if cacheable and t in self._block_bounds_cache:
                 term_blocks.append(self._block_bounds_cache[t])
                 continue
-            p = self._postings(t)
-            meta = None
-            if p is not None:
-                reader = self._reader(shard_of_term(t, self.num_shards))
-                meta = reader.block_meta(t)
-            if p is None or meta is None:
+            p = self._postings_pos(t)
+            if p is None or len(p[0]) == 0:
                 tb = None
             else:
-                df = p[4]
+                pos, df = p[0], p[4]
                 idf = max(0.0, float(np.log((self.N - df + 0.5) / (df + 0.5))))
-                blk_last, mtft, mtfc, mtfd = meta
-                kw_ub = w.keywords if t in self.kw_postings else 0.0
-                ub = idf * (
-                    tf_bound(mtft.astype(np.float64)) * w.title
-                    + tf_bound(mtfc.astype(np.float64)) * w.content
-                    + tf_bound(mtfd.astype(np.float64)) * w.description
-                ) + kw_ub
-                tb = (blk_last, ub)
+                fs = self._fscores(t)
+                starts = np.arange(0, len(pos), BLOCK_SIZE, dtype=np.int64)
+                ub = idf * np.maximum.reduceat(fs, starts)
+                blk_last = pos[np.minimum(starts + BLOCK_SIZE - 1, len(pos) - 1)]
+                # the keyword bonus is BINARY (w.keywords iff the doc's
+                # keyword list contains the term), so it is bounded
+                # per-candidate with one searchsorted into kw_pos
+                # instead of inflating every block bound by w.keywords
+                # (which would exceed any realistic heap minimum and
+                # stop pruning from ever firing). kw_outside flags docs
+                # that carry the keyword WITHOUT appearing in the
+                # term's postings — they can receive the bonus while
+                # being invisible to this term's blocks, which matters
+                # for the MaxScore remaining-terms bound.
+                kw_pos = self.kw_postings.get(t)
+                kw_outside = bool(
+                    kw_pos is not None
+                    and len(self._setdiff_sorted(np.sort(kw_pos), pos))
+                )
+                tb = (blk_last, ub, kw_pos, kw_outside)
             if cacheable:
                 if len(self._block_bounds_cache) >= 8192:
                     self._block_bounds_cache.clear()
@@ -1051,33 +1112,62 @@ class SearchEngine:
         return term_blocks
 
     def _chunk_score_into_heap(
-        self, cands, terms, term_blocks, k, heap, max_mult
+        self, cands, terms, term_blocks, k, heap, max_mult, kw_all=None
     ) -> None:
         """Score candidate POSITIONS in docID-ordered chunks (positions
-        ascend with doc_id); a chunk whose summed per-term block bounds
-        (over the blocks its docID-range touches) cannot beat the heap
-        minimum is skipped entirely. Heap entries are (score, -pos)."""
+        ascend with doc_id). Once the heap is full, each chunk is first
+        run through a PER-CANDIDATE block-max mask: a candidate's bound
+        is the sum over query terms of its 128-posting block's exact
+        score bound (one vectorized searchsorted per term), and
+        candidates whose bound cannot beat the heap minimum are dropped
+        before scoring. Chunk-level skipping alone never fires on a web
+        corpus — at 4096 candidates per chunk virtually every chunk
+        contains SOME high-tf doc, so the chunk's max bound stays above
+        the heap min even when 95% of its candidates are prunable.
+        Heap entries are (score, -pos); ``self.prune_stats`` counts
+        chunks, whole-chunk skips, and individually pruned candidates."""
         cfg = self.config
         B = 4096
         for start in range(0, len(cands), B):
             # keep object identity for one-chunk candidate sets so the
             # scorer's postings==candidates shortcut still fires
             chunk = cands if len(cands) <= B else cands[start : start + B]
+            self.prune_stats["chunks"] += 1
             if len(heap) >= k:
-                # block-max metadata lives in docID space
-                lo = int(self.doc_ids[chunk[0]])
-                hi = int(self.doc_ids[chunk[-1]])
-                bound = 0.0
+                hm = heap[0][0]
+                bound = np.zeros(len(chunk))
                 for tb in term_blocks:
                     if tb is None:
                         continue
-                    blk_last, ub = tb
-                    i0 = int(np.searchsorted(blk_last, lo))
-                    i1 = int(np.searchsorted(blk_last, hi)) + 1
-                    if i0 < len(ub):
-                        bound += float(ub[i0 : min(i1, len(ub))].max(initial=0.0))
-                if bound * max_mult <= heap[0][0]:
+                    blk_last, ub = tb[0], tb[1]
+                    # block of each candidate (bounds live in positions
+                    # space). Candidates outside this term's postings
+                    # land in SOME block whose ub >= 0 — an
+                    # overestimate of their true 0 contribution, so the
+                    # bound stays a true upper bound.
+                    bi = np.minimum(
+                        np.searchsorted(blk_last, chunk), len(ub) - 1
+                    )
+                    bound += ub[bi]
+                if kw_all is not None:
+                    # exact binary keyword bonus per candidate (see
+                    # _term_block_bounds): one searchsorted per term
+                    w_kw = cfg.field_weights.keywords
+                    for kw_pos in kw_all:
+                        if kw_pos is None or len(kw_pos) == 0:
+                            continue
+                        loc = np.minimum(
+                            np.searchsorted(kw_pos, chunk), len(kw_pos) - 1
+                        )
+                        bound += w_kw * (kw_pos[loc] == chunk)
+                keep_m = bound * max_mult > hm
+                n_keep = int(keep_m.sum())
+                self.prune_stats["pruned_cands"] += len(chunk) - n_keep
+                if n_keep == 0:
+                    self.prune_stats["pruned"] += 1
                     continue  # block-max prune: skip this chunk entirely
+                if n_keep < len(chunk):
+                    chunk = chunk[keep_m]
             scores = self._score_candidates(chunk, terms, [])
             # vectorized heap merge: keep chunk survivors in numpy and
             # rebuild the k-bounded heap with one C-side lexsort — a
