@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages import textstats as ts
-from ..stages.dedup import exact_dedup, minhash_near_dupes, simhash64
+from ..stages.dedup import exact_dedup, line_dedup, minhash_near_dupes, simhash64
 from ..functions.similarity import ann_topk, embedding_dupes, ivf_ann, lsh_bucket_ann
 
 BM25_QUERY_TERMS = ("dup", "vector")
@@ -755,6 +755,38 @@ def q_extract_text(sf_dir: str):
 )
 def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
+
+
+@_q(
+    "line_dedup",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    l AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS ln
+      FROM s),
+    norm AS (
+      SELECT doc_id, ln, line,
+             trim(line, ' ' || chr(9) || chr(13)) AS key FROM l),
+    dup AS (
+      SELECT key FROM norm WHERE key <> ''
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT n.doc_id, n.ln, n.line FROM norm n
+      LEFT JOIN dup d USING (key) WHERE d.key IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT doc.doc_id, coalesce(agg.text, '') AS text
+    FROM documents doc LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb duplicated-line removal over the documents table
+    (identity on this corpus — the synth docs share no exact lines —
+    which SQL-checks the no-false-positive direction; the removal
+    semantics are pinned on dup-heavy fixtures in test_line_dedup.py)."""
+    return line_dedup(_docs(sf_dir))
 
 
 @_q("minhash_dupes")  # rows-only: LSH banding not SQL-expressible

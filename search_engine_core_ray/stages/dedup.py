@@ -460,3 +460,166 @@ def simhash64(batch: pa.Table) -> pa.Table:
             "simhash": pa.array(sig.view(np.int64), pa.int64()),
         }
     )
+
+
+# ---- duplicated-line removal (C4 / RefinedWeb boilerplate scrub) --------
+
+_LINE_STRIP = " \t\r"
+
+
+def _explode_lines(batch: pa.Table, col: str) -> pa.Table:
+    """One doc batch -> (doc_id, ln, line, key) rows, vectorized:
+    polars split/explode with a per-doc line counter; ``key`` is the
+    line stripped of spaces/tabs/CR (the dedup identity), ``line`` the
+    original text that survives into the rebuilt doc."""
+    df = pl.DataFrame(
+        {
+            "doc_id": pl.from_arrow(batch.column("doc_id")),
+            "t": pl.Series(
+                [x or "" for x in batch.column(col).to_pylist()], dtype=pl.String
+            ),
+        }
+    )
+    df = (
+        df.with_columns(pl.col("t").str.split("\n").alias("line"))
+        .drop("t")
+        .with_columns(
+            pl.int_ranges(0, pl.col("line").list.len()).alias("ln")
+        )
+        .explode(["line", "ln"])
+        .with_columns(pl.col("line").str.strip_chars(_LINE_STRIP).alias("key"))
+    )
+    t = df.to_arrow()
+    # polars emits large_string; Acero refuses to join it against the
+    # plain-string key column the groupby aggregate produces
+    return t.cast(
+        pa.schema(
+            [
+                ("doc_id", t.schema.field("doc_id").type),
+                ("line", pa.string()),
+                ("ln", pa.int64()),
+                ("key", pa.string()),
+            ]
+        )
+    )
+
+
+def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
+    """C4/RefinedWeb-style duplicated-LINE removal -> Dataset(doc_id,
+    text): a stripped non-empty line occurring in >= 2 DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers) and
+    every occurrence of it is removed from every document; remaining
+    lines keep their order, and a fully-boilerplate doc survives with
+    empty text (C4's three-sentence-span rule, Raffel et al. 2020
+    §2.2; RefinedWeb line-wise filtering, Penedo et al. 2023 §3.2).
+
+    Scale design (100 TB): lines explode to (key, doc_id, ln) rows; a
+    key is duplicated iff its per-key Min(doc_id) != Max(doc_id) — two
+    BUILT-IN vectorized aggregates, no per-group Python (a naive
+    map_groups over line keys would pay a Python call per distinct
+    line of the corpus). The dup keys hash-join back against the
+    exploded lines to give the dup MARKS (doc_id, ln) — proportional
+    to the boilerplate volume, not the corpus. Marks pack per doc
+    (binary int64 — Acero rejects list payloads) and hash-JOIN against
+    the docs, so the full text rides exactly one exchange and nothing
+    funnels through the driver. The group key is the exact line string
+    (collision-free); hashing it to 128 bits would shrink the
+    exchanges further at scale.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    lines = docs_ds.map_batches(
+        lambda b: _explode_lines(b, col), batch_format="pyarrow"
+    ).materialize()
+
+    def nonblank(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.select(["key", "doc_id"]).filter(
+            pc.not_equal(b.column("key"), "")
+        )
+
+    spans = (
+        lines.map_batches(nonblank, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min("doc_id", alias_name="dmin"), Max("doc_id", alias_name="dmax"))
+    )
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.not_equal(b.column("dmin"), b.column("dmax"))
+        ).select(["key"])
+
+    dup_keys = spans.map_batches(dup_only, batch_format="pyarrow").materialize()
+    clean_cols = ["doc_id", col]
+    if dup_keys.count() == 0:
+        # nothing duplicated: identity projection (an empty join side
+        # has no schema and breaks Acero key resolution)
+        return docs_ds.map_batches(
+            lambda b: b.select(clean_cols), batch_format="pyarrow"
+        )
+    marks = dup_keys.join(
+        lines.map_batches(
+            lambda b: b.select(["key", "doc_id", "ln"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("key",),
+    ).map_batches(
+        lambda b: b.select(["doc_id", "ln"]), batch_format="pyarrow"
+        # merge away the join's schema-less empty hash-partition blocks
+        # before they hit the groupby/sort below
+    ).repartition(num_partitions).materialize()
+
+    def pack_lns(group: pa.Table) -> pa.Table:
+        lns = np.sort(group.column("ln").to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "drop_lns": pa.array([lns.tobytes()], pa.binary()),
+            }
+        )
+
+    packed = (
+        marks.groupby("doc_id")
+        .map_groups(pack_lns, batch_format="pyarrow")
+        # the groupby emits schema-less empty blocks; merged away they
+        # can't break the join's key-field resolution
+        .repartition(num_partitions)
+    )
+
+    joined = docs_ds.map_batches(
+        lambda b: b.select(clean_cols), batch_format="pyarrow"
+    ).join(
+        packed,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        drops = batch.column("drop_lns").to_pylist()
+        out = []
+        for t, d in zip(texts, drops):
+            if d is None or len(d) == 0:
+                out.append(t)
+                continue
+            drop = set(np.frombuffer(d, dtype=np.int64).tolist())
+            ls = (t or "").split("\n")
+            out.append("\n".join(l for i, l in enumerate(ls) if i not in drop))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                col: pa.array(out, pa.string()),
+            }
+        )
+
+    # repartition: the join emits schema-less empty blocks for empty
+    # hash partitions which would bypass downstream map UDFs
+    return joined.map_batches(rebuild, batch_format="pyarrow").repartition(
+        num_partitions
+    )
