@@ -52,6 +52,31 @@ def _lower(s: str) -> str:
     return s.translate(_ASCII_LOWER)
 
 
+def _slice_offset(view: np.ndarray, base: np.ndarray) -> int | None:
+    """-> k such that ``view`` IS the contiguous slice ``base[k:k+len
+    (view)]`` (same buffer, verified by pointer arithmetic +
+    shares_memory), else None. Lets the scorer index its cached
+    posting-aligned arrays directly when the two-phase top-k hands it
+    a slice of a term's posting array, skipping the candidates→
+    postings binary search entirely."""
+    if (
+        view is base
+        or view.base is None
+        or view.dtype != base.dtype
+        or view.strides != (base.itemsize,)
+        or base.strides != (base.itemsize,)
+        or not np.shares_memory(view, base)
+    ):
+        return None
+    delta = view.__array_interface__["data"][0] - base.__array_interface__["data"][0]
+    if delta < 0 or delta % base.itemsize:
+        return None
+    off = delta // base.itemsize
+    if off + len(view) > len(base):
+        return None
+    return int(off)
+
+
 def build_highlighter(terms: list[str]):
     """-> callable wrapping each whole-token query-term occurrence in
     RediSearch's default ``<b>``/``</b>`` tags, case-insensitively —
@@ -623,8 +648,14 @@ class SearchEngine:
                     ids, _, _, _, df = p
                     idf = np.log((self.N - df + 0.5) / (df + 0.5))
                     fs = self._fscores(term)
+                    off = _slice_offset(cands, ids)
                     if ids is cands:
                         field_s += idf * fs
+                    elif off is not None:
+                        # cands is a contiguous VIEW of this term's
+                        # postings (the two-phase top-k scorer hands
+                        # out slices): direct fs slice, no mapping
+                        field_s += idf * fs[off : off + len(cands)]
                     elif len(ids):
                         loc = np.searchsorted(ids, cands)
                         loc = np.minimum(loc, len(ids) - 1)
@@ -990,6 +1021,11 @@ class SearchEngine:
                     # contribute exactly 0 — including their block ubs
                     # would inflate every candidate's bound and stop
                     # the prune from ever firing
+                    # scoring must keep the FULL term list even though
+                    # scored terms' field scores are provably 0 on cand
+                    # (set-subtracted): the title-match boost substring-
+                    # matches ANY query term against titles, postings
+                    # membership or not
                     self._chunk_score_into_heap(
                         cand,
                         terms,
@@ -1115,81 +1151,102 @@ class SearchEngine:
         self, cands, terms, term_blocks, k, heap, max_mult, kw_all=None
     ) -> None:
         """Score candidate POSITIONS in docID-ordered chunks (positions
-        ascend with doc_id). Once the heap is full, each chunk is first
-        run through a PER-CANDIDATE block-max mask: a candidate's bound
-        is the sum over query terms of its 128-posting block's exact
-        score bound (one vectorized searchsorted per term), and
-        candidates whose bound cannot beat the heap minimum are dropped
-        before scoring. Chunk-level skipping alone never fires on a web
-        corpus — at 4096 candidates per chunk virtually every chunk
-        contains SOME high-tf doc, so the chunk's max bound stays above
-        the heap min even when 95% of its candidates are prunable.
-        Heap entries are (score, -pos); ``self.prune_stats`` counts
-        chunks, whole-chunk skips, and individually pruned candidates."""
-        cfg = self.config
-        B = 4096
-        for start in range(0, len(cands), B):
-            # keep object identity for one-chunk candidate sets so the
+        ascend with doc_id), TWO-PHASE:
+
+        A. if the heap isn't full yet, score the first 4096 candidates
+           vectorized to establish a heap minimum (skipped when the
+           caller — e.g. MaxScore's later terms — arrives with a full
+           heap);
+        B. compute a PER-CANDIDATE block-max bound over ALL remaining
+           candidates in one vectorized pass — sum over query terms of
+           each candidate's 128-posting block's exact score bound (one
+           searchsorted per term) plus the exact binary keyword bonus
+           (one searchsorted into each term's kw posting list) — and
+           score only the survivors, once.
+
+        An earlier revision looped 4096-candidate chunks with a
+        chunk-level skip test; measured on both uniform and Zipf-tf
+        corpora that never fires (every chunk contains SOME
+        saturated-tf doc, so the chunk max stays above the heap min
+        even when most of its candidates are individually prunable)
+        while paying a per-chunk candidates→postings searchsorted in
+        the scorer that the one-shot fidelity path never pays. The
+        two-phase shape makes the no-prune worst case one bound pass
+        more than fidelity scoring, and the prunable case one
+        ~O(survivors) scoring call. Heap entries are (score, -pos);
+        ``self.prune_stats`` counts phases, all-pruned phases, and
+        individually pruned candidates."""
+        start = 0
+        if len(heap) < k:
+            B0 = 4096
+            # keep object identity for small candidate sets so the
             # scorer's postings==candidates shortcut still fires
-            chunk = cands if len(cands) <= B else cands[start : start + B]
+            first = cands if len(cands) <= B0 else cands[:B0]
             self.prune_stats["chunks"] += 1
-            if len(heap) >= k:
-                hm = heap[0][0]
-                bound = np.zeros(len(chunk))
-                for tb in term_blocks:
-                    if tb is None:
+            self._merge_scores_into_heap(first, terms, k, heap)
+            start = len(first)
+            if start >= len(cands):
+                return
+        rest = cands[start:] if start else cands
+        self.prune_stats["chunks"] += 1
+        if len(heap) >= k:
+            hm = heap[0][0]
+            bound = np.zeros(len(rest))
+            for tb in term_blocks:
+                if tb is None:
+                    continue
+                blk_last, ub = tb[0], tb[1]
+                # block of each candidate (bounds live in positions
+                # space). Candidates outside this term's postings land
+                # in SOME block whose ub >= 0 — an overestimate of
+                # their true 0 contribution, so the bound stays a true
+                # upper bound.
+                bi = np.minimum(np.searchsorted(blk_last, rest), len(ub) - 1)
+                bound += ub[bi]
+            if kw_all is not None:
+                # exact binary keyword bonus per candidate (see
+                # _term_block_bounds): one searchsorted per term
+                w_kw = self.config.field_weights.keywords
+                for kw_pos in kw_all:
+                    if kw_pos is None or len(kw_pos) == 0:
                         continue
-                    blk_last, ub = tb[0], tb[1]
-                    # block of each candidate (bounds live in positions
-                    # space). Candidates outside this term's postings
-                    # land in SOME block whose ub >= 0 — an
-                    # overestimate of their true 0 contribution, so the
-                    # bound stays a true upper bound.
-                    bi = np.minimum(
-                        np.searchsorted(blk_last, chunk), len(ub) - 1
+                    loc = np.minimum(
+                        np.searchsorted(kw_pos, rest), len(kw_pos) - 1
                     )
-                    bound += ub[bi]
-                if kw_all is not None:
-                    # exact binary keyword bonus per candidate (see
-                    # _term_block_bounds): one searchsorted per term
-                    w_kw = cfg.field_weights.keywords
-                    for kw_pos in kw_all:
-                        if kw_pos is None or len(kw_pos) == 0:
-                            continue
-                        loc = np.minimum(
-                            np.searchsorted(kw_pos, chunk), len(kw_pos) - 1
-                        )
-                        bound += w_kw * (kw_pos[loc] == chunk)
-                keep_m = bound * max_mult > hm
-                n_keep = int(keep_m.sum())
-                self.prune_stats["pruned_cands"] += len(chunk) - n_keep
-                if n_keep == 0:
-                    self.prune_stats["pruned"] += 1
-                    continue  # block-max prune: skip this chunk entirely
-                if n_keep < len(chunk):
-                    chunk = chunk[keep_m]
-            scores = self._score_candidates(chunk, terms, [])
-            # vectorized heap merge: keep chunk survivors in numpy and
-            # rebuild the k-bounded heap with one C-side lexsort — a
-            # per-doc Python heapq loop costs more than scoring does
-            thresh = cfg.min_score
-            if len(heap) >= k and heap[0][0] > thresh:
-                thresh = heap[0][0]
-            keep = scores >= thresh
-            if not keep.any():
-                continue
-            c_ids = chunk[keep]
-            c_sc = scores[keep]
-            if heap:
-                c_ids = np.concatenate(
-                    [c_ids, np.asarray([-nd for _, nd in heap], dtype=np.int64)]
-                )
-                c_sc = np.concatenate(
-                    [c_sc, np.asarray([s for s, _ in heap], dtype=np.float64)]
-                )
-            order = np.lexsort((c_ids, -c_sc))[:k]
-            heap[:] = [(float(c_sc[i]), -int(c_ids[i])) for i in order]
-            heapq.heapify(heap)
+                    bound += w_kw * (kw_pos[loc] == rest)
+            keep_m = bound * max_mult > hm
+            n_keep = int(keep_m.sum())
+            self.prune_stats["pruned_cands"] += len(rest) - n_keep
+            if n_keep == 0:
+                self.prune_stats["pruned"] += 1
+                return  # block-max prune: nothing left can reach the heap
+            if n_keep < len(rest):
+                rest = rest[keep_m]
+        self._merge_scores_into_heap(rest, terms, k, heap)
+
+    def _merge_scores_into_heap(self, chunk, terms, k, heap) -> None:
+        """Score ``chunk`` (candidate positions) and merge into the
+        k-bounded heap with one C-side lexsort — a per-doc Python heapq
+        loop costs more than scoring does."""
+        scores = self._score_candidates(chunk, terms, [])
+        thresh = self.config.min_score
+        if len(heap) >= k and heap[0][0] > thresh:
+            thresh = heap[0][0]
+        keep = scores >= thresh
+        if not keep.any():
+            return
+        c_ids = chunk[keep]
+        c_sc = scores[keep]
+        if heap:
+            c_ids = np.concatenate(
+                [c_ids, np.asarray([-nd for _, nd in heap], dtype=np.int64)]
+            )
+            c_sc = np.concatenate(
+                [c_sc, np.asarray([s for s, _ in heap], dtype=np.float64)]
+            )
+        order = np.lexsort((c_ids, -c_sc))[:k]
+        heap[:] = [(float(c_sc[i]), -int(c_ids[i])) for i in order]
+        heapq.heapify(heap)
 
     @staticmethod
     def _has_filter(node) -> bool:
