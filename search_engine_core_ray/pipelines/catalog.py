@@ -1778,4 +1778,139 @@ def q_distributed_search(sf_dir: str):
         dist.shutdown()
 
 
+# ======================================================================
+# training-data scrubbing passes (stages/scrub.py) — each SQL-checked,
+# with deterministic in-query "dirt" injection (same expression in the
+# Ray pipeline and the DuckDB oracle) so the checks exercise the
+# actual scrub behavior instead of passing vacuously on a clean corpus
+# ======================================================================
+
+from ..stages import scrub as sc
+
+_PII_INJ_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com or +1 555 0' "
+    "|| CAST(doc_id AS VARCHAR) ELSE '' END"
+)
+
+
+def _pii_inject(b: pa.Table) -> pa.Table:
+    """Ray twin of _PII_INJ_SQL: append one e-mail + one phone to every
+    doc_id % 7 == 0 row (deterministic, id-derived)."""
+    df = pl.from_arrow(b)
+    did = pl.col("doc_id")
+    extra = (
+        pl.when(did % 7 == 0)
+        .then(
+            pl.lit(" contact user")
+            + did.cast(pl.Utf8)
+            + pl.lit("@example.com or +1 555 0")
+            + did.cast(pl.Utf8)
+        )
+        .otherwise(pl.lit(""))
+    )
+    return df.with_columns((pl.col("text") + extra).alias("text")).to_arrow()
+
+
+@_q(
+    "pii_redact",
+    f"""
+    WITH inj AS (SELECT doc_id, {_PII_INJ_SQL} AS text FROM documents),
+    em AS (
+      SELECT doc_id,
+             regexp_replace(text, '{sc.EMAIL_RE}', '{sc.EMAIL_TAG}', 'g') AS text,
+             len(regexp_extract_all(text, '{sc.EMAIL_RE}'))::BIGINT AS n_emails
+      FROM inj)
+    SELECT doc_id,
+           regexp_replace(text, '{sc.PHONE_RE}', '{sc.PHONE_TAG}', 'g') AS text,
+           n_emails,
+           len(regexp_extract_all(text, '{sc.PHONE_RE}'))::BIGINT AS n_phones
+    FROM em
+    """,
+)
+def q_pii_redact(sf_dir: str):
+    """PII scrub (C4/FineWeb-style): e-mails then phone-shaped digit
+    runs replaced by tags, per-doc counts reported. Injected PII on
+    every 7th doc makes the oracle exercise real replacements."""
+    injected = _docs(sf_dir).map_batches(_pii_inject, batch_format="pyarrow")
+    return sc.pii_redact(injected)
+
+
+DECONTAM_PHRASES = ("batch batch", "window window", "join order", "slow query")
+
+
+@_q(
+    "decontaminate",
+    "SELECT doc_id, text FROM documents WHERE NOT ("
+    + " OR ".join(f"contains(lower(text), '{p}')" for p in DECONTAM_PHRASES)
+    + ")",
+)
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: drop docs containing any
+    contamination phrase (case-insensitive substring == whitespace-
+    normalized n-gram hit); one Aho-Corasick scan per batch. The
+    phrase set hits ~20-40 docs each per 500 at this corpus shape, so
+    the oracle checks both directions (kept AND dropped)."""
+    return sc.decontaminate(_docs(sf_dir), list(DECONTAM_PHRASES))
+
+
+SAMPLE_RATES = {f"src{i}": (10 - i) / 10 for i in range(10)}
+
+_RATE_CASE_SQL = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN {int(round(r * 10000))}" for s, r in SAMPLE_RATES.items()
+    )
+    + " ELSE 0 END"
+)
+
+
+@_q(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10000
+          < {_RATE_CASE_SQL}
+    """,
+)
+def q_stratified_sample(sf_dir: str):
+    """Deterministic domain-mixing sample: per-source keep rates
+    (src0 100% down to src9 10%) decided by a Knuth multiplicative
+    hash of doc_id — bit-identical in numpy uint64 and DuckDB HUGEINT
+    arithmetic, so the oracle reproduces the exact row set."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return sc.stratified_sample(docs, SAMPLE_RATES)
+
+
+_NORM_INJ_SQL = "text || chr(10) || '  cafe' || chr(769) || chr(9) || ' '"
+
+
+def _norm_inject(b: pa.Table) -> pa.Table:
+    """Ray twin of _NORM_INJ_SQL: append decomposed-accent + messy
+    whitespace to every row so NFC + collapse + trim all fire."""
+    df = pl.from_arrow(b)
+    return df.with_columns(
+        (pl.col("text") + pl.lit("\n  cafe\u0301\t ")).alias("text")
+    ).to_arrow()
+
+
+@_q(
+    "normalize_text",
+    f"""
+    WITH inj AS (SELECT doc_id, {_NORM_INJ_SQL} AS text FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(text), '{sc._WS_RE}', ' ', 'g'), ' ')
+             AS text
+    FROM inj
+    """,
+)
+def q_normalize_text(sf_dir: str):
+    """Canonicalization before exact-hash dedup: NFC normalize (the
+    injected 'e'+U+0301 must compose to é), collapse whitespace runs,
+    trim. DuckDB's nfc_normalize and pyarrow's utf8_normalize NFC
+    implement the same Unicode definition."""
+    injected = _docs(sf_dir).map_batches(_norm_inject, batch_format="pyarrow")
+    return sc.normalize_text(injected)
+
+
 QUERIES["build_and_search"] = flagship
