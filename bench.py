@@ -247,6 +247,7 @@ def main() -> None:
         "postings", "term_df", "bm25_topk", "agg_pricing",
         "mktsegment_revenue", "events_window", "events_sessionize",
         "ann_topk", "minhash_dupes", "exact_dedup",
+        "pii_redact", "decontaminate", "stratified_sample", "normalize_text",
     ]:
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

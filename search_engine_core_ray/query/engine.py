@@ -1103,7 +1103,6 @@ class SearchEngine:
         Bounds and block boundaries both live in positions space, which
         also removes the docID translation from the chunk scorer.
         """
-        w = self.config.field_weights
         # bounds depend on df, which a per-query df_override changes —
         # cache only when no override is active on a whole-index engine
         # (an override-derived bound could be too LOW for a later
@@ -1116,7 +1115,25 @@ class SearchEngine:
                 continue
             p = self._postings_pos(t)
             if p is None or len(p[0]) == 0:
-                tb = None
+                # a term can have KEYWORD postings without text postings
+                # (extract_keywords strips punctuation differently from
+                # the tokenizer: "e-mail" -> keyword "email" vs tokens
+                # "mail"). Such a term contributes no field score but
+                # still awards the binary w.keywords bonus, so it must
+                # stay visible to every bound (empty blocks, kw set,
+                # kw_outside=True) — a None tb here made the phase-B
+                # bound and the MaxScore remaining-UB underestimate true
+                # scores and prune docs the fidelity path ranks.
+                kw_pos = self.kw_postings.get(t)
+                if kw_pos is None or len(kw_pos) == 0:
+                    tb = None
+                else:
+                    tb = (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                        np.sort(kw_pos),
+                        True,
+                    )
             else:
                 pos, df = p[0], p[4]
                 idf = max(0.0, float(np.log((self.N - df + 0.5) / (df + 0.5))))
@@ -1196,6 +1213,8 @@ class SearchEngine:
                 if tb is None:
                     continue
                 blk_last, ub = tb[0], tb[1]
+                if len(ub) == 0:
+                    continue  # keyword-only term: bonus added via kw_all
                 # block of each candidate (bounds live in positions
                 # space). Candidates outside this term's postings land
                 # in SOME block whose ub >= 0 — an overestimate of

@@ -372,14 +372,28 @@ def near_dup_survivors(
     def digest(ds) -> int:
         """Order-independent label-table digest (sum of per-row mixes,
         mod 2^64): equal digests across rounds == fixed point, without
-        a full old-vs-new join per round."""
-        h = 0
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        a full old-vs-new join per round. Per-block partial sums are
+        computed WHERE THE BLOCKS LIVE and only one (lo, hi) int pair
+        per block rides a distributed sum — the driver never streams
+        the O(N) label table (each partial is split into 32-bit halves
+        so the int64 aggregate can't overflow; the true mod-2^64 sum
+        is reassembled from the half-sums)."""
+        def part(b: pa.Table) -> pa.Table:
             n = b.column("node").to_numpy().astype(np.uint64)
             l = b.column("label").to_numpy().astype(np.uint64)
             mix = (n * _C1) ^ (l * _C2)
-            h = (h + int(mix.sum(dtype=np.uint64))) % (1 << 64)
-        return h
+            s = int(mix.sum(dtype=np.uint64))
+            return pa.table(
+                {
+                    "lo": pa.array([s & 0xFFFFFFFF], pa.int64()),
+                    "hi": pa.array([s >> 32], pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(part, batch_format="pyarrow").sum(["lo", "hi"])
+        if agg is None:  # empty label table
+            return 0
+        return (int(agg["sum(lo)"]) + (int(agg["sum(hi)"]) << 32)) % (1 << 64)
 
     prev = digest(labels)
     converged = False
@@ -606,7 +620,8 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
         out = []
         for t, d in zip(texts, drops):
             if d is None or len(d) == 0:
-                out.append(t)
+                # null text -> "" like the SQL twin's coalesce(agg.text, '')
+                out.append(t if t is not None else "")
                 continue
             drop = set(np.frombuffer(d, dtype=np.int64).tolist())
             ls = (t or "").split("\n")

@@ -81,7 +81,11 @@ def decontaminate(docs_ds, phrases: list[str], col: str = "text"):
 
     def keep(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
-        hit = df[col].str.to_lowercase().str.contains_any(pats)
+        # null text contains no contamination -> kept (fill_null, or the
+        # null mask would silently drop the row; SQL three-valued logic
+        # drops NULL rows instead — deliberate divergence, nulls never
+        # reach the oracle comparison on this corpus)
+        hit = df[col].str.to_lowercase().str.contains_any(pats).fill_null(False)
         return df.filter(~hit).to_arrow()
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
