@@ -163,3 +163,29 @@ def test_sample_bucket_is_stable_across_dtypes():
     b = sc.sample_bucket(ids)
     for i, v in zip(ids.tolist(), b.tolist()):
         assert v == (i * 2654435761) % (2**32) % 10000
+
+
+# property: the polars (Rust-regex) pipeline agrees with the stdlib
+# re oracle on arbitrary ASCII text — pins the RE2/Rust/re common-
+# subset assumption the SQL oracles rely on
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=200,
+    )
+
+    @given(st.lists(_ascii_text, min_size=1, max_size=8))
+    @settings(max_examples=30, deadline=None)
+    def test_pii_redact_property_matches_re(texts):
+        import polars as pl
+
+        df = pl.DataFrame({"t": pl.Series(texts, dtype=pl.Utf8)})
+        out = sc._pii_batch(df.to_arrow().rename_columns(["text"]), "text")
+        got = out.column("text").to_pylist()
+        for raw, red in zip(texts, got):
+            assert red == scalar_pii(raw)[0]
+except ImportError:  # pragma: no cover
+    pass
