@@ -884,8 +884,31 @@ def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow")
 
 
-@_q("doc_fingerprint")  # rows-only
+@_q(
+    "doc_fingerprint",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tk
+      FROM documents),
+    r AS (
+      SELECT doc_id, tk, 1 AS i,
+             CAST(0 AS HUGEINT) AS acc, CAST(1 AS HUGEINT) AS pw
+      FROM toks
+      UNION ALL
+      SELECT doc_id, tk, i + 1,
+             (acc + pw * (('0x' || substr(md5(tk[i]), 1, 8))::BIGINT)::HUGEINT)
+               % 2305843009213693951,
+             (pw * 1000003) % 2305843009213693951
+      FROM r WHERE i <= len(tk))
+    SELECT doc_id, CAST(acc AS BIGINT) AS fp
+    FROM r WHERE i = len(tk) + 1
+    """,
+)
 def q_doc_fingerprint(sf_dir: str):
+    """Rolling polynomial fingerprint (base 1000003, mod 2^61-1,
+    md5-prefix-32 token hash). The oracle replays the exact recurrence
+    as a recursive CTE — one iteration level per token position."""
     return _docs(sf_dir).map_batches(ts.doc_fingerprint, batch_format="pyarrow")
 
 

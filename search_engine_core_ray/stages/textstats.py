@@ -165,14 +165,25 @@ _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
 
 
+def _tok_h32(t: str) -> int:
+    """32-bit token hash: first 4 md5 bytes big-endian — chosen over
+    crc32 because BOTH engines can compute it (DuckDB:
+    ('0x' || substr(md5(t), 1, 8))::HUGEINT), making the fingerprint
+    SQL-checkable end to end."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+
+
 def doc_fingerprint(batch: pa.Table) -> pa.Table:
     """Order-sensitive rolling polynomial hash over the token stream:
-    fp = sum(base^i * crc32(tok_i)) mod 2^61-1. Python-int modular
-    arithmetic (products exceed 64 bits); token extraction stays
-    vectorized. Not SQL-expressible — covered by a pytest oracle.
-    """
-    import zlib
-
+    fp = sum(base^i * h32(tok_i)) mod 2^61-1 with h32 = md5-prefix-32.
+    Python-int modular arithmetic (products exceed 64 bits); token
+    extraction stays vectorized; the per-token hash loop is the
+    operator's cost (swap in a vectorized hash at scale if SQL
+    comparability is not needed). The DuckDB oracle reproduces the
+    exact rolling recurrence with a recursive CTE (catalog entry
+    doc_fingerprint)."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     toks = (
         df.with_columns(
@@ -185,7 +196,7 @@ def doc_fingerprint(batch: pa.Table) -> pa.Table:
         acc = 0
         power = 1
         for t in doc_toks or ():
-            acc = (acc + power * zlib.crc32(t.encode())) % _FP_MOD
+            acc = (acc + power * _tok_h32(t)) % _FP_MOD
             power = (power * _FP_BASE) % _FP_MOD
         fps.append(acc)
     return pa.table(

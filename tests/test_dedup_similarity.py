@@ -271,8 +271,8 @@ def test_simhash_matches_independent_oracle():
 def _oracle_fingerprint(text: str) -> int:
     """Scalar reimplementation of the rolling polynomial hash with
     pow(base, i, mod) — independent of the pipeline's accumulator."""
+    import hashlib
     import re
-    import zlib
 
     from search_engine_core_ray.stages.textstats import TOKEN_RE
 
@@ -280,7 +280,8 @@ def _oracle_fingerprint(text: str) -> int:
     BASE = 1_000_003
     toks = re.findall(TOKEN_RE, (text or "").lower())
     return sum(
-        pow(BASE, i, MOD) * zlib.crc32(t.encode()) for i, t in enumerate(toks)
+        pow(BASE, i, MOD) * int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for i, t in enumerate(toks)
     ) % MOD
 
 
