@@ -879,9 +879,41 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
-@_q("simhash")  # rows-only
+@_q(
+    "simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS tok
+      FROM documents),
+    b AS (
+      SELECT t.doc_id, bits.bit,
+             sum(CASE WHEN (md5_number_lower(t.tok) >> bits.bit) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM toks t CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+      GROUP BY t.doc_id, bits.bit),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit
+                 ELSE CAST(0 AS HUGEINT) END) AS s
+      FROM b GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(CASE WHEN coalesce(sig.s, 0) >= 9223372036854775808
+                THEN coalesce(sig.s, 0) - 18446744073709551616
+                ELSE coalesce(sig.s, 0) END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig USING (doc_id)
+    """,
+)
 def q_simhash(sf_dir: str):
-    return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow")
+    """tf-weighted 64-bit SimHash with the DuckDB-reproducible
+    md5_number_lower token hash — the full bit-voting pipeline is
+    SQL-checked (per-bit +/- vote sums, majority, bit packing, uint64
+    -> int64 view). The production polars-hash variant (identical
+    machinery, faster hash) keeps its independent scalar pytest
+    oracle."""
+    return _docs(sf_dir).map_batches(
+        simhash64, fn_kwargs={"token_hash": "md5"}, batch_format="pyarrow"
+    )
 
 
 @_q(

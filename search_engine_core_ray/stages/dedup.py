@@ -441,10 +441,32 @@ def near_dup_survivors(
 
 # ---- simhash -----------------------------------------------------------
 
-def simhash64(batch: pa.Table) -> pa.Table:
+def _md5_lower64(tokens: list[str]) -> np.ndarray:
+    """DuckDB-compatible 64-bit token hash (md5_number_lower: last 8
+    md5 digest bytes, little-endian). Hashes DISTINCT tokens once and
+    maps — used by the SQL-checkable simhash variant only; the
+    production path keeps the vectorized polars hash."""
+    import hashlib
+
+    lut: dict[str, int] = {}
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for j, t in enumerate(tokens):
+        h = lut.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+            lut[t] = h
+        out[j] = h
+    return out
+
+
+def simhash64(batch: pa.Table, token_hash: str = "polars") -> pa.Table:
     """64-bit SimHash over vectorized token hashes, weighted by tf —
     one bit-matrix accumulation for the WHOLE batch (np.add.at scatter
-    by doc index), zero per-token Python."""
+    by doc index), zero per-token Python on the default path.
+    ``token_hash="md5"`` swaps in the DuckDB-reproducible
+    md5_number_lower token hash so the FULL bit-voting pipeline is
+    SQL-checkable (catalog entry simhash); same signature semantics,
+    slower hash, intended for verification scales."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     texts = df["text"].to_list()
     n = len(texts)
@@ -459,8 +481,11 @@ def simhash64(batch: pa.Table) -> pa.Table:
         pl.col("t").str.to_lowercase().str.extract_all(TOKEN_RE).alias("tok")
     ).drop("t").explode("tok", empty_as_null=True).drop_nulls("tok")
     if len(ex):
-        ex = ex.with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
-        hs = ex["h"].to_numpy().astype(np.uint64)
+        if token_hash == "md5":
+            hs = _md5_lower64(ex["tok"].to_list())
+        else:
+            ex = ex.with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
+            hs = ex["h"].to_numpy().astype(np.uint64)
         idx = ex["i"].to_numpy()
         bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
         np.add.at(acc, idx, 2 * bitmat - 1)

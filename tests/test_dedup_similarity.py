@@ -469,3 +469,34 @@ def test_near_dup_survivors_nonconvergence_raises(ray_session):
         near_dup_survivors(
             ray.data.from_arrow(docs), threshold=0.5, max_iters=0
         )
+
+
+def test_simhash_md5_variant_matches_duckdb_hash_kernel():
+    """The SQL-checkable variant: token hash == DuckDB's
+    md5_number_lower (last 8 md5 bytes little-endian), same bit-voting
+    machinery; scalar oracle built with hashlib + ints only."""
+    import hashlib
+    import re
+
+    from search_engine_core_ray.stages.dedup import TOKEN_RE, simhash64
+
+    texts = ["alpha beta beta", "", "one two three four", "alpha beta beta"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = simhash64(t, token_hash="md5").to_pydict()
+    got = dict(zip(out["doc_id"], out["simhash"]))
+
+    def oracle(text):
+        toks = re.findall(TOKEN_RE, text.lower())
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16], "little")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for i, text in enumerate(texts):
+        assert got[i] == oracle(text), (i, text)
+    assert got[0] == got[3] and got[0] != got[2]
