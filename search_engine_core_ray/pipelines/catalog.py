@@ -789,9 +789,80 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
-@_q("minhash_dupes")  # rows-only: LSH banding not SQL-expressible
+def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB replay of the ENTIRE MinHash+LSH pipeline with the
+    md5_number_lower token hash: ordered token hashes -> k=3 sliding
+    multiply-xor shingles (wrap-mod-2^64, distinct) -> 64 permutations
+    ((sh*a+b) mod 2^64 mod 2^61, min over shingles) -> 16 band hashes
+    (xor of 4 permuted rows) -> candidate pairs per (band, hash)
+    bucket -> exact Jaccard over the shingle-hash sets -> threshold.
+    All constants come from the SAME seeded arrays the Python pipeline
+    uses (stages/dedup._SH_C/_MH_A/_MH_B/_BAND_C)."""
+    from ..stages import dedup as dd
+
+    C = [int(x) for x in dd._SH_C]
+    A = [int(x) for x in dd._MH_A]
+    B = [int(x) for x in dd._MH_B]
+    BC = [int(x) for x in dd._BAND_C]
+    M64, M61 = 1 << 64, 1 << 61
+
+    def u(expr: str, c: int) -> str:
+        return f"CAST((CAST({expr} AS HUGEINT) * {c}) % {M64} AS UBIGINT)"
+
+    sh_expr = (
+        f"xor(xor({u('h[i]', C[0])}, {u('h[i+1]', C[1])}), {u('h[i+2]', C[2])})"
+    )
+    perm_rows = ", ".join(f"({k}, {A[k]}, {B[k]})" for k in range(dd.N_PERM))
+    band_terms = ", ".join(
+        f"max(CASE WHEN k % {dd.ROWS_PER_BAND} = {r} THEN {u('m', BC[r])} END) AS t{r}"
+        for r in range(dd.ROWS_PER_BAND)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'),
+                                    t -> md5_number_lower(t)) AS h
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE
+               WHEN len(h) = 0 THEN CAST([] AS UBIGINT[])
+               WHEN len(h) = 1 THEN [{u('h[1]', C[0])}]
+               WHEN len(h) = 2 THEN [xor({u('h[1]', C[0])}, {u('h[2]', C[1])})]
+               ELSE [{sh_expr} for i in range(1, len(h) - 1)]
+             END) AS s
+      FROM toks),
+    exploded AS (SELECT doc_id, unnest(s) AS v FROM sh),
+    perms(k, a, b) AS (VALUES {perm_rows}),
+    sig AS (
+      SELECT e.doc_id, p.k,
+             min(CAST((CAST(e.v AS HUGEINT) * p.a + p.b) % {M64} AS UBIGINT)
+                 % {M61}) AS m
+      FROM exploded e CROSS JOIN perms p
+      GROUP BY e.doc_id, p.k),
+    bands AS (
+      SELECT doc_id, CAST(k // {dd.ROWS_PER_BAND} AS INT) AS band, {band_terms}
+      FROM sig GROUP BY doc_id, band),
+    bh AS (
+      SELECT doc_id, band, xor(xor(t0, t1), xor(t2, t3)) AS band_hash FROM bands),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+                          AND y.doc_id > x.doc_id),
+    j AS (
+      SELECT c.a, c.b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE
+               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+    SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+@_q("minhash_dupes", _minhash_oracle_sql(0.5))
 def q_minhash_dupes(sf_dir: str):
-    return minhash_near_dupes(_docs(sf_dir), threshold=0.5)
+    """MinHash+LSH near-dup pairs, SQL-checked END TO END (banding
+    included) via the md5 token-hash variant — same machinery as the
+    production polars-hash path, DuckDB-reproducible hash kernel."""
+    return minhash_near_dupes(_docs(sf_dir), threshold=0.5, token_hash="md5")
 
 
 @_q(

@@ -70,9 +70,14 @@ _TOKEN_HASH_SEED = 24862
 _SH_C = (_rng.randint(1, 1 << 62, size=8).astype(np.uint64) * 2 + 1)
 
 
-def _token_hashes(texts: list[str]) -> list[np.ndarray]:
+def _token_hashes(
+    texts: list[str], token_hash: str = "polars"
+) -> list[np.ndarray]:
     """Per doc: uint64 hash per token, in order — ONE vectorized polars
-    hash kernel call for the whole batch, no per-token Python."""
+    hash kernel call for the whole batch, no per-token Python.
+    ``token_hash="md5"`` swaps in the DuckDB-reproducible
+    md5_number_lower hash (distinct tokens hashed once) so the whole
+    MinHash pipeline becomes SQL-checkable; verification scales only."""
     df = pl.DataFrame(
         {
             "i": pl.Series(np.arange(len(texts), dtype=np.int64)),
@@ -86,8 +91,13 @@ def _token_hashes(texts: list[str]) -> list[np.ndarray]:
         .drop("t")
         .explode("tok", empty_as_null=True)
         .drop_nulls("tok")
-        .with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
     )
+    if token_hash == "md5":
+        ex = ex.with_columns(
+            pl.Series("h", _md5_lower64(ex["tok"].to_list()))
+        )
+    else:
+        ex = ex.with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
     g = ex.group_by("i", maintain_order=True).agg(pl.col("h"))
     grouped = dict(zip(g["i"].to_list(), g["h"].to_list()))
     return [
@@ -95,11 +105,13 @@ def _token_hashes(texts: list[str]) -> list[np.ndarray]:
     ]
 
 
-def _shingle_hashes(texts: list[str], k: int = 3) -> list[np.ndarray]:
+def _shingle_hashes(
+    texts: list[str], k: int = 3, token_hash: str = "polars"
+) -> list[np.ndarray]:
     """Per doc: sorted unique uint64 hashes of k-token shingles —
     sliding-window multiply-xor over the vectorized token hashes."""
     out = []
-    for h in _token_hashes(texts):
+    for h in _token_hashes(texts, token_hash):
         n = len(h)
         if n == 0:
             out.append(np.empty(0, dtype=np.uint64))
@@ -132,7 +144,7 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
 _BAND_C = (_rng.randint(1, 1 << 62, size=ROWS_PER_BAND).astype(np.uint64) * 2 + 1)
 
 
-def minhash_bands(batch: pa.Table, k: int = 3) -> pa.Table:
+def minhash_bands(batch: pa.Table, k: int = 3, token_hash: str = "polars") -> pa.Table:
     """docs -> (band, band_hash, doc_id) rows for the LSH groupby —
     signatures stacked once, band hashes one vectorized multiply-xor."""
     ids = batch.column("doc_id").to_numpy()
@@ -144,7 +156,7 @@ def minhash_bands(batch: pa.Table, k: int = 3) -> pa.Table:
              "doc_id": pa.array([], pa.int64())}
         )
     sigs = np.stack(
-        [minhash_signature(sh) for sh in _shingle_hashes(texts, k)]
+        [minhash_signature(sh) for sh in _shingle_hashes(texts, k, token_hash)]
     )  # (n, N_PERM)
     chunks = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
     bh = np.zeros((n, N_BANDS), dtype=np.uint64)
@@ -195,20 +207,24 @@ def jaccard_pairs(texts_by_id: dict[int, str], pairs: list[tuple[int, int]], k: 
     return out
 
 
-def doc_shingles(batch: pa.Table, k: int = 3) -> pa.Table:
+def doc_shingles(batch: pa.Table, k: int = 3, token_hash: str = "polars") -> pa.Table:
     """docs -> (doc_id, sh binary) sorted-unique shingle hashes, packed
     as little-endian uint64 bytes (Acero's hash join can carry binary
     payload columns but not list<uint64>)."""
     ids = batch.column("doc_id")
     texts = batch.column("text").to_pylist()
-    sh = _shingle_hashes(texts, k)
+    sh = _shingle_hashes(texts, k, token_hash)
     return pa.table(
         {"doc_id": ids, "sh": pa.array([s.tobytes() for s in sh], pa.binary())}
     )
 
 
 def minhash_near_dupes(
-    docs_ds, threshold: float = 0.5, k: int = 3, num_partitions: int = 8
+    docs_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int = 8,
+    token_hash: str = "polars",
 ):
     """Full near-dup pipeline -> Dataset(a, b, jaccard) with jaccard >=
     threshold, deduplicated pairs, a < b.
@@ -226,7 +242,7 @@ def minhash_near_dupes(
        map_groups call overhead).
     """
     bands = docs_ds.map_batches(
-        lambda b: minhash_bands(b, k), batch_format="pyarrow"
+        lambda b: minhash_bands(b, k, token_hash), batch_format="pyarrow"
     )
     pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
@@ -254,7 +270,9 @@ def minhash_near_dupes(
             )
         )
 
-    sh_ds = docs_ds.map_batches(lambda b: doc_shingles(b, k), batch_format="pyarrow")
+    sh_ds = docs_ds.map_batches(
+        lambda b: doc_shingles(b, k, token_hash), batch_format="pyarrow"
+    )
 
     def as_side(side: str):
         def fn(batch: pa.Table) -> pa.Table:
