@@ -93,8 +93,16 @@ def _token_hashes(
         .drop_nulls("tok")
     )
     if token_hash == "md5":
+        # hash each DISTINCT token once, then a vectorized polars map —
+        # no per-occurrence Python loop
+        import hashlib
+
+        lut = {
+            t: int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+            for t in ex["tok"].unique().to_list()
+        }
         ex = ex.with_columns(
-            pl.Series("h", _md5_lower64(ex["tok"].to_list()))
+            pl.col("tok").replace_strict(lut, return_dtype=pl.UInt64).alias("h")
         )
     else:
         ex = ex.with_columns(pl.col("tok").hash(seed=_TOKEN_HASH_SEED).alias("h"))
