@@ -428,11 +428,22 @@ def near_dup_survivors(
             lambda b: pa.table({"u": b.column("node"), "label": b.column("label")}),
             batch_format="pyarrow",
         )
-        msgs = edges.join(
-            lab_u, join_type="inner", num_partitions=num_partitions, on=("u",)
-        ).map_batches(
-            lambda b: pa.table({"node": b.column("v"), "label": b.column("label")}),
-            batch_format="pyarrow",
+        msgs = (
+            edges.join(
+                lab_u, join_type="inner", num_partitions=num_partitions, on=("u",)
+            )
+            # merge away the join's schema-less empty blocks BEFORE the
+            # rename map: empty blocks bypass map UDFs and would enter
+            # the union with the pre-rename (u, label) schema — a
+            # partition-layout-dependent hazard that only bites under
+            # load (observed as a rare wrong-survivor flake)
+            .repartition(num_partitions)
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("v"), "label": b.column("label")}
+                ),
+                batch_format="pyarrow",
+            )
         )
         labels = (
             labels.union(msgs)
