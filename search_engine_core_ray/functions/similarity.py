@@ -442,3 +442,83 @@ def lsh_bucket_ann(embeddings_ds, query_ids: list[int], k: int = 10, n_planes: i
         )
 
     return bucketed.groupby("bucket").map_groups(bucket_topk, batch_format="pyarrow")
+
+
+def semdedup(
+    embeddings_ds,
+    n_clusters: int = 8,
+    threshold: float = 0.85,
+    centroid_ids: list[int] | None = None,
+):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space, then inside each cluster
+    drop every vector that has an already-kept near-twin.
+
+    Deterministic, SQL-checkable configuration: the centroids are the
+    embeddings of ``centroid_ids`` (default vec_id 0..n_clusters-1) and
+    assignment is a single max-cosine pass (ties -> lowest centroid
+    index) — no k-means iterations, so DuckDB can replay the whole
+    pipeline.  The production path can swap in the seeded k-means from
+    ``ivf_ann`` (same assignment kernel); the dedup rule is unchanged.
+
+    Keep rule (greedy, low-id-wins): vector v is DROPPED iff some u<v
+    in the same cluster has cos(u, v) >= threshold.  Deterministic and
+    order-free — equivalent to keeping the minimum vec_id of every
+    duplicate neighborhood chain.
+
+    Scale shape: centroid matrix broadcast once via ``ray.put``;
+    assignment is one vectorized matmul per batch; the only shuffle is
+    the groupby(cluster).  Per-group work is O(|cluster|^2) matmul —
+    at web scale raise n_clusters so clusters stay worker-sized (the
+    same contract ivf_ann documents for its buckets).
+
+    Returns (vec_id, cluster_id, kept) with kept as int64 0/1.
+    """
+    import ray
+
+    cids = list(centroid_ids) if centroid_ids is not None else list(range(n_clusters))
+    cmat, got = _collect_query_vectors(embeddings_ds, cids)
+    if list(got) != sorted(cids):
+        raise ValueError(f"centroid ids {sorted(cids)} not all present (got {got})")
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cref = ray.put(cmat / cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        m = _to_matrix(batch)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        sims = (m / mn) @ C.T
+        cl = np.argmax(sims, axis=1).astype(np.int64)  # ties -> lowest index
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "embedding": batch.column("embedding"),
+                "cluster_id": pa.array(cl, pa.int64()),
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("vec_id").to_numpy(), kind="stable")
+        group = group.take(pa.array(order))
+        ids = group.column("vec_id").to_numpy()
+        m = _to_matrix(group)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        g = m / mn
+        sims = g @ g.T
+        # strict upper triangle: sims[u, v] with u < v (vec_id asc)
+        dup = (np.triu(sims, k=1) >= threshold).any(axis=0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": group.column("cluster_id"),
+                "kept": pa.array((~dup).astype(np.int64), pa.int64()),
+            }
+        )
+
+    assigned = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    return assigned.groupby("cluster_id").map_groups(mark, batch_format="pyarrow")

@@ -2039,4 +2039,125 @@ def q_normalize_text(sf_dir: str):
     return sc.normalize_text(injected)
 
 
+
+# ======================================================================
+# LLM training-data layout + semantic dedup + corpus-LM quality
+# ======================================================================
+
+SEQ_LEN = 512
+
+
+@_q(
+    "sequence_pack",
+    rf"""
+    WITH n AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
+               + 1 AS n_tok
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+      FROM n),
+    s AS (
+      SELECT doc_id, n_tok, start,
+             unnest(range(start // {SEQ_LEN}, (start + n_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
+      FROM o)
+    SELECT doc_id, seq_id::BIGINT AS seq_id,
+           (GREATEST(start, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN})::BIGINT AS seq_off,
+           (GREATEST(start, seq_id * {SEQ_LEN}) - start)::BIGINT AS doc_off,
+           (LEAST(start + n_tok, (seq_id + 1) * {SEQ_LEN})
+             - GREATEST(start, seq_id * {SEQ_LEN}))::BIGINT AS len
+    FROM s
+    """,
+)
+def q_sequence_pack(sf_dir: str):
+    """GPT-style sequence packing span map: BPE-ish token budgets + one
+    EOS slot per doc, laid end-to-end in doc_id order and cut every
+    SEQ_LEN tokens; docs straddle sequence boundaries.  The offsets are
+    a two-pass distributed prefix scan over the narrow (doc_id, n_tok)
+    stream (stages/packing.py); the oracle replays them with a window
+    running sum and explodes the straddle range with unnest(range)."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), seq_len=SEQ_LEN)
+
+
+SEMDEDUP_TAU = 0.4
+_SD_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
+    " / ( sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    "   * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))) )"
+)
+
+
+@_q(
+    "semdedup",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             {_SD_COS.format(a="e.embedding", b="c.ce")} AS s
+      FROM embeddings e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM sims),
+    a AS (SELECT vec_id, cid AS cluster_id FROM assign WHERE rn = 1)
+    SELECT a.vec_id, a.cluster_id,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM a u
+             JOIN embeddings eu ON u.vec_id = eu.vec_id
+             JOIN embeddings ev ON a.vec_id = ev.vec_id
+             WHERE u.cluster_id = a.cluster_id AND u.vec_id < a.vec_id
+               AND {_SD_COS.format(a="eu.embedding", b="ev.embedding")} >= {SEMDEDUP_TAU}
+           ) THEN 0 ELSE 1 END::BIGINT AS kept
+    FROM a
+    """,
+)
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv 2303.09540) in its deterministic SQL-checkable
+    configuration: centroids = embeddings of vec_id 0..7, one
+    max-cosine assignment pass (ties -> lowest centroid), then inside
+    each cluster drop any vector with a kept lower-id neighbor at
+    cos >= 0.4 (the synth corpus's planted near-dup band, matching
+    embedding_dupes)."""
+    from ..functions.similarity import semdedup
+
+    return semdedup(
+        _read(sf_dir, "embeddings"), n_clusters=8, threshold=SEMDEDUP_TAU
+    )
+
+
+@_q(
+    "lm_familiarity",
+    """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+      FROM documents),
+    tri AS (SELECT doc_id, substr(text, i::INT, 3) AS g FROM pos),
+    model AS (SELECT g, count(*)::BIGINT AS c FROM tri GROUP BY 1),
+    scored AS (
+      SELECT tri.doc_id, count(*)::BIGINT AS n_tri, sum(model.c)::BIGINT AS fam_sum
+      FROM tri JOIN model USING (g) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(s.n_tri, 0)::BIGINT AS n_tri,
+           COALESCE(s.fam_sum, 0)::BIGINT AS fam_sum,
+           CASE WHEN COALESCE(s.n_tri, 0) > 0
+                THEN CAST(s.fam_sum AS DOUBLE) / s.n_tri ELSE 0.0 END AS fam_avg
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_lm_familiarity(sf_dir: str):
+    """CCNet-style corpus-LM quality scoring, integer-exact: pass 1
+    trains a char-trigram unigram model (map-side combined partials ->
+    one small groupby -> broadcast); pass 2 scores every doc by the
+    summed corpus frequency of its trigrams.  fam_avg is a single
+    division of exactly-reconstructed integers (bit-identical across
+    engines); garbled/rare-charset docs score low."""
+    return ts.lm_familiarity(_docs(sf_dir))
+
+
 QUERIES["build_and_search"] = flagship

@@ -1,0 +1,182 @@
+"""Sequence packing: tokenize -> concatenate with an EOS slot per doc
+-> split the global token stream into fixed-length training sequences.
+
+This is the canonical LLM-training layout step (GPT-style packing with
+document straddling): documents are laid end-to-end in doc_id order,
+each followed by one EOS token, and the stream is cut every ``seq_len``
+tokens.  The output is the SPAN MAP — one row per (document, sequence)
+overlap — which is what a loader needs to assemble sequences from the
+original shards without ever materializing the token stream itself:
+
+    (doc_id, seq_id, seq_off, doc_off, len)
+
+    seq_id  : which training sequence the chunk lands in
+    seq_off : offset of the chunk inside that sequence  [0, seq_len)
+    doc_off : offset of the chunk inside the document's token stream
+    len     : chunk length in tokens (>= 1)
+
+Token counts use the BPE-ish budget counter (textstats.BPE_RE) so the
+whole operator is SQL-checkable: DuckDB replays the regex count, the
+running-sum offsets (a window function) and the straddle explosion
+(unnest over the covered sequence range).
+
+Distribution (the 100-TB story): only the NARROW (doc_id, n_tok)
+stream — 16 bytes/doc — rides the exchange.  The global offsets are a
+classic two-pass distributed prefix scan:
+
+  1. sort the narrow table by doc_id and materialize (pins blocks);
+  2. one whole-block map emits per-block partials (block min doc_id,
+     block token sum) — ONE ROW PER BLOCK to the driver;
+  3. the driver computes the exclusive block-prefix (a few thousand
+     additions) and broadcasts it via ``ray.put``;
+  4. a second whole-block map adds the within-block running sum to the
+     block's base — every doc has its exact global offset without any
+     further shuffle.
+
+Document text never enters the pipeline (pruned at the read to
+(doc_id, text) for counting only), and the span explosion is pure
+vectorized numpy (repeat + arange), no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from .textstats import BPE_RE
+
+
+def _count_tokens(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_tok) with n_tok = BPE-ish tokens + 1
+    (the EOS slot every document contributes to the stream)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text").fill_null("")
+    )
+    out = df.with_columns(
+        n_tok=(pl.col("text").str.count_matches(BPE_RE) + 1).cast(pl.Int64)
+    ).drop("text")
+    return out.to_arrow()
+
+
+def _block_partial(batch: pa.Table) -> pa.Table:
+    """Whole-block map: one (block min doc_id, block token sum) row."""
+    ids = batch.column("doc_id").to_numpy()
+    n = batch.column("n_tok").to_numpy()
+    if len(ids) == 0:
+        return pa.table(
+            {"first_doc": pa.array([], pa.int64()), "tok_sum": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "first_doc": pa.array([int(ids.min())], pa.int64()),
+            "tok_sum": pa.array([int(n.sum())], pa.int64()),
+        }
+    )
+
+
+class _AddOffsets:
+    """Whole-block map over the SAME materialized sorted blocks: global
+    start = broadcast block base (keyed by the block's min doc_id) +
+    within-block exclusive running sum."""
+
+    def __init__(self, base_ref):
+        import ray
+
+        self.base: dict[int, int] = ray.get(base_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch.column("doc_id").to_numpy()
+        n = batch.column("n_tok").to_numpy()
+        base = self.base[int(ids.min())]
+        # blocks are doc_id-sorted (sorted dataset), so the exclusive
+        # cumsum inside the block is the in-block token offset
+        within = np.concatenate(([0], np.cumsum(n[:-1], dtype=np.int64)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tok": pa.array(n, pa.int64()),
+                "start": pa.array(base + within, pa.int64()),
+            }
+        )
+
+
+def _make_explode_spans(seq_len: int):
+    def explode_spans(batch: pa.Table) -> pa.Table:
+        """(doc_id, n_tok, start) -> one row per covered sequence —
+        vectorized repeat + arange, no per-row Python."""
+        ids = batch.column("doc_id").to_numpy()
+        n = batch.column("n_tok").to_numpy()
+        start = batch.column("start").to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_off": pa.array([], pa.int64()),
+                    "doc_off": pa.array([], pa.int64()),
+                    "len": pa.array([], pa.int64()),
+                }
+            )
+        first = start // seq_len
+        last = (start + n - 1) // seq_len
+        counts = (last - first + 1).astype(np.int64)
+        total = int(counts.sum())
+        doc_rep = np.repeat(ids, counts)
+        start_rep = np.repeat(start, counts)
+        n_rep = np.repeat(n, counts)
+        # per-row arange: global arange minus each row's exclusive base
+        excl = np.concatenate(([0], np.cumsum(counts[:-1])))
+        seq = np.repeat(first, counts) + (np.arange(total) - np.repeat(excl, counts))
+        cs = seq * seq_len
+        chunk_start = np.maximum(start_rep, cs)
+        chunk_end = np.minimum(start_rep + n_rep, cs + seq_len)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "seq_id": pa.array(seq, pa.int64()),
+                "seq_off": pa.array(chunk_start - cs, pa.int64()),
+                "doc_off": pa.array(chunk_start - start_rep, pa.int64()),
+                "len": pa.array(chunk_end - chunk_start, pa.int64()),
+            }
+        )
+
+    return explode_spans
+
+
+def pack_sequences(docs_ds, seq_len: int = 512):
+    """Span map for packing ``docs_ds`` (doc_id, text) into fixed
+    ``seq_len`` training sequences in doc_id order.  Returns a Dataset
+    of (doc_id, seq_id, seq_off, doc_off, len)."""
+    import ray
+
+    narrow = docs_ds.map_batches(_count_tokens, batch_format="pyarrow")
+    srt = narrow.sort("doc_id").materialize()
+
+    partials = srt.map_batches(
+        _block_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    partials.sort(key=lambda r: r["first_doc"])
+    base: dict[int, int] = {}
+    acc = 0
+    for p in partials:
+        base[int(p["first_doc"])] = acc
+        acc += int(p["tok_sum"])
+    base_ref = ray.put(base)
+
+    offsets = srt.map_batches(
+        _AddOffsets,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        fn_constructor_args=(base_ref,),
+    )
+    return offsets.map_batches(_make_explode_spans(seq_len), batch_format="pyarrow")

@@ -202,3 +202,115 @@ def doc_fingerprint(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": df["doc_id"].to_arrow(), "fp": pa.array(fps, pa.int64())}
     )
+
+
+# ----------------------------------------------------------------------
+# corpus char-trigram LM familiarity (CCNet-style LM quality filtering,
+# integer-exact so the two-pass pipeline is SQL-checkable end to end)
+# ----------------------------------------------------------------------
+
+_TRI_SEP = 0x200000  # above any Unicode codepoint (max 0x10FFFF)
+
+
+def _tri_windows(texts: list, doc_idx_base: int = 0):
+    """All character-trigram keys of a batch of texts, vectorized:
+    codepoint arrays joined with a sentinel, one stride-window pass,
+    sentinel windows masked out.  Returns (keys int64, doc_index int64)
+    — key = a<<42 | b<<21 | c (codepoints < 2^21, sentinel excluded)."""
+    bufs = []
+    for t in texts:
+        bufs.append(np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32))
+        bufs.append(np.array([_TRI_SEP], dtype=np.uint32))
+    cat = np.concatenate(bufs).astype(np.int64)
+    if len(cat) < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a, b, c = cat[:-2], cat[1:-1], cat[2:]
+    ok = (a != _TRI_SEP) & (b != _TRI_SEP) & (c != _TRI_SEP)
+    keys = (a << 42) | (b << 21) | c
+    # window start position -> owning doc: doc i owns starts in
+    # [off_i, off_i + max(len_i - 2, 0)) where off_i includes separators
+    lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    doc_of = np.full(len(a), -1, dtype=np.int64)
+    for i in range(len(texts)):  # per DOC (not per char); bounded by batch size
+        n_win = max(int(lens[i]) - 2, 0)
+        if n_win:
+            doc_of[offs[i] : offs[i] + n_win] = doc_idx_base + i
+    ok &= doc_of >= 0
+    return keys[ok], doc_of[ok]
+
+
+def trigram_partial_counts(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for the model pass: per-batch distinct trigram
+    counts (tri int64 key, cnt) — only the combined partials shuffle."""
+    keys, _ = _tri_windows(batch.column("text").to_pylist())
+    tri, cnt = np.unique(keys, return_counts=True)
+    return pa.table(
+        {"tri": pa.array(tri, pa.int64()), "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+    )
+
+
+class ScoreFamiliarity:
+    """Actor-pool scoring pass: per-doc trigram count and the summed
+    corpus frequency of every trigram occurrence (the unigram-LM-over-
+    trigrams 'familiarity' — rare-charset / garbled docs score low).
+    Model arrays arrive once per actor via a ray.put handle."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.keys, self.counts = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys, doc_of = _tri_windows(texts)
+        n_docs = len(texts)
+        n_tri = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        idx = np.searchsorted(self.keys, keys)
+        # model is built on this corpus, so every trigram is present;
+        # guard anyway (scoring a doc NOT in the model corpus)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        hit = self.keys[idx] == keys
+        fam = np.where(hit, self.counts[idx], 0).astype(np.int64)
+        # int64 scatter-add (bincount's float64 weights would round
+        # above 2^53; corpus-scale counts can reach that)
+        fam_sum = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(fam_sum, doc_of, fam)
+        denom = np.maximum(n_tri, 1)
+        # single division of exactly-reconstructed integers: bit-identical
+        # to the SQL oracle's CAST(fam_sum AS DOUBLE) / n_tri
+        fam_avg = np.where(n_tri > 0, fam_sum / denom, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tri": pa.array(n_tri, pa.int64()),
+                "fam_sum": pa.array(fam_sum, pa.int64()),
+                "fam_avg": pa.array(fam_avg, pa.float64()),
+            }
+        )
+
+
+def lm_familiarity(docs_ds):
+    """Two-pass corpus-LM quality score: (1) train — map-side combined
+    trigram partials -> one small groupby(tri) -> driver-collected,
+    vocabulary-bounded model, broadcast once via ray.put; (2) score —
+    vectorized per-batch lookup (sorted-array searchsorted, no Python
+    per-row work).  Returns (doc_id, n_tri, fam_sum, fam_avg)."""
+    import ray
+
+    model_tbl = (
+        docs_ds.map_batches(trigram_partial_counts, batch_format="pyarrow")
+        .groupby("tri")
+        .sum("cnt")
+        .take_all()
+    )
+    tri = np.array([r["tri"] for r in model_tbl], dtype=np.int64)
+    cnt = np.array([r["sum(cnt)"] for r in model_tbl], dtype=np.int64)
+    order = np.argsort(tri)
+    model_ref = ray.put((tri[order], cnt[order]))
+    return docs_ds.map_batches(
+        ScoreFamiliarity,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_args=(model_ref,),
+    )

@@ -1,0 +1,167 @@
+"""Independent scalar oracles for the training-data layout operators:
+sequence packing (GPT-style span map), SemDeDup, and the corpus
+trigram-LM familiarity score.  Each oracle is a from-scratch pure
+Python/numpy replay — no shared code with the pipeline kernels beyond
+the public regex constant."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_core_ray.stages.packing import pack_sequences
+from search_engine_core_ray.stages.textstats import BPE_RE, lm_familiarity
+from search_engine_core_ray.functions.similarity import semdedup
+
+SEQ_LEN = 64
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog " * 7,
+    "",  # EOS-only doc
+    "short one",
+    "it's a contraction-heavy text, isn't it? they're all here! " * 5,
+    "числа 123 and symbols #$% mixed in " * 11,
+    "x",
+    "tail doc with a moderately long body of plain words " * 3,
+]
+
+
+def _docs_ds(ray):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                "text": pa.array(TEXTS, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _oracle_spans(texts, seq_len):
+    pat = re.compile(BPE_RE)
+    rows = []
+    start = 0
+    for did, t in enumerate(texts):
+        n = len(pat.findall(t)) + 1  # EOS
+        for seq in range(start // seq_len, (start + n - 1) // seq_len + 1):
+            cs = seq * seq_len
+            a = max(start, cs)
+            b = min(start + n, cs + seq_len)
+            rows.append((did, seq, a - cs, a - start, b - a))
+        start += n
+    return rows
+
+
+def test_pack_sequences_matches_scalar_oracle(ray_session):
+    out = pack_sequences(_docs_ds(ray_session), seq_len=SEQ_LEN).to_pandas()
+    got = sorted(map(tuple, out.to_numpy().tolist()))
+    want = sorted(_oracle_spans(TEXTS, SEQ_LEN))
+    assert got == want
+
+
+def test_pack_sequences_invariants(ray_session):
+    out = pack_sequences(_docs_ds(ray_session), seq_len=SEQ_LEN).to_pandas()
+    # every doc's chunks cover exactly its token stream, in order
+    pat = re.compile(BPE_RE)
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("doc_off")
+        n = len(pat.findall(TEXTS[did])) + 1
+        assert g["len"].sum() == n
+        assert g["doc_off"].iloc[0] == 0
+        assert (g["doc_off"] + g["len"]).iloc[-1] == n
+        # chunks are contiguous in doc space
+        assert (
+            g["doc_off"].iloc[1:].to_numpy()
+            == (g["doc_off"] + g["len"]).iloc[:-1].to_numpy()
+        ).all()
+    # every sequence except the last is exactly full
+    per_seq = out.groupby("seq_id")["len"].sum()
+    assert (per_seq.iloc[:-1] == SEQ_LEN).all()
+    assert 0 < per_seq.iloc[-1] <= SEQ_LEN
+    # inside a sequence, chunk spans never overlap
+    for _, g in out.groupby("seq_id"):
+        g = g.sort_values("seq_off")
+        assert (
+            g["seq_off"].iloc[1:].to_numpy()
+            >= (g["seq_off"] + g["len"]).iloc[:-1].to_numpy()
+        ).all()
+
+
+def _emb_ds(ray):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_semdedup_matches_scalar_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    g = m / norms
+    tau, k = 0.4, 8
+    cmat = g[np.searchsorted(ids, np.arange(k))]
+    cluster = np.argmax(g @ cmat.T, axis=1)
+    kept = {}
+    for c in range(k):
+        members = ids[cluster == c]
+        gm = g[cluster == c]
+        for i, v in enumerate(members):
+            dup = any(
+                gm[j] @ gm[i] >= tau for j in range(i) if members[j] < v
+            )
+            kept[int(v)] = 0 if dup else 1
+
+    out = semdedup(_emb_ds(ray_session), n_clusters=k, threshold=tau).to_pandas()
+    assert len(out) == len(ids)
+    for _, r in out.iterrows():
+        assert kept[int(r["vec_id"])] == int(r["kept"]), int(r["vec_id"])
+        assert cluster[np.searchsorted(ids, r["vec_id"])] == r["cluster_id"]
+    # the lowest vec_id of every cluster always survives
+    low = out.loc[out.groupby("cluster_id")["vec_id"].idxmin()]
+    assert (low["kept"] == 1).all()
+
+
+def test_lm_familiarity_matches_scalar_oracle(ray_session):
+    import ray.data
+
+    texts = [
+        "aaab aaab aaab",
+        "zzz qqq unique glyphs",
+        "aa",  # shorter than a trigram
+        "",
+        "ünïcødé smörgåsbord ünïcødé",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+
+    model = Counter()
+    for t in texts:
+        for i in range(len(t) - 2):
+            model[t[i : i + 3]] += 1
+
+    out = lm_familiarity(ds).to_pandas().set_index("doc_id").sort_index()
+    for did, t in enumerate(texts):
+        tris = [t[i : i + 3] for i in range(len(t) - 2)]
+        assert out.loc[did, "n_tri"] == len(tris)
+        assert out.loc[did, "fam_sum"] == sum(model[x] for x in tris)
+        want_avg = (sum(model[x] for x in tris) / len(tris)) if tris else 0.0
+        assert out.loc[did, "fam_avg"] == want_avg
+    # the all-unique-glyph doc is the least familiar of the non-empty docs
+    nonempty = out[out["n_tri"] > 0]
+    assert nonempty["fam_avg"].idxmin() == 1

