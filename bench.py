@@ -248,6 +248,7 @@ def main() -> None:
         "mktsegment_revenue", "events_window", "events_sessionize",
         "ann_topk", "minhash_dupes", "exact_dedup",
         "pii_redact", "decontaminate", "stratified_sample", "normalize_text",
+        "sequence_pack", "semdedup", "lm_familiarity", "dup_ngram_fraction",
     ]:
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

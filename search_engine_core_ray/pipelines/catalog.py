@@ -2160,4 +2160,36 @@ def q_lm_familiarity(sf_dir: str):
     return ts.lm_familiarity(_docs(sf_dir))
 
 
+@_q(
+    "dup_ngram_fraction",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tk
+      FROM documents),
+    pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM tok),
+    win AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS w FROM pos),
+    tot AS (SELECT w, count(*)::BIGINT AS c FROM win GROUP BY 1),
+    per AS (
+      SELECT win.doc_id, count(*)::BIGINT AS n_win,
+             sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_win
+      FROM win JOIN tot USING (w) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(p.n_win, 0)::BIGINT AS n_win,
+           COALESCE(p.dup_win, 0)::BIGINT AS dup_win,
+           CASE WHEN COALESCE(p.n_win, 0) > 0
+                THEN CAST(p.dup_win AS DOUBLE) / p.n_win ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_dup_ngram_fraction(sf_dir: str):
+    """ExactSubstr-style duplicated-8-gram fraction per document (Lee
+    et al. 2021): windows explode with map-side combining, one
+    groupby(wkey) for corpus totals, dup keys hash-join back, and a
+    union + one groupby(doc_id) reduces per doc.  dup_frac is a single
+    division of exact integers."""
+    from ..stages.dedup import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(sf_dir), n=8)
+
+
 QUERIES["build_and_search"] = flagship

@@ -700,3 +700,126 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
     return joined.map_batches(rebuild, batch_format="pyarrow").repartition(
         num_partitions
     )
+
+
+def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
+    """Per-document duplicated-n-gram fraction (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr signal at n-gram granularity): the fraction of a doc's
+    token n-gram windows whose window also occurs a second time
+    ANYWHERE in the corpus (another doc or the same doc).  Returns
+    Dataset(doc_id, n_win, dup_win, dup_frac).
+
+    Scale design: windows explode to (wkey, doc_id, cnt) with map-side
+    per-(window,doc) combining; window keys are 63-bit polars hashes
+    of the joined token string, not the string itself — the wide
+    exchange carries 24 bytes/row.  Corpus totals are ONE
+    groupby(wkey).sum; keys with total >= 2 hash-join back against the
+    exploded table (output proportional to the duplicated volume).
+    The per-doc reduction is a UNION of the two narrow sides followed
+    by one groupby(doc_id) — no join against the documents table and
+    nothing through the driver.  Per-doc sentinel keys (-doc_id-1,
+    cnt 0) keep zero-window docs in the output without creating a
+    shared hot key.  Hash collisions merge distinct windows (~p^2/2^63
+    for p windows): statistically irrelevant for the filter signal and
+    absent at test scale; swap in the exact window string (line_dedup
+    does) if byte-exactness at corpus scale ever matters.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    mask63 = (1 << 63) - 1
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        ex = (
+            df.with_columns(
+                tk=pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]{2,}")
+            )
+            .select("doc_id", "tk")
+            .explode("tk")
+            .filter(pl.col("tk").is_not_null())
+        )
+        win = (
+            ex.with_columns(
+                w=pl.concat_str(
+                    [pl.col("tk").shift(-k).over("doc_id") for k in range(n)],
+                    separator=" ",
+                )
+            )
+            .filter(pl.col("w").is_not_null())
+            .with_columns(
+                wkey=(pl.col("w").hash(seed=0) & mask63).cast(pl.Int64)
+            )
+            .group_by("doc_id", "wkey")
+            .agg(cnt=pl.len().cast(pl.Int64))
+        )
+        sentinels = df.select(
+            pl.col("doc_id"),
+            wkey=(-pl.col("doc_id") - 1).cast(pl.Int64),
+            cnt=pl.lit(0, dtype=pl.Int64),
+        )
+        return pl.concat([win.select("doc_id", "wkey", "cnt"), sentinels]).to_arrow()
+
+    exploded = docs_ds.map_batches(explode_windows, batch_format="pyarrow").materialize()
+
+    totals = exploded.groupby("wkey").sum("cnt")
+    dup_keys = totals.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(cnt)"), 2)).select(["wkey"]),
+        batch_format="pyarrow",
+        # merge the groupby's schema-less empty partitions before they
+        # reach the join key resolver (same hazard line_dedup documents)
+    ).repartition(num_partitions).materialize()
+
+    def as_n_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_cnt": b.column("cnt"),
+                "dup_cnt": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    n_side = exploded.map_batches(as_n_side, batch_format="pyarrow")
+
+    if dup_keys.count() == 0:
+        both = n_side
+    else:
+        joined = dup_keys.join(
+            exploded,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("wkey",),
+        ).repartition(num_partitions)  # merge away empty hash-partition blocks
+
+        def as_dup_side(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_cnt": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                    "dup_cnt": b.column("cnt"),
+                }
+            )
+
+        both = n_side.union(joined.map_batches(as_dup_side, batch_format="pyarrow"))
+
+    per_doc = both.groupby("doc_id").aggregate(
+        Sum("n_cnt", alias_name="n_win"), Sum("dup_cnt", alias_name="dup_win")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_win = b.column("n_win").to_numpy().astype(np.int64)
+        dup = b.column("dup_win").to_numpy().astype(np.int64)
+        frac = np.where(n_win > 0, dup / np.maximum(n_win, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_win": pa.array(n_win, pa.int64()),
+                "dup_win": pa.array(dup, pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -165,3 +165,46 @@ def test_lm_familiarity_matches_scalar_oracle(ray_session):
     # the all-unique-glyph doc is the least familiar of the non-empty docs
     nonempty = out[out["n_tri"] > 0]
     assert nonempty["fam_avg"].idxmin() == 1
+
+
+def test_dup_ngram_stats_matches_scalar_oracle(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.dedup import dup_ngram_stats
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    texts = [
+        base + " iota kappa",            # shares windows with doc 1
+        base + " iota different tail",   # overlap with doc 0
+        "totally unique words here that nobody else repeats anywhere at all",
+        base + " " + base,               # self-repetition counts too
+        "tiny",                          # < 8 tokens -> zero windows
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    n = 8
+    tok = [re.findall(r"[a-z0-9]{2,}", t.lower()) for t in texts]
+    wins = [
+        [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)] for tk in tok
+    ]
+    corpus = Counter(w for ws in wins for w in ws)
+    out = (
+        dup_ngram_stats(ds, n=n).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert len(out) == len(texts)
+    for did, ws in enumerate(wins):
+        dup = sum(1 for w in ws if corpus[w] >= 2)
+        assert out.loc[did, "n_win"] == len(ws)
+        assert out.loc[did, "dup_win"] == dup
+        want = dup / len(ws) if ws else 0.0
+        assert out.loc[did, "dup_frac"] == want
+    # sanity on the fixture itself: both directions exercised
+    assert out["dup_win"].sum() > 0 and (out["dup_win"] == 0).any()
