@@ -2160,6 +2160,73 @@ def q_lm_familiarity(sf_dir: str):
     return ts.lm_familiarity(_docs(sf_dir))
 
 
+_REP_INJ_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN text || chr(10) || 'repeat line' "
+    "|| chr(10) || '  repeat line' ELSE text END"
+)
+
+
+def _rep_inject(b: pa.Table) -> pa.Table:
+    """Ray twin of _REP_INJ_SQL: even docs get a duplicated line (one
+    copy space-indented — the trim must fold them together) so the
+    dup-line direction of rep_signals is exercised on the clean synth
+    corpus; odd docs stay untouched."""
+    df = pl.from_arrow(b)
+    return df.with_columns(
+        pl.when(pl.col("doc_id") % 2 == 0)
+        .then(pl.col("text") + pl.lit("\nrepeat line\n  repeat line"))
+        .otherwise(pl.col("text"))
+        .alias("text")
+    ).to_arrow()
+
+
+@_q(
+    "rep_signals",
+    f"""
+    WITH inj AS (SELECT doc_id, {_REP_INJ_SQL} AS text FROM documents),
+    rawlines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM inj),
+    lines AS (
+      SELECT doc_id, trim(ln, ' ' || chr(9)) AS ln FROM rawlines
+      WHERE trim(ln, ' ' || chr(9)) <> ''),
+    l AS (
+      SELECT doc_id, count(*)::BIGINT AS n_lines,
+             count(DISTINCT ln)::BIGINT AS n_distinct
+      FROM lines GROUP BY 1),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS tk
+      FROM inj),
+    pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok),
+    gc AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g, count(*)::BIGINT AS c
+      FROM pos GROUP BY 1, 2),
+    ga AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_2grams, max(c)::BIGINT AS top_2gram_cnt
+      FROM gc GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(l.n_lines, 0)::BIGINT AS n_lines,
+           CASE WHEN COALESCE(l.n_lines, 0) > 0
+                THEN CAST(l.n_lines - l.n_distinct AS DOUBLE) / l.n_lines
+                ELSE 0.0 END AS dup_line_frac,
+           COALESCE(ga.n_2grams, 0)::BIGINT AS n_2grams,
+           COALESCE(ga.top_2gram_cnt, 0)::BIGINT AS top_2gram_cnt,
+           CASE WHEN COALESCE(ga.n_2grams, 0) > 0
+                THEN CAST(ga.top_2gram_cnt AS DOUBLE) / ga.n_2grams
+                ELSE 0.0 END AS top2gram_frac
+    FROM documents d LEFT JOIN l USING (doc_id) LEFT JOIN ga USING (doc_id)
+    """,
+)
+def q_rep_signals(sf_dir: str):
+    """Within-doc repetition signals (Gopher repetition filters, Rae et
+    al. 2021 §A1.1): duplicated-line fraction over trimmed non-empty
+    lines + most-frequent-2-gram mass.  Map-only; both fractions are
+    single divisions of exact integers.  Even docs get an injected
+    duplicated line (same expression in Ray and DuckDB) so the oracle
+    exercises both directions."""
+    injected = _docs(sf_dir).map_batches(_rep_inject, batch_format="pyarrow")
+    return injected.map_batches(ts.rep_signals, batch_format="pyarrow")
+
+
 @_q(
     "dup_ngram_fraction",
     """

@@ -314,3 +314,92 @@ def lm_familiarity(docs_ds):
         concurrency=(1, 4),
         fn_constructor_args=(model_ref,),
     )
+
+
+def rep_signals(batch: pa.Table) -> pa.Table:
+    """Within-document repetition signals (the Gopher §A1.1 repetition
+    filter family, Rae et al. 2021 — public method): per doc,
+
+      dup_line_frac  = (n_lines - n_distinct_lines) / n_lines over
+                       non-empty space/tab-trimmed lines (boilerplate
+                       and listicle spam repeat lines verbatim);
+      top2gram_frac  = occurrences of the most frequent word 2-gram
+                       / total 2-gram occurrences (keyword-stuffed and
+                       template docs concentrate mass on one 2-gram).
+
+    Map-only (no shuffle, no corpus state) and integer-exact: both
+    fractions are single divisions of exact counts, so the operator is
+    SQL-checkable value-identically."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text").fill_null("")
+    )
+    lines = (
+        df.select("doc_id", ln=pl.col("text").str.split("\n"))
+        .explode("ln")
+        .with_columns(pl.col("ln").str.strip_chars(" \t"))
+        .filter(pl.col("ln").is_not_null() & (pl.col("ln") != ""))
+        .group_by("doc_id")
+        .agg(
+            n_lines=pl.len().cast(pl.Int64),
+            n_distinct=pl.col("ln").n_unique().cast(pl.Int64),
+        )
+    )
+    toks = (
+        df.select(
+            "doc_id",
+            tk=pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]{2,}"),
+        )
+        .explode("tk")
+        .filter(pl.col("tk").is_not_null())
+    )
+    grams = (
+        toks.with_columns(
+            g=pl.concat_str(
+                [pl.col("tk"), pl.col("tk").shift(-1).over("doc_id")],
+                separator=" ",
+            )
+        )
+        .filter(pl.col("g").is_not_null())
+        .group_by("doc_id", "g")
+        .agg(c=pl.len().cast(pl.Int64))
+        .group_by("doc_id")
+        .agg(
+            n_2grams=pl.col("c").sum().cast(pl.Int64),
+            top_2gram_cnt=pl.col("c").max().cast(pl.Int64),
+        )
+    )
+    out = (
+        df.select("doc_id")
+        .join(lines, on="doc_id", how="left")
+        .join(grams, on="doc_id", how="left")
+        .with_columns(
+            pl.col("n_lines", "n_distinct", "n_2grams", "top_2gram_cnt").fill_null(0)
+        )
+        .with_columns(
+            dup_line_frac=pl.when(pl.col("n_lines") > 0)
+            .then(
+                (pl.col("n_lines") - pl.col("n_distinct")).cast(pl.Float64)
+                / pl.col("n_lines")
+            )
+            .otherwise(0.0),
+            top2gram_frac=pl.when(pl.col("n_2grams") > 0)
+            .then(pl.col("top_2gram_cnt").cast(pl.Float64) / pl.col("n_2grams"))
+            .otherwise(0.0),
+        )
+        .select(
+            "doc_id", "n_lines", "dup_line_frac", "n_2grams",
+            "top_2gram_cnt", "top2gram_frac",
+        )
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_lines", pa.int64()),
+                ("dup_line_frac", pa.float64()),
+                ("n_2grams", pa.int64()),
+                ("top_2gram_cnt", pa.int64()),
+                ("top2gram_frac", pa.float64()),
+            ]
+        )
+    )

@@ -208,3 +208,46 @@ def test_dup_ngram_stats_matches_scalar_oracle(ray_session):
         assert out.loc[did, "dup_frac"] == want
     # sanity on the fixture itself: both directions exercised
     assert out["dup_win"].sum() > 0 and (out["dup_win"] == 0).any()
+
+
+def test_rep_signals_matches_scalar_oracle(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.textstats import rep_signals
+
+    texts = [
+        "alpha beta\nalpha beta\n  alpha beta \nunique line",  # dup lines (trim folds)
+        "spam spam spam spam spam",                            # one dominant 2-gram
+        "a mix of words without any repeats at all",
+        "",
+        "\n\n   \n\t\n",                                       # only blank lines
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+
+    out = (
+        ds.map_batches(rep_signals, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for did, t in enumerate(texts):
+        lines = [l.strip(" \t") for l in t.split("\n")]
+        lines = [l for l in lines if l]
+        tk = re.findall(r"[a-z0-9]{2,}", t.lower())
+        grams = Counter(" ".join(tk[i : i + 2]) for i in range(len(tk) - 1))
+        assert out.loc[did, "n_lines"] == len(lines)
+        want_dlf = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+        assert out.loc[did, "dup_line_frac"] == want_dlf
+        assert out.loc[did, "n_2grams"] == sum(grams.values())
+        assert out.loc[did, "top_2gram_cnt"] == (max(grams.values()) if grams else 0)
+        want_tgf = max(grams.values()) / sum(grams.values()) if grams else 0.0
+        assert out.loc[did, "top2gram_frac"] == want_tgf
+    # fixture sanity: both signals fire somewhere
+    assert out["dup_line_frac"].max() > 0 and out["top2gram_frac"].max() > 0.5
