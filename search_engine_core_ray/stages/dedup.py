@@ -702,6 +702,11 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
     )
 
 
+# positional odd multipliers for combining token hashes into window keys
+_DW_C = (_rng.randint(1, 1 << 62, size=32).astype(np.uint64) * 2 + 1)
+_DW_TOKEN_SEED = 4099
+
+
 def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
     """Per-document duplicated-n-gram fraction (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -710,25 +715,32 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
     ANYWHERE in the corpus (another doc or the same doc).  Returns
     Dataset(doc_id, n_win, dup_win, dup_frac).
 
-    Scale design: windows explode to (wkey, doc_id, cnt) with map-side
-    per-(window,doc) combining; window keys are 63-bit polars hashes
-    of the joined token string, not the string itself — the wide
-    exchange carries 24 bytes/row.  Corpus totals are ONE
-    groupby(wkey).sum; keys with total >= 2 hash-join back against the
-    exploded table (output proportional to the duplicated volume).
-    The per-doc reduction is a UNION of the two narrow sides followed
-    by one groupby(doc_id) — no join against the documents table and
-    nothing through the driver.  Per-doc sentinel keys (-doc_id-1,
-    cnt 0) keep zero-window docs in the output without creating a
-    shared hot key.  Hash collisions merge distinct windows (~p^2/2^63
-    for p windows): statistically irrelevant for the filter signal and
-    absent at test scale; swap in the exact window string (line_dedup
-    does) if byte-exactness at corpus scale ever matters.
+    Scale design — JOIN-FREE and string-free: tokens get ONE vectorized
+    polars hash per batch and windows combine n token hashes with a
+    positional multiply-xor (the shingle kernel's trick), so no window
+    string is ever materialized and the wide exchange carries
+    (wkey, doc_id, cnt) = 24 bytes/row, map-side combined per
+    (window, doc).  The trick that removes the dup-keys hash-join: a
+    key whose corpus total is 1 has exactly ONE owning row, so
+    aggregating Sum(cnt) + Min(doc_id) per wkey both counts the key
+    and names its owner — per-doc UNIQUE-window counts come straight
+    off the filtered aggregate, and dup_win = n_win - uniq_win.  The
+    per-doc n_win rides along as a sentinel row (wkey = -doc_id-1,
+    cnt = n_win) from the same explode pass.  Both aggregates run
+    through stages.shuffle.sorted_agg (sort + per-block vectorized
+    polars group_by + boundary merge) because their group counts are
+    corpus-proportional — Ray's groupby().aggregate() pays Python
+    per group and is ~50x slower at this cardinality.  Window-key
+    collisions merge distinct windows (~p^2/2^63 for p windows):
+    statistically irrelevant for the filter signal and absent at test
+    scale; swap in the exact window string (line_dedup does) if
+    byte-exactness at corpus scale ever matters.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
-    mask63 = (1 << 63) - 1
+    from .shuffle import sorted_agg
+
+    mask63 = np.uint64((1 << 63) - 1)
 
     def explode_windows(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
@@ -739,79 +751,90 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
                 tk=pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]{2,}")
             )
             .select("doc_id", "tk")
-            .explode("tk")
-            .filter(pl.col("tk").is_not_null())
+            .explode("tk")  # a token-less doc keeps one null row
         )
-        win = (
-            ex.with_columns(
-                w=pl.concat_str(
-                    [pl.col("tk").shift(-k).over("doc_id") for k in range(n)],
-                    separator=" ",
-                )
+        ids = ex["doc_id"].to_numpy()
+        h = ex.with_columns(h=pl.col("tk").hash(seed=_DW_TOKEN_SEED))["h"].to_numpy()
+        is_null = ex["tk"].is_null().to_numpy()
+        m = len(h) - n + 1
+        if m <= 0:
+            win = pl.DataFrame(
+                {
+                    "doc_id": pl.Series([], dtype=pl.Int64),
+                    "wkey": pl.Series([], dtype=pl.Int64),
+                    "cnt": pl.Series([], dtype=pl.Int64),
+                }
             )
-            .filter(pl.col("w").is_not_null())
+        else:
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                acc ^= h[j : j + m].astype(np.uint64) * _DW_C[j % len(_DW_C)]
+            ok = ids[:m] == ids[n - 1 :]  # window stays inside one doc
+            cs = np.concatenate(([0], np.cumsum(is_null.astype(np.int64))))
+            ok &= (cs[n:] - cs[:-n]) == 0  # and contains no null-token row
+            wkey = (acc & mask63).view(np.int64)
+            win = (
+                pl.DataFrame({"doc_id": ids[:m][ok], "wkey": wkey[ok]})
+                .group_by("doc_id", "wkey")
+                .agg(cnt=pl.len().cast(pl.Int64))
+                .with_columns(pl.col("doc_id").cast(pl.Int64))
+            )
+        # sentinel row per doc carries n_win (total window count)
+        n_win = win.group_by("doc_id").agg(cnt=pl.col("cnt").sum().cast(pl.Int64))
+        sentinels = (
+            df.select("doc_id")
+            .join(n_win, on="doc_id", how="left")
             .with_columns(
-                wkey=(pl.col("w").hash(seed=0) & mask63).cast(pl.Int64)
+                wkey=(-pl.col("doc_id") - 1).cast(pl.Int64),
+                cnt=pl.col("cnt").fill_null(0),
             )
-            .group_by("doc_id", "wkey")
-            .agg(cnt=pl.len().cast(pl.Int64))
         )
-        sentinels = df.select(
-            pl.col("doc_id"),
-            wkey=(-pl.col("doc_id") - 1).cast(pl.Int64),
-            cnt=pl.lit(0, dtype=pl.Int64),
-        )
-        return pl.concat([win.select("doc_id", "wkey", "cnt"), sentinels]).to_arrow()
+        return pl.concat(
+            [win.select("doc_id", "wkey", "cnt"),
+             sentinels.select("doc_id", "wkey", "cnt")]
+        ).to_arrow()
 
-    exploded = docs_ds.map_batches(explode_windows, batch_format="pyarrow").materialize()
+    exploded = docs_ds.map_batches(
+        explode_windows, batch_format="pyarrow"
+    ).materialize()
 
-    totals = exploded.groupby("wkey").sum("cnt")
-    dup_keys = totals.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("sum(cnt)"), 2)).select(["wkey"]),
-        batch_format="pyarrow",
-        # merge the groupby's schema-less empty partitions before they
-        # reach the join key resolver (same hazard line_dedup documents)
-    ).repartition(num_partitions).materialize()
-
-    def as_n_side(b: pa.Table) -> pa.Table:
+    def n_side(b: pa.Table) -> pa.Table:
+        s = b.filter(pc.less(b.column("wkey"), 0))
         return pa.table(
             {
-                "doc_id": b.column("doc_id"),
-                "n_cnt": b.column("cnt"),
-                "dup_cnt": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "doc_id": s.column("doc_id"),
+                "n_win": s.column("cnt"),
+                "uniq_win": pa.array(np.zeros(s.num_rows, np.int64), pa.int64()),
             }
         )
 
-    n_side = exploded.map_batches(as_n_side, batch_format="pyarrow")
+    real = exploded.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("wkey"), 0)),
+        batch_format="pyarrow",
+    )
+    agg = sorted_agg(real, "wkey", {"total": ("sum", "cnt"), "owner": ("min", "doc_id")})
 
-    if dup_keys.count() == 0:
-        both = n_side
-    else:
-        joined = dup_keys.join(
-            exploded,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("wkey",),
-        ).repartition(num_partitions)  # merge away empty hash-partition blocks
+    def uniq_side(b: pa.Table) -> pa.Table:
+        s = b.filter(pc.equal(b.column("total"), 1))
+        return pa.table(
+            {
+                "doc_id": s.column("owner"),
+                "n_win": pa.array(np.zeros(s.num_rows, np.int64), pa.int64()),
+                "uniq_win": pa.array(np.ones(s.num_rows, np.int64), pa.int64()),
+            }
+        )
 
-        def as_dup_side(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": b.column("doc_id"),
-                    "n_cnt": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-                    "dup_cnt": b.column("cnt"),
-                }
-            )
-
-        both = n_side.union(joined.map_batches(as_dup_side, batch_format="pyarrow"))
-
-    per_doc = both.groupby("doc_id").aggregate(
-        Sum("n_cnt", alias_name="n_win"), Sum("dup_cnt", alias_name="dup_win")
+    both = exploded.map_batches(n_side, batch_format="pyarrow").union(
+        agg.map_batches(uniq_side, batch_format="pyarrow")
+    )
+    per_doc = sorted_agg(
+        both, "doc_id", {"n_win": ("sum", "n_win"), "uniq_win": ("sum", "uniq_win")}
     )
 
     def finish(b: pa.Table) -> pa.Table:
         n_win = b.column("n_win").to_numpy().astype(np.int64)
-        dup = b.column("dup_win").to_numpy().astype(np.int64)
+        uniq = b.column("uniq_win").to_numpy().astype(np.int64)
+        dup = n_win - uniq
         frac = np.where(n_win > 0, dup / np.maximum(n_win, 1), 0.0)
         return pa.table(
             {

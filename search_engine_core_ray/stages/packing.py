@@ -75,17 +75,16 @@ def _block_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-class _AddOffsets:
+def _make_add_offsets(base_ref):
     """Whole-block map over the SAME materialized sorted blocks: global
     start = broadcast block base (keyed by the block's min doc_id) +
-    within-block exclusive running sum."""
+    within-block exclusive running sum.  A plain task closure over the
+    ray.put handle — the base dict is one int per block, so per-task
+    ray.get is a local-store hit and no actor pool needs to spin up."""
 
-    def __init__(self, base_ref):
+    def add_offsets(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.base: dict[int, int] = ray.get(base_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -94,9 +93,10 @@ class _AddOffsets:
                     "start": pa.array([], pa.int64()),
                 }
             )
+        base_map: dict[int, int] = ray.get(base_ref)
         ids = batch.column("doc_id").to_numpy()
         n = batch.column("n_tok").to_numpy()
-        base = self.base[int(ids.min())]
+        base = base_map[int(ids.min())]
         # blocks are doc_id-sorted (sorted dataset), so the exclusive
         # cumsum inside the block is the in-block token offset
         within = np.concatenate(([0], np.cumsum(n[:-1], dtype=np.int64)))
@@ -107,6 +107,8 @@ class _AddOffsets:
                 "start": pa.array(base + within, pa.int64()),
             }
         )
+
+    return add_offsets
 
 
 def _make_explode_spans(seq_len: int):
@@ -173,10 +175,6 @@ def pack_sequences(docs_ds, seq_len: int = 512):
     base_ref = ray.put(base)
 
     offsets = srt.map_batches(
-        _AddOffsets,
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=(1, 4),
-        fn_constructor_args=(base_ref,),
+        _make_add_offsets(base_ref), batch_format="pyarrow", batch_size=None
     )
     return offsets.map_batches(_make_explode_spans(seq_len), batch_format="pyarrow")

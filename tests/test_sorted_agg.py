@@ -1,0 +1,94 @@
+"""sorted_agg (stages/shuffle.py) conformance: sort-partitioned
+vectorized aggregation must equal a local polars groupby, including
+when one key's rows straddle sorted block boundaries (forced by a
+massively-hot key) and when aggregates mix sum/min/max/count."""
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pytest
+
+from search_engine_core_ray.stages.shuffle import sorted_agg
+
+
+def _check(ray, tbl: pa.Table, key: str, aggs: dict, n_blocks: int):
+    import ray.data
+
+    ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+    got = (
+        sorted_agg(ds, key, aggs)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    exprs = []
+    for out, (agg, col) in aggs.items():
+        e = {"sum": pl.col(col).sum(), "min": pl.col(col).min(),
+             "max": pl.col(col).max(), "count": pl.len().cast(pl.Int64)}[agg]
+        exprs.append(e.alias(out))
+    want = (
+        pl.from_arrow(tbl)
+        .group_by(key)
+        .agg(exprs)
+        .sort(key)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert list(got.columns)[0] == key
+    got = got[want.columns]
+    assert got.equals(want.astype(got.dtypes.to_dict())), (
+        f"\ngot:\n{got}\nwant:\n{want}"
+    )
+
+
+def test_sorted_agg_random_keys(ray_session):
+    rng = np.random.default_rng(7)
+    N = 20_000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 3_000, N), pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, N), pa.int64()),
+            "d": pa.array(rng.integers(0, 100, N), pa.int64()),
+        }
+    )
+    _check(
+        ray_session, tbl, "k",
+        {"total": ("sum", "v"), "owner": ("min", "d"),
+         "hi": ("max", "v"), "rows": ("count", "v")},
+        n_blocks=7,
+    )
+
+
+def test_sorted_agg_hot_key_straddles_blocks(ray_session):
+    # one key holds 90% of rows -> guaranteed to span several sorted
+    # blocks; its partials must merge exactly once
+    rng = np.random.default_rng(8)
+    N = 10_000
+    k = np.where(rng.random(N) < 0.9, 42, rng.integers(0, 50, N))
+    tbl = pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "v": pa.array(np.ones(N, np.int64), pa.int64()),
+        }
+    )
+    _check(
+        ray_session, tbl, "k",
+        {"total": ("sum", "v"), "rows": ("count", "v")}, n_blocks=9,
+    )
+
+
+def test_sorted_agg_single_key_and_tiny(ray_session):
+    tbl = pa.table(
+        {"k": pa.array([5, 5, 5], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())}
+    )
+    _check(ray_session, tbl, "k", {"total": ("sum", "v")}, n_blocks=3)
+
+
+def test_sorted_agg_rejects_unknown_agg(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        sorted_agg(ds, "k", {"o": ("median", "v")})
