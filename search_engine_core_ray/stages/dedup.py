@@ -52,14 +52,17 @@ def text_md5(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def exact_dedup(docs_ds, col: str = "text"):
     """-> (text_md5, doc_id) one row per distinct content, min doc_id.
-    Hash-partitioned groupby on the digest (uniform key)."""
-    from ray.data.aggregate import Min
+    Group count == distinct contents (corpus-proportional), so the
+    reduction runs through sorted_agg (range exchange + per-block
+    vectorized group_by) rather than Ray's per-group-Python
+    groupby().aggregate()."""
+    from .shuffle import sorted_agg
 
     hashed = docs_ds.map_batches(
         lambda b: text_md5(b, col).select(["text_md5", "doc_id"]),
         batch_format="pyarrow",
     )
-    return hashed.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+    return sorted_agg(hashed, "text_md5", {"doc_id": ("min", "doc_id")})
 
 
 # ---- shingles + minhash ------------------------------------------------
@@ -295,7 +298,11 @@ def minhash_near_dupes(
         join_type="inner",
         num_partitions=num_partitions,
         on=("a",),
-    ).join(
+        # the first join emits SCHEMA-LESS blocks for empty hash
+        # partitions; as the LEFT side of the second join they break
+        # Acero key resolution ("no match for FieldRef.Name(b)") —
+        # a partition-layout-dependent flake. Merge them away first.
+    ).repartition(num_partitions).join(
         sh_ds.map_batches(as_side("b"), batch_format="pyarrow"),
         join_type="inner",
         num_partitions=num_partitions,
