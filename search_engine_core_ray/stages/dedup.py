@@ -259,18 +259,16 @@ def minhash_near_dupes(
         _bucket_pairs, batch_format="pyarrow"
     )
 
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    from .shuffle import sorted_distinct
 
+    # distinct candidate pairs: pair count is dup-volume-proportional,
+    # so the dedup runs through sorted_distinct (vectorized per-block
+    # group_by) instead of a per-pair Python map_groups call.
     # materialize() pins the candidate pairs in the OBJECT STORE
     # (distributed blocks, not the driver) so the emptiness probe below
     # doesn't recompute the banding pipeline; an empty dataset has no
     # schema and would break the join's key-field resolution
-    uniq = (
-        pairs_ds.groupby(["a", "b"])
-        .map_groups(dedup_pairs, batch_format="pyarrow")
-        .materialize()
-    )
+    uniq = sorted_distinct(pairs_ds, ["a", "b"]).materialize()
     if uniq.count() == 0:
         import ray.data
 
@@ -373,7 +371,8 @@ def near_dup_survivors(
     adversarial chains.
     """
     import ray.data
-    from ray.data.aggregate import Min
+
+    from .shuffle import sorted_agg
 
     pairs = minhash_near_dupes(docs_ds, threshold, k, num_partitions).materialize()
     ids_ds = docs_ds.map_batches(
@@ -452,12 +451,13 @@ def near_dup_survivors(
                 batch_format="pyarrow",
             )
         )
+        # node count is corpus-proportional -> sorted_agg, not Ray's
+        # per-group-Python groupby; the repartition still merges any
+        # empty blocks before they land on the next round's join side
         labels = (
-            labels.union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            # merge away the groupby's schema-less empty blocks: they
-            # would land on the next round's join side and break Acero
+            sorted_agg(
+                labels.union(msgs), "node", {"label": ("min", "label")}
+            )
             .repartition(num_partitions)
             .materialize()
         )
@@ -610,7 +610,8 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
     exchanges further at scale.
     """
     import ray.data
-    from ray.data.aggregate import Max, Min
+
+    from .shuffle import sorted_agg
 
     lines = docs_ds.map_batches(
         lambda b: _explode_lines(b, col), batch_format="pyarrow"
@@ -623,10 +624,11 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
             pc.not_equal(b.column("key"), "")
         )
 
-    spans = (
-        lines.map_batches(nonblank, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Min("doc_id", alias_name="dmin"), Max("doc_id", alias_name="dmax"))
+    # distinct-line count is corpus-proportional -> sorted_agg
+    spans = sorted_agg(
+        lines.map_batches(nonblank, batch_format="pyarrow"),
+        "key",
+        {"dmin": ("min", "doc_id"), "dmax": ("max", "doc_id")},
     )
 
     def dup_only(b: pa.Table) -> pa.Table:

@@ -5,31 +5,55 @@ Ray Data's ``groupby(key).aggregate(...)`` pays a Python-level
 per-group combine in its reduce phase — measured ~5-7 s for ~200k
 groups on this host where the underlying ``Dataset.sort`` alone takes
 ~0.1 s.  For operators whose group count is proportional to the corpus
-(window keys, shingle hashes, URL hosts), that per-group cost IS the
-operator's wall time, so this module provides the classic alternative:
+(window keys, shingle hashes, content digests, line strings, candidate
+pairs), that per-group cost IS the operator's wall time, so this module
+provides the classic alternative:
 
-  1. ``sort(key)`` — one range exchange; blocks get disjoint key ranges
-     with every key's rows contiguous (possibly straddling a block
-     boundary);
+  1. ``sort(keys)`` — one range exchange; blocks get disjoint key
+     ranges with every key's rows contiguous (possibly straddling a
+     block boundary);
   2. one whole-block map runs a VECTORIZED polars group_by per block —
      per-group cost is a Rust hash-table insert, not a Python call;
-  3. rows whose key equals the block's min or max key might continue in
-     a neighboring block, so their PARTIALS (<= 2 keys per block) are
-     merged in a driver-side pass — O(blocks) rows, never O(groups) —
-     and unioned back with the interior rows.
+  3. rows whose key tuple equals the block's first or last sorted key
+     might continue in a neighboring block, so their PARTIALS (<= 2
+     keys per block) are merged in a driver-side pass — O(blocks)
+     rows, never O(groups) — and unioned back with the interior rows.
 
 Supported aggregates are the mergeable ones whose partial and final
 forms coincide: sum, min, max, count (count partials merge by sum).
 That covers the corpus-statistics shapes this repo needs; anything
 fancier should pre-combine map-side and live with the small-group
-``groupby``.
+``groupby``.  The cardinality rule (measured both ways in BASELINE.md):
+BOUNDED key spaces (trigram vocab, a handful of segments) stay on
+Ray's groupby; corpus-proportional key spaces come here.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
+
+def _unlarge(t: pa.Table) -> pa.Table:
+    """polars emits large_string/large_binary; Acero joins refuse to
+    match them against the plain variants ("no match or multiple
+    matches for key field") — normalize every column back."""
+    fields = []
+    changed = False
+    for f in t.schema:
+        if pa.types.is_large_string(f.type):
+            fields.append(pa.field(f.name, pa.string()))
+            changed = True
+        elif pa.types.is_large_binary(f.type):
+            fields.append(pa.field(f.name, pa.binary()))
+            changed = True
+        else:
+            fields.append(f)
+    return t.cast(pa.schema(fields)) if changed else t
+
 
 # agg name -> (partial polars expr factory, merge polars expr factory)
 _AGGS = {
@@ -40,17 +64,18 @@ _AGGS = {
 }
 
 
-def sorted_agg(ds, key: str, aggs: dict[str, tuple[str, str]]):
-    """``groupby(key).aggregate(...)`` for group counts proportional to
-    the data: returns a Dataset with one row per distinct ``key`` and
-    one column per ``aggs`` entry ``{out_name: (agg, col)}`` where agg
-    is one of sum/min/max/count.
+def sorted_agg(ds, key: str | list[str], aggs: dict[str, tuple[str, str]]):
+    """``groupby(keys).aggregate(...)`` for group counts proportional to
+    the data: returns a Dataset with one row per distinct key (tuple)
+    and one column per ``aggs`` entry ``{out_name: (agg, col)}`` where
+    agg is one of sum/min/max/count.
 
     Example::
 
         sorted_agg(ds, "wkey", {"total": ("sum", "cnt"),
                                 "owner": ("min", "doc_id")})
     """
+    keys = [key] if isinstance(key, str) else list(key)
     for out, (agg, _c) in aggs.items():
         if agg not in _AGGS:
             raise ValueError(f"unsupported agg {agg!r} for {out!r}")
@@ -62,18 +87,18 @@ def sorted_agg(ds, key: str, aggs: dict[str, tuple[str, str]]):
         _AGGS[agg][1](out).alias(out) for out, (agg, _c) in aggs.items()
     ]
 
-    srt = ds.sort(key).materialize()
+    srt = ds.sort(keys).materialize()
 
     def block_agg(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
-        g = df.group_by(key).agg(partial_exprs)
+        g = df.group_by(keys).agg(partial_exprs)
         if len(g) == 0:  # empty block: 0 rows, correct schema
-            return g.with_columns(_boundary=pl.lit(True)).clear().to_arrow()
-        kv = g[key]
-        lo, hi = kv.min(), kv.max()
-        return g.with_columns(
-            _boundary=(pl.col(key) == lo) | (pl.col(key) == hi)
-        ).to_arrow()
+            return _unlarge(g.with_columns(_boundary=pl.lit(True)).clear().to_arrow())
+        gs = g.sort(keys)
+        first, last = gs.head(1), gs.tail(1)
+        is_first = reduce(and_, (pl.col(k) == first[k][0] for k in keys))
+        is_last = reduce(and_, (pl.col(k) == last[k][0] for k in keys))
+        return _unlarge(gs.with_columns(_boundary=is_first | is_last).to_arrow())
 
     partials = srt.map_batches(
         block_agg, batch_format="pyarrow", batch_size=None
@@ -94,15 +119,34 @@ def sorted_agg(ds, key: str, aggs: dict[str, tuple[str, str]]):
         ),
         batch_format="pyarrow",
     ).take_all()
+    # Ray's sort emits SCHEMA-LESS blocks for empty range partitions;
+    # those BYPASS every map UDF above and would surface in the output,
+    # where they break Acero join key resolution on the consumer side
+    # ("no match or multiple matches for key field").  A repartition
+    # merges them away — a linear split/merge of the already-aggregated
+    # (groups-sized) table, not a hash exchange.
+    n_out = max(1, partials.num_blocks())
     if not edge_rows:
-        return interior
+        return interior.repartition(n_out)
     import ray.data
 
-    merged = (
+    merged = _unlarge(
         pl.from_dicts(edge_rows)
-        .group_by(key)
+        .group_by(keys)
         .agg(merge_exprs)
+        .select(keys + list(aggs))
         .to_arrow()
     )
     edge_ds = ray.data.from_arrow(merged)
-    return interior.union(edge_ds)
+    return interior.union(edge_ds).repartition(n_out)
+
+
+def sorted_distinct(ds, key: str | list[str]):
+    """DISTINCT over corpus-proportional keys: one row per distinct key
+    (tuple), dropping all other columns — same machinery as
+    ``sorted_agg``, so per-group cost stays vectorized."""
+    keys = [key] if isinstance(key, str) else list(key)
+    out = sorted_agg(ds, keys, {"_n": ("count", keys[0])})
+    return out.map_batches(
+        lambda b: b.drop_columns(["_n"]), batch_format="pyarrow"
+    )
