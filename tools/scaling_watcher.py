@@ -33,6 +33,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = "/tmp/scaling_watcher.log"
 MARKER = "/tmp/scaling_run_in_progress"
+# reverse marker: interactive sessions touch this before heavy work;
+# the watcher refuses to fire while it is fresh (stale >15 min ignored
+# so a crashed session can't block measurements forever)
+WORK_MARKER = "/tmp/interactive_work_in_progress"
 PROBE_MIN = float(os.environ.get("WATCH_PROBE_MIN", "0.84"))
 SLEEP_S = int(os.environ.get("WATCH_SLEEP_S", "120"))
 # Both pairs at 600k pages: the 2026-08-17 23:15 run showed 4->16@200k
@@ -86,6 +90,13 @@ def main() -> None:
             continue
         if ceil < PROBE_MIN:
             log(f"probe ceiling {ceil:.3f} < {PROBE_MIN} — wait ({pair})")
+            time.sleep(SLEEP_S)
+            continue
+        if (
+            os.path.exists(WORK_MARKER)
+            and time.time() - os.path.getmtime(WORK_MARKER) < 900
+        ):
+            log(f"ceiling {ceil:.3f} but interactive work in progress — wait")
             time.sleep(SLEEP_S)
             continue
         log(f"probe ceiling {ceil:.3f} — firing {pair} @ {pages} pages")
