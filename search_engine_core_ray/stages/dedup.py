@@ -56,13 +56,16 @@ def exact_dedup(docs_ds, col: str = "text"):
     reduction runs through sorted_agg (range exchange + per-block
     vectorized group_by) rather than Ray's per-group-Python
     groupby().aggregate()."""
-    from .shuffle import sorted_agg
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
 
     hashed = docs_ds.map_batches(
         lambda b: text_md5(b, col).select(["text_md5", "doc_id"]),
         batch_format="pyarrow",
     )
-    return sorted_agg(hashed, "text_md5", {"doc_id": ("min", "doc_id")})
+    return sorted_agg(
+        hashed, "text_md5", {"doc_id": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
 
 
 # ---- shingles + minhash ------------------------------------------------
@@ -252,14 +255,47 @@ def minhash_near_dupes(
        batches (sorted-array intersect per pair — no per-pair
        map_groups call overhead).
     """
+    import pyarrow.compute as _pc
+
     bands = docs_ds.map_batches(
         lambda b: minhash_bands(b, k, token_hash), batch_format="pyarrow"
-    )
-    pairs_ds = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    ).materialize()  # signatures feed BOTH sides of the self-join
+
+    # intra-bucket candidate pairs via a SELF-JOIN on the band keys —
+    # Acero's vectorized hash join replaces the old per-bucket Python
+    # map_groups (corpus-proportional bucket count made that call
+    # overhead the dominant cost of the whole operator)
+    def _side(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "band": b.column("band"),
+                    "band_hash": b.column("band_hash"),
+                    name: b.column("doc_id"),
+                }
+            )
+
+        return fn
+
+    pairs_ds = (
+        bands.map_batches(_side("a"), batch_format="pyarrow")
+        .join(
+            bands.map_batches(_side("b"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("band", "band_hash"),
+        )
+        # merge the join's schema-less empty partitions before any map
+        .repartition(num_partitions)
+        .map_batches(
+            lambda b: b.filter(
+                _pc.less(b.column("a"), b.column("b"))
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+        )
     )
 
-    from .shuffle import sorted_distinct
+    from .shuffle import AUTO_THRESHOLD, sorted_distinct
 
     # distinct candidate pairs: pair count is dup-volume-proportional,
     # so the dedup runs through sorted_distinct (vectorized per-block
@@ -268,7 +304,9 @@ def minhash_near_dupes(
     # (distributed blocks, not the driver) so the emptiness probe below
     # doesn't recompute the banding pipeline; an empty dataset has no
     # schema and would break the join's key-field resolution
-    uniq = sorted_distinct(pairs_ds, ["a", "b"]).materialize()
+    uniq = sorted_distinct(
+        pairs_ds, ["a", "b"], auto_threshold=AUTO_THRESHOLD
+    ).materialize()
     if uniq.count() == 0:
         import ray.data
 
@@ -372,7 +410,7 @@ def near_dup_survivors(
     """
     import ray.data
 
-    from .shuffle import sorted_agg
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
 
     pairs = minhash_near_dupes(docs_ds, threshold, k, num_partitions).materialize()
     ids_ds = docs_ds.map_batches(
@@ -456,7 +494,8 @@ def near_dup_survivors(
         # empty blocks before they land on the next round's join side
         labels = (
             sorted_agg(
-                labels.union(msgs), "node", {"label": ("min", "label")}
+                labels.union(msgs), "node", {"label": ("min", "label")},
+                auto_threshold=AUTO_THRESHOLD,
             )
             .repartition(num_partitions)
             .materialize()
@@ -611,7 +650,7 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
     """
     import ray.data
 
-    from .shuffle import sorted_agg
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
 
     lines = docs_ds.map_batches(
         lambda b: _explode_lines(b, col), batch_format="pyarrow"
@@ -629,6 +668,7 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
         lines.map_batches(nonblank, batch_format="pyarrow"),
         "key",
         {"dmin": ("min", "doc_id"), "dmax": ("max", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
     )
 
     def dup_only(b: pa.Table) -> pa.Table:
@@ -747,7 +787,7 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
     """
     import pyarrow.compute as pc
 
-    from .shuffle import sorted_agg
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
 
     mask63 = np.uint64((1 << 63) - 1)
 
@@ -821,7 +861,10 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
         lambda b: b.filter(pc.greater_equal(b.column("wkey"), 0)),
         batch_format="pyarrow",
     )
-    agg = sorted_agg(real, "wkey", {"total": ("sum", "cnt"), "owner": ("min", "doc_id")})
+    agg = sorted_agg(
+        real, "wkey", {"total": ("sum", "cnt"), "owner": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
 
     def uniq_side(b: pa.Table) -> pa.Table:
         s = b.filter(pc.equal(b.column("total"), 1))
@@ -837,7 +880,8 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
         agg.map_batches(uniq_side, batch_format="pyarrow")
     )
     per_doc = sorted_agg(
-        both, "doc_id", {"n_win": ("sum", "n_win"), "uniq_win": ("sum", "uniq_win")}
+        both, "doc_id", {"n_win": ("sum", "n_win"), "uniq_win": ("sum", "uniq_win")},
+        auto_threshold=AUTO_THRESHOLD,
     )
 
     def finish(b: pa.Table) -> pa.Table:

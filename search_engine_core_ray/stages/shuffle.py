@@ -64,11 +64,31 @@ _AGGS = {
 }
 
 
-def sorted_agg(ds, key: str | list[str], aggs: dict[str, tuple[str, str]]):
+# below this many input rows Ray's groupby (one barrier, per-group
+# Python) beats the sorted path's ~4 dataset launches; above it the
+# per-group cost takes over (measured crossover ~50-100k on this host)
+AUTO_THRESHOLD = 100_000
+
+
+def sorted_agg(
+    ds,
+    key: str | list[str],
+    aggs: dict[str, tuple[str, str]],
+    auto_threshold: int | None = None,
+):
     """``groupby(keys).aggregate(...)`` for group counts proportional to
     the data: returns a Dataset with one row per distinct key (tuple)
     and one column per ``aggs`` entry ``{out_name: (agg, col)}`` where
     agg is one of sum/min/max/count.
+
+    With ``auto_threshold`` set, the input is materialized and counted:
+    at or below the threshold the reduction runs on Ray's groupby
+    (lower fixed cost — one barrier vs the sorted path's four dataset
+    launches), above it on the sorted path (vectorized per group).
+    Both paths produce identical rows (conformance-tested); the switch
+    is purely a cost decision, so small-SF benchmarks don't pay the
+    sorted path's fixed overhead while corpus-scale inputs never hit
+    per-group Python.
 
     Example::
 
@@ -79,6 +99,28 @@ def sorted_agg(ds, key: str | list[str], aggs: dict[str, tuple[str, str]]):
     for out, (agg, _c) in aggs.items():
         if agg not in _AGGS:
             raise ValueError(f"unsupported agg {agg!r} for {out!r}")
+
+    if auto_threshold is not None:
+        ds = ds.materialize()
+        if ds.count() <= auto_threshold:
+            from ray.data.aggregate import Count, Max, Min, Sum
+
+            ray_aggs = []
+            for out, (agg, col) in aggs.items():
+                cls = {"sum": Sum, "min": Min, "max": Max}.get(agg)
+                ray_aggs.append(
+                    Count(alias_name=out) if cls is None
+                    else cls(col, alias_name=out)
+                )
+            # repartition: Ray's sort-based aggregate emits schema-less
+            # blocks for empty partitions (same hazard as below); the
+            # output is <= threshold rows, so cap the block count — a
+            # many-block tiny table taxes every downstream join/barrier
+            return (
+                ds.groupby(keys[0] if len(keys) == 1 else keys)
+                .aggregate(*ray_aggs)
+                .repartition(max(1, min(ds.num_blocks(), 16)))
+            )
 
     partial_exprs = [
         _AGGS[agg][0](col).alias(out) for out, (agg, col) in aggs.items()
@@ -141,12 +183,14 @@ def sorted_agg(ds, key: str | list[str], aggs: dict[str, tuple[str, str]]):
     return interior.union(edge_ds).repartition(n_out)
 
 
-def sorted_distinct(ds, key: str | list[str]):
+def sorted_distinct(ds, key: str | list[str], auto_threshold: int | None = None):
     """DISTINCT over corpus-proportional keys: one row per distinct key
     (tuple), dropping all other columns — same machinery as
     ``sorted_agg``, so per-group cost stays vectorized."""
     keys = [key] if isinstance(key, str) else list(key)
-    out = sorted_agg(ds, keys, {"_n": ("count", keys[0])})
+    out = sorted_agg(
+        ds, keys, {"_n": ("count", keys[0])}, auto_threshold=auto_threshold
+    )
     return out.map_batches(
         lambda b: b.drop_columns(["_n"]), batch_format="pyarrow"
     )

@@ -92,3 +92,30 @@ def test_sorted_agg_rejects_unknown_agg(ray_session):
     )
     with pytest.raises(ValueError):
         sorted_agg(ds, "k", {"o": ("median", "v")})
+
+
+def test_sorted_agg_auto_paths_identical(ray_session):
+    # auto_threshold above the row count -> Ray groupby path; below ->
+    # sorted path. Both must emit identical rows.
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    N = 5_000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 800, N), pa.int64()),
+            "v": pa.array(rng.integers(0, 9, N), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    aggs = {"total": ("sum", "v"), "rows": ("count", "v"), "lo": ("min", "v")}
+    via_ray = (
+        sorted_agg(ds, "k", aggs, auto_threshold=N + 1)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    via_sorted = (
+        sorted_agg(ds, "k", aggs, auto_threshold=0)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(via_ray.columns) == list(via_sorted.columns)
+    assert via_ray.equals(via_sorted.astype(via_ray.dtypes.to_dict()))

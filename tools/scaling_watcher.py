@@ -121,9 +121,11 @@ def main() -> None:
             with open("/tmp/scaling_results.jsonl", "a") as f:
                 f.write(json.dumps({"pair": pair, "pages": pages, **res}) + "\n")
             if res["value"] >= 0.8:
-                log("*** raw >= 0.8 LANDED — stopping watcher ***")
-                os.remove(MARKER)
-                return
+                log("*** raw >= 0.8 LANDED ***")
+                if os.environ.get("WATCH_STOP_ON_PASS", "1") == "1":
+                    if os.path.exists(MARKER):
+                        os.remove(MARKER)
+                    return
         except Exception as e:
             log(f"run error: {e}")
         finally:
