@@ -187,17 +187,6 @@ def minhash_bands(batch: pa.Table, k: int = 3, token_hash: str = "polars") -> pa
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket (a < b)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-
 def jaccard_pairs(texts_by_id: dict[int, str], pairs: list[tuple[int, int]], k: int = 3):
     """Exact shingle-Jaccard for candidate pairs -> [(a, b, jaccard)]."""
     cache: dict[int, np.ndarray] = {}
