@@ -2259,4 +2259,96 @@ def q_dup_ngram_fraction(sf_dir: str):
     return dup_ngram_stats(_docs(sf_dir), n=8)
 
 
+@_q(
+    "prepare_training_data",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(text), '{sc._WS_RE}', ' ', 'g'), ' ')
+               AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '{sc.EMAIL_RE}', '{sc.EMAIL_TAG}', 'g'),
+               '{sc.PHONE_RE}', '{sc.PHONE_TAG}', 'g') AS text
+      FROM norm),
+    m AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+             length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS nonspace,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|is|in|to|a)\b'))::BIGINT AS stop_hits
+      FROM red),
+    gate AS (
+      SELECT doc_id, text FROM m
+      WHERE n_words >= 30
+        AND CAST(nonspace AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3.0 AND 5.0
+        AND stop_hits >= 1),
+    surv AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY text),
+    sdocs AS (SELECT g.doc_id, g.text FROM gate g JOIN surv s USING (doc_id)),
+    n AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
+               + 1 AS n_tok
+      FROM sdocs),
+    o AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+      FROM n),
+    s AS (
+      SELECT doc_id, n_tok, start,
+             unnest(range(start // {SEQ_LEN}, (start + n_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
+      FROM o)
+    SELECT doc_id, seq_id::BIGINT AS seq_id,
+           (GREATEST(start, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN})::BIGINT AS seq_off,
+           (GREATEST(start, seq_id * {SEQ_LEN}) - start)::BIGINT AS doc_off,
+           (LEAST(start + n_tok, (seq_id + 1) * {SEQ_LEN})
+             - GREATEST(start, seq_id * {SEQ_LEN}))::BIGINT AS len
+    FROM s
+    """,
+)
+def q_prepare_training_data(sf_dir: str):
+    """The composed training-data flagship — what a user of this engine
+    actually runs end to end: canonicalize (NFC + whitespace) ->
+    PII-redact -> Gopher quality gate -> exact-dedup survivors
+    (min-doc_id per distinct scrubbed text, re-attached by an int-keyed
+    hash join, never a broadcast) -> GPT-style sequence packing of the
+    survivors.  Every stage is the already-SQL-checked operator; this
+    entry checks their COMPOSITION value-identically."""
+    from ..stages.packing import pack_sequences
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    scrubbed = sc.pii_redact(sc.normalize_text(_docs(sf_dir))).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        m = ts.quality_metrics(b)
+        n_words = m.column("n_words").to_numpy()
+        mwl = m.column("mean_word_len").to_numpy()
+        stop = m.column("stop_hits").to_numpy()
+        keep = (n_words >= 30) & (mwl >= 3.0) & (mwl <= 5.0) & (stop >= 1)
+        return b.filter(pa.array(keep))
+
+    gated = scrubbed.map_batches(gate, batch_format="pyarrow").materialize()
+    surv = sorted_agg(
+        gated.map_batches(
+            lambda b: pa.table(
+                {"text": b.column("text"), "doc_id": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "text",
+        {"doc_id": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    sdocs = surv.join(
+        gated, join_type="inner", num_partitions=8, on=("doc_id",)
+    ).repartition(8)
+    return pack_sequences(sdocs, seq_len=SEQ_LEN)
+
+
 QUERIES["build_and_search"] = flagship
