@@ -158,6 +158,29 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
 _BAND_C = (_rng.randint(1, 1 << 62, size=ROWS_PER_BAND).astype(np.uint64) * 2 + 1)
 
 
+def _batch_signatures(shs: list[np.ndarray]) -> np.ndarray:
+    """(n_docs, N_PERM) minhash signatures for a whole batch in ONE
+    numpy pass per permutation chunk: all docs' shingle hashes are
+    concatenated and each doc's min comes from ``minimum.reduceat``
+    over the doc boundaries — no per-doc Python in the signature math.
+    Permutations go 8 at a time so the permuted-value buffer stays
+    ~tens of MB regardless of batch size."""
+    n = len(shs)
+    sigs = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = [i for i, s in enumerate(shs) if len(s)]
+    if not nonempty:
+        return sigs
+    cat = np.concatenate([shs[i] for i in nonempty])
+    lens = np.array([len(shs[i]) for i in nonempty], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    rows = np.array(nonempty, dtype=np.int64)
+    for p0 in range(0, N_PERM, 8):
+        p1 = min(p0 + 8, N_PERM)
+        v = (cat[None, :] * _MH_A[p0:p1, None] + _MH_B[p0:p1, None]) & _MH_MASK
+        sigs[rows, p0:p1] = np.minimum.reduceat(v, starts, axis=1).T
+    return sigs
+
+
 def minhash_bands(batch: pa.Table, k: int = 3, token_hash: str = "polars") -> pa.Table:
     """docs -> (band, band_hash, doc_id) rows for the LSH groupby —
     signatures stacked once, band hashes one vectorized multiply-xor."""
@@ -169,9 +192,7 @@ def minhash_bands(batch: pa.Table, k: int = 3, token_hash: str = "polars") -> pa
             {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
              "doc_id": pa.array([], pa.int64())}
         )
-    sigs = np.stack(
-        [minhash_signature(sh) for sh in _shingle_hashes(texts, k, token_hash)]
-    )  # (n, N_PERM)
+    sigs = _batch_signatures(_shingle_hashes(texts, k, token_hash))  # (n, N_PERM)
     chunks = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
     bh = np.zeros((n, N_BANDS), dtype=np.uint64)
     for j in range(ROWS_PER_BAND):
