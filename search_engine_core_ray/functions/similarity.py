@@ -263,6 +263,8 @@ def ivf_ann(
     n_centroids: int = 16,
     n_probe: int = 4,
     sample_size: int = 2048,
+    centroid_ids: list[int] | None = None,
+    round_digits: int | None = None,
 ):
     """IVF-bucketed approximate nearest neighbours — the coarse-
     quantizer scale path: a seeded k-means over a bounded sample gives
@@ -280,12 +282,21 @@ def ivf_ann(
     import ray.data
     import polars as pl
 
-    # bounded deterministic sample for the quantizer (first blocks)
-    sample_rows = embeddings_ds.limit(sample_size).take_all()
-    sample = np.asarray(
-        [r["embedding"] for r in sample_rows], dtype=np.float64
-    )
-    cents = _kmeans(sample, n_centroids)
+    if centroid_ids is not None:
+        # deterministic assignment-only quantizer (centroids = the
+        # given vectors, no k-means iterations) — the SQL-checkable
+        # configuration, same trick as semdedup
+        cents, got = _collect_query_vectors(embeddings_ds, centroid_ids)
+        if list(got) != sorted(int(c) for c in centroid_ids):
+            raise ValueError(f"centroid ids {centroid_ids} not all present")
+        n_centroids = len(cents)
+    else:
+        # bounded deterministic sample for the quantizer (first blocks)
+        sample_rows = embeddings_ds.limit(sample_size).take_all()
+        sample = np.asarray(
+            [r["embedding"] for r in sample_rows], dtype=np.float64
+        )
+        cents = _kmeans(sample, n_centroids)
     cref = ray.put(cents)
 
     qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
@@ -348,6 +359,10 @@ def ivf_ann(
         qm = _to_matrix(query_t)
         qids_l = query_t.column("query_id").to_numpy()
         sims = cosine_block(qm, cm)
+        if round_digits is not None:
+            from ..stages.textstats import round_half_away
+
+            sims = round_half_away(sims, round_digits)
         out_q, out_n, out_c = [], [], []
         for row, qid in enumerate(qids_l.tolist()):
             keep = cids != qid

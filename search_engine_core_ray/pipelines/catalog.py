@@ -1015,6 +1015,14 @@ def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(ts.doc_fingerprint, batch_format="pyarrow")
 
 
+# SQL cosine between two list<float> columns (DOUBLE math both sides)
+_SD_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
+    " / ( sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    "   * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))) )"
+)
+
+
 # ======================================================================
 # similarity search over embeddings
 # ======================================================================
@@ -1066,6 +1074,61 @@ def q_ivf_ann(sf_dir: str):
     query; tests pin full-probe == exact brute force."""
     return ivf_ann(
         _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_centroids=8, n_probe=2
+    )
+
+
+@_q(
+    "ivf_ann_det",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             {_SD_COS.format(a="e.embedding", b="c.ce")} AS s
+      FROM embeddings e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM sims),
+    a AS (SELECT s.vec_id, s.cid AS bucket, e.embedding
+          FROM assign s JOIN embeddings e USING (vec_id) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+    qp AS (
+      SELECT q.qid, c.cid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_SD_COS.format(a="q.qe", b="c.ce")} DESC, c.cid) AS rn
+      FROM q CROSS JOIN c),
+    probes AS (SELECT qid, cid FROM qp WHERE rn <= 2),
+    cand AS (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             round({_SD_COS.format(a="q.qe", b="a.embedding")}, 4) AS cos
+      FROM probes p
+      JOIN a ON a.bucket = p.cid
+      JOIN q ON q.qid = p.qid
+      WHERE a.vec_id != p.qid),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM cand)
+    SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_ivf_ann_det(sf_dir: str):
+    """IVF ANN in its deterministic SQL-checkable configuration:
+    assignment-only quantizer (centroids = embeddings of vec_id 0..7,
+    no k-means — semdedup's trick), 2-of-8 probing, rounded cosine
+    ranking.  Checks the full IVF machinery (assignment, probe
+    selection, bucket-restricted search, per-query merge) value-
+    identically; the production ``ivf_ann`` entry keeps the seeded
+    k-means quantizer with its full-probe==exact pytest pin."""
+    out = ivf_ann(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_probe=2,
+        centroid_ids=list(range(8)), round_digits=4,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "neighbor_id", "rnk", "cos"]),
+        batch_format="pyarrow",
     )
 
 
@@ -2086,11 +2149,6 @@ def q_sequence_pack(sf_dir: str):
 
 
 SEMDEDUP_TAU = 0.4
-_SD_COS = (
-    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
-    " / ( sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
-    "   * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))) )"
-)
 
 
 @_q(
