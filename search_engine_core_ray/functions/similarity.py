@@ -409,7 +409,19 @@ def ivf_ann(
 _LSH_PLANES_SEED = 1234
 
 
-def lsh_bucket_ann(embeddings_ds, query_ids: list[int], k: int = 10, n_planes: int = 12):
+def lsh_planes(n_planes: int, dim: int) -> np.ndarray:
+    """The deterministic hyperplane matrix (seeded) — exposed so tests
+    and the SQL oracle can re-derive it."""
+    return np.random.RandomState(_LSH_PLANES_SEED).randn(n_planes, dim)
+
+
+def lsh_bucket_ann(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    round_digits: int | None = None,
+):
     """Approximate ANN: random-hyperplane signatures bucket the corpus
     (groupby shuffle); each query searches only its bucket. The scale
     path when the corpus can't be broadcast."""
@@ -417,7 +429,7 @@ def lsh_bucket_ann(embeddings_ds, query_ids: list[int], k: int = 10, n_planes: i
     import polars as pl
 
     dim = len(embeddings_ds.take(1)[0]["embedding"])
-    planes = np.random.RandomState(_LSH_PLANES_SEED).randn(n_planes, dim)
+    planes = lsh_planes(n_planes, dim)
     pref = ray.put(planes)
 
     def sign_bucket(batch: pa.Table) -> pa.Table:
@@ -442,6 +454,10 @@ def lsh_bucket_ann(embeddings_ds, query_ids: list[int], k: int = 10, n_planes: i
             )
         m = _to_matrix(group)
         sims = cosine_block(m[local_q], m)
+        if round_digits is not None:
+            from ..stages.textstats import round_half_away
+
+            sims = round_half_away(sims, round_digits)
         out_q, out_n, out_r, out_c = [], [], [], []
         for row, qi in enumerate(local_q):
             df = pl.DataFrame({"n": ids, "c": sims[row]}).filter(

@@ -1132,11 +1132,63 @@ def q_ivf_ann_det(sf_dir: str):
     )
 
 
-@_q("lsh_ann")  # rows-only: approximate by construction
+def _lsh_planes_sql(n_planes: int, dim: int) -> str:
+    """VALUES rows (i, pv DOUBLE[]) for the seeded hyperplane matrix —
+    repr() round-trips float64 exactly, so DuckDB sees the same planes
+    bit-for-bit."""
+    from ..functions.similarity import lsh_planes
+
+    rows = []
+    for i, row in enumerate(lsh_planes(n_planes, dim)):
+        vals = ", ".join(repr(float(x)) for x in row)
+        rows.append(f"({i}, [{vals}]::DOUBLE[])")
+    return ",\n      ".join(rows)
+
+
+_LSH_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
+)
+
+
+@_q(
+    "lsh_ann",
+    f"""
+    WITH planes(i, pv) AS (VALUES
+      {_lsh_planes_sql(4, 64)}),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             sum(CASE WHEN {_LSH_DOT.format(a="e.embedding", b="p.pv")} > 0
+                      THEN (1 << p.i) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b
+          WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+    cand AS (
+      SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+             round({_SD_COS.format(a="q.qe", b="b.embedding")}, 4) AS cos
+      FROM q JOIN b USING (bucket) WHERE b.vec_id != q.qid),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM cand)
+    SELECT query_id, neighbor_id, rnk, cos FROM ranked WHERE rnk <= 10
+    """,
+)
 def q_lsh_ann(sf_dir: str):
-    # n_planes sizes the bucket count to the corpus: 2^4 buckets over the
-    # small sf tables; at web scale raise it so buckets stay worker-sized.
-    return lsh_bucket_ann(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_planes=4)
+    """Random-hyperplane LSH ANN, now under the SQL gate: the seeded
+    plane matrix is embedded in the oracle as exact float64 literals,
+    so DuckDB replays signature buckets, bucket-restricted search and
+    the rounded-cosine ranking value-identically.  n_planes sizes the
+    bucket count to the corpus: 2^4 buckets over the small sf tables;
+    at web scale raise it so buckets stay worker-sized."""
+    out = lsh_bucket_ann(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_planes=4,
+        round_digits=4,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["query_id", "neighbor_id", "rnk", "cos"]),
+        batch_format="pyarrow",
+    )
 
 
 # ======================================================================
