@@ -249,7 +249,7 @@ def main() -> None:
         "ann_topk", "minhash_dupes", "exact_dedup",
         "pii_redact", "decontaminate", "stratified_sample", "normalize_text",
         "sequence_pack", "semdedup", "lm_familiarity", "dup_ngram_fraction",
-        "rep_signals", "prepare_training_data",
+        "rep_signals", "prepare_training_data", "contamination_frac",
     ]:
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))

@@ -2337,6 +2337,50 @@ def q_rep_signals(sf_dir: str):
     return injected.map_batches(ts.rep_signals, batch_format="pyarrow")
 
 
+CONTAM_BENCH = (
+    "hash scan join order batch batch window",
+    "dup vector stream order a vector window filter",
+    "slow query value column batch big",
+)
+_CONTAM_BW_SQL = " UNION ".join(f"SELECT '{t}' AS t" for t in CONTAM_BENCH)
+
+
+@_q(
+    "contamination_frac",
+    f"""
+    WITH bt AS ({_CONTAM_BW_SQL}),
+    btk AS (SELECT regexp_extract_all(lower(t), '[a-z0-9]{{2,}}') AS tk FROM bt),
+    bpos AS (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM btk),
+    bw AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS w FROM bpos),
+    dtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS tk
+            FROM documents),
+    dpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM dtk),
+    dw AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS w FROM dpos),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_win,
+             sum(CASE WHEN w IN (SELECT w FROM bw) THEN 1 ELSE 0 END)::BIGINT
+               AS contam_win
+      FROM dw GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(p.n_win, 0)::BIGINT AS n_win,
+           COALESCE(p.contam_win, 0)::BIGINT AS contam_win,
+           CASE WHEN COALESCE(p.n_win, 0) > 0
+                THEN CAST(p.contam_win AS DOUBLE) / p.n_win ELSE 0.0 END
+             AS contam_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_contamination_frac(sf_dir: str):
+    """Fuzzy decontamination (n-gram overlap vs a benchmark set — the
+    graded complement of the exact-phrase ``decontaminate``): per doc,
+    the fraction of token 3-gram windows also present in the benchmark
+    strings.  Map-only with the benchmark window hashes broadcast
+    once; fractions are single divisions of exact integers."""
+    from ..stages.scrub import contamination_frac
+
+    return contamination_frac(_docs(sf_dir), list(CONTAM_BENCH), n=3)
+
+
 @_q(
     "dup_ngram_fraction",
     """

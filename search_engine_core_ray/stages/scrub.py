@@ -149,3 +149,79 @@ def normalize_text(docs_ds, col: str = "text"):
     return docs_ds.map_batches(
         _normalize_batch, fn_kwargs={"col": col}, batch_format="pyarrow"
     )
+
+
+_CONTAM_HASH_SEED = 90210
+
+
+def contamination_frac(docs_ds, benchmark_texts: list[str], n: int = 3):
+    """Fuzzy decontamination signal (the GPT-3 appendix-C / PaLM-style
+    n-gram overlap check, public method): per document, the fraction
+    of its token n-gram windows that also occur in any benchmark text.
+    Exact-phrase dropping (``decontaminate``) misses paraphrased or
+    partially-quoted contamination; the window-overlap fraction is the
+    standard graded alternative — filter or down-weight above a
+    threshold.  Returns (doc_id, n_win, contam_win, contam_frac) with
+    contam_frac a single division of exact integers.
+
+    Scale shape: the benchmark window set is tiny (benchmarks are
+    MB-scale, corpora are TB-scale) — hashed once on the driver,
+    ``ray.put`` once, probed per batch with a sorted-array
+    searchsorted; the operator is MAP-ONLY, no shuffle."""
+    import ray
+
+    def _win_hashes(df: pl.DataFrame, col: str) -> pl.DataFrame:
+        ex = (
+            df.with_columns(
+                tk=pl.col(col).str.to_lowercase().str.extract_all("[a-z0-9]{2,}")
+            )
+            .with_row_index("_rid")
+            .select("_rid", "tk")
+            .explode("tk")
+            .filter(pl.col("tk").is_not_null())
+        )
+        return (
+            ex.with_columns(
+                w=pl.concat_str(
+                    [pl.col("tk").shift(-j).over("_rid") for j in range(n)],
+                    separator=" ",
+                )
+            )
+            .filter(pl.col("w").is_not_null())
+            .with_columns(h=pl.col("w").hash(seed=_CONTAM_HASH_SEED))
+            .select("_rid", "h")
+        )
+
+    bench = _win_hashes(
+        pl.DataFrame({"t": pl.Series(benchmark_texts, dtype=pl.String)}), "t"
+    )
+    bench_keys = ray.put(np.unique(bench["h"].to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys = ray.get(bench_keys)
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        wins = _win_hashes(df, "text")
+        h = wins["h"].to_numpy()
+        rid = wins["_rid"].to_numpy().astype(np.int64)
+        n_docs = len(df)
+        n_win = np.bincount(rid, minlength=n_docs).astype(np.int64)
+        if len(keys) and len(h):
+            idx = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+            hit = (keys[idx] == h).astype(np.int64)
+        else:
+            hit = np.zeros(len(h), dtype=np.int64)
+        contam = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(contam, rid, hit)
+        frac = np.where(n_win > 0, contam / np.maximum(n_win, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_win": pa.array(n_win, pa.int64()),
+                "contam_win": pa.array(contam, pa.int64()),
+                "contam_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

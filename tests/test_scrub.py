@@ -189,3 +189,47 @@ try:
             assert red == scalar_pii(raw)[0]
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_contamination_frac_matches_scalar_oracle(ray_session):
+    import re
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.scrub import contamination_frac
+
+    bench = ["alpha beta gamma delta", "one two three"]
+    texts = [
+        "alpha beta gamma delta epsilon",   # two contaminated windows
+        "zero one two three four",          # two contaminated windows
+        "completely clean words here now",  # none
+        "al",                               # < 3 tokens -> zero windows
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+
+    n = 3
+    def wins(t):
+        tk = re.findall(r"[a-z0-9]{2,}", t.lower())
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    bw = {w for b in bench for w in wins(b)}
+    out = (
+        contamination_frac(ds, bench, n=n)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    for did, t in enumerate(texts):
+        ws = wins(t)
+        contam = sum(1 for w in ws if w in bw)
+        assert out.loc[did, "n_win"] == len(ws)
+        assert out.loc[did, "contam_win"] == contam
+        assert out.loc[did, "contam_frac"] == (contam / len(ws) if ws else 0.0)
+    assert out["contam_win"].sum() > 0 and (out["contam_win"] == 0).any()
