@@ -287,7 +287,7 @@ def ivf_ann(
         # given vectors, no k-means iterations) — the SQL-checkable
         # configuration, same trick as semdedup
         cents, got = _collect_query_vectors(embeddings_ds, centroid_ids)
-        if list(got) != sorted(int(c) for c in centroid_ids):
+        if list(got) != sorted({int(c) for c in centroid_ids}):
             raise ValueError(f"centroid ids {centroid_ids} not all present")
         n_centroids = len(cents)
     else:
@@ -302,7 +302,13 @@ def ivf_ann(
     qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
     # per-query probe lists (n_probe nearest centroids)
     qsims = cosine_block(qmat, cents)
-    probes = np.argsort(-qsims, axis=1)[:, : min(n_probe, len(cents))]
+    # ties -> lowest centroid id (lexsort secondary key), matching the
+    # ivf_ann_det SQL oracle's ORDER BY s DESC, cid and the assignment
+    # argmax below; plain argsort(-qsims) is tie-order-unstable
+    cidx = np.arange(qsims.shape[1])
+    probes = np.stack(
+        [np.lexsort((cidx, -row))[: min(n_probe, len(cents))] for row in qsims]
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
         C = ray.get(cref)

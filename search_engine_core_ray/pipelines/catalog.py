@@ -1905,20 +1905,9 @@ def q_quality_filter(sf_dir: str):
     map_batches filter over the quality_metrics columns; rows =
     passing docs with the deciding metrics."""
     def gate(b: pa.Table) -> pa.Table:
-        m = ts.quality_metrics(b)
-        n_words = m.column("n_words").to_numpy()
-        mwl = m.column("mean_word_len").to_numpy()
-        stop = m.column("stop_hits").to_numpy()
-        keep = (n_words >= 30) & (mwl >= 3.0) & (mwl <= 5.0) & (stop >= 1)
-        out = pa.table(
-            {
-                "doc_id": m.column("doc_id"),
-                "n_words": m.column("n_words"),
-                "mean_word_len": m.column("mean_word_len"),
-                "stop_hits": m.column("stop_hits"),
-            }
-        )
-        return out.filter(pa.array(keep))
+        kept = ts.gopher_gate(b)  # ONE shared gate definition
+        m = ts.quality_metrics(kept)
+        return m.select(["doc_id", "n_words", "mean_word_len", "stop_hits"])
 
     return _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
 
@@ -2479,15 +2468,9 @@ def q_prepare_training_data(sf_dir: str):
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
     )
 
-    def gate(b: pa.Table) -> pa.Table:
-        m = ts.quality_metrics(b)
-        n_words = m.column("n_words").to_numpy()
-        mwl = m.column("mean_word_len").to_numpy()
-        stop = m.column("stop_hits").to_numpy()
-        keep = (n_words >= 30) & (mwl >= 3.0) & (mwl <= 5.0) & (stop >= 1)
-        return b.filter(pa.array(keep))
-
-    gated = scrubbed.map_batches(gate, batch_format="pyarrow").materialize()
+    gated = scrubbed.map_batches(
+        ts.gopher_gate, batch_format="pyarrow"
+    ).materialize()
     surv = sorted_agg(
         gated.map_batches(
             lambda b: pa.table(

@@ -158,26 +158,42 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
 _BAND_C = (_rng.randint(1, 1 << 62, size=ROWS_PER_BAND).astype(np.uint64) * 2 + 1)
 
 
+_SIG_SHINGLE_CHUNK = 1 << 20  # permuted-value buffer cap: 8 perms x 1M x 8B = 64 MB
+
+
 def _batch_signatures(shs: list[np.ndarray]) -> np.ndarray:
-    """(n_docs, N_PERM) minhash signatures for a whole batch in ONE
-    numpy pass per permutation chunk: all docs' shingle hashes are
-    concatenated and each doc's min comes from ``minimum.reduceat``
-    over the doc boundaries — no per-doc Python in the signature math.
-    Permutations go 8 at a time so the permuted-value buffer stays
-    ~tens of MB regardless of batch size."""
+    """(n_docs, N_PERM) minhash signatures with no per-doc Python in
+    the signature math: docs' shingle hashes are concatenated in
+    doc-boundary-aligned groups and each doc's min comes from
+    ``minimum.reduceat``.  Two chunk axes bound the permuted-value
+    buffer to <= 8 perms x _SIG_SHINGLE_CHUNK shingles (~64 MB)
+    regardless of batch size or per-doc shingle counts."""
     n = len(shs)
     sigs = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
     nonempty = [i for i, s in enumerate(shs) if len(s)]
     if not nonempty:
         return sigs
-    cat = np.concatenate([shs[i] for i in nonempty])
-    lens = np.array([len(shs[i]) for i in nonempty], dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
-    rows = np.array(nonempty, dtype=np.int64)
-    for p0 in range(0, N_PERM, 8):
-        p1 = min(p0 + 8, N_PERM)
-        v = (cat[None, :] * _MH_A[p0:p1, None] + _MH_B[p0:p1, None]) & _MH_MASK
-        sigs[rows, p0:p1] = np.minimum.reduceat(v, starts, axis=1).T
+
+    def run(group: list[int]) -> None:
+        cat = np.concatenate([shs[i] for i in group])
+        lens = np.array([len(shs[i]) for i in group], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        rows = np.array(group, dtype=np.int64)
+        for p0 in range(0, N_PERM, 8):
+            p1 = min(p0 + 8, N_PERM)
+            v = (cat[None, :] * _MH_A[p0:p1, None] + _MH_B[p0:p1, None]) & _MH_MASK
+            sigs[rows, p0:p1] = np.minimum.reduceat(v, starts, axis=1).T
+
+    group: list[int] = []
+    acc = 0
+    for i in nonempty:
+        if group and acc + len(shs[i]) > _SIG_SHINGLE_CHUNK:
+            run(group)
+            group, acc = [], 0
+        group.append(i)
+        acc += len(shs[i])
+    if group:
+        run(group)
     return sigs
 
 

@@ -133,6 +133,17 @@ def sorted_agg(
 
     def block_agg(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
+        for kc in keys:
+            # Ray's sort usually dies on null keys already (TypeError in
+            # sort_and_partition for string keys); when one sneaks
+            # through, the boundary comparisons below would evaluate to
+            # null and SILENTLY DROP every group in the block — fail
+            # loudly instead
+            if df[kc].null_count():
+                raise ValueError(
+                    f"sorted_agg: null values in key column {kc!r} are "
+                    "not supported — filter or fill them upstream"
+                )
         g = df.group_by(keys).agg(partial_exprs)
         if len(g) == 0:  # empty block: 0 rows, correct schema
             return _unlarge(g.with_columns(_boundary=pl.lit(True)).clear().to_arrow())

@@ -204,6 +204,30 @@ def doc_fingerprint(batch: pa.Table) -> pa.Table:
     )
 
 
+# Gopher-style document quality gate thresholds (Rae et al. 2021 §A1.1)
+GATE_MIN_WORDS = 30
+GATE_MWL_RANGE = (3.0, 5.0)
+GATE_MIN_STOP_HITS = 1
+
+
+def gopher_gate(batch: pa.Table) -> pa.Table:
+    """Filter a (doc_id, text, ...) batch to rows passing the Gopher
+    quality gate — the ONE definition shared by the standalone
+    quality_filter entry and the composed prepare_training_data
+    flagship (and their SQL oracles)."""
+    m = quality_metrics(batch)
+    n_words = m.column("n_words").to_numpy()
+    mwl = m.column("mean_word_len").to_numpy()
+    stop = m.column("stop_hits").to_numpy()
+    keep = (
+        (n_words >= GATE_MIN_WORDS)
+        & (mwl >= GATE_MWL_RANGE[0])
+        & (mwl <= GATE_MWL_RANGE[1])
+        & (stop >= GATE_MIN_STOP_HITS)
+    )
+    return batch.filter(pa.array(keep))
+
+
 # ----------------------------------------------------------------------
 # corpus char-trigram LM familiarity (CCNet-style LM quality filtering,
 # integer-exact so the two-pass pipeline is SQL-checkable end to end)

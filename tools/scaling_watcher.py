@@ -7,11 +7,14 @@ Protocol:
   calibration bench.py --scaling embeds). Only if the probe ceiling is
   >= PROBE_MIN (default 0.84) fire a full measurement — a poor window
   cannot produce an admissible run, so don't waste 5 minutes on it.
-- Alternate two admissible N->4N pairs:
-    * 8->32 @ 600k pages  (serial tail fully amortized; most exposed
-      to steal because it asks for every hardware thread)
-    * 4->16 @ 200k pages  (shorter legs, half the threads — less
-      exposed to steal bursts)
+- Alternate two admissible N->4N pairs, BOTH at 600k pages (the
+  2026-08-18 measurements showed 4->16 @ 200k caps at raw ~0.66 even
+  in a quiet window — the 16-CPU leg's flat component only amortizes
+  at 600k):
+    * 8->32 @ 600k pages  (most exposed to steal: asks for every
+      hardware thread)
+    * 4->16 @ 600k pages  (half the threads — the pair that landed
+      the on-record raw 0.833)
 - Write /tmp/scaling_run_in_progress while a measurement runs so
   interactive work never overlaps a leg (the pollution mode that
   invalidated run auto202).
@@ -82,6 +85,16 @@ def main() -> None:
     while True:
         pair, pages = PAIRS[i % len(PAIRS)]
         lo_n, hi_n = (int(x) for x in pair.split(","))
+        # consult the interactive-work marker BEFORE the probe: the
+        # probe itself is a full-CPU burn and would pollute whatever
+        # the interactive session is measuring
+        if (
+            os.path.exists(WORK_MARKER)
+            and time.time() - os.path.getmtime(WORK_MARKER) < 900
+        ):
+            log("interactive work in progress — skip probe and wait")
+            time.sleep(SLEEP_S)
+            continue
         try:
             ceil = probe(lo_n, hi_n)
         except Exception as e:
@@ -90,13 +103,6 @@ def main() -> None:
             continue
         if ceil < PROBE_MIN:
             log(f"probe ceiling {ceil:.3f} < {PROBE_MIN} — wait ({pair})")
-            time.sleep(SLEEP_S)
-            continue
-        if (
-            os.path.exists(WORK_MARKER)
-            and time.time() - os.path.getmtime(WORK_MARKER) < 900
-        ):
-            log(f"ceiling {ceil:.3f} but interactive work in progress — wait")
             time.sleep(SLEEP_S)
             continue
         log(f"probe ceiling {ceil:.3f} — firing {pair} @ {pages} pages")
