@@ -274,28 +274,28 @@ def trigram_partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-class ScoreFamiliarity:
-    """Actor-pool scoring pass: per-doc trigram count and the summed
-    corpus frequency of every trigram occurrence (the unigram-LM-over-
+def make_score_familiarity(model_ref):
+    """Scoring pass: per-doc trigram count and the summed corpus
+    frequency of every trigram occurrence (the unigram-LM-over-
     trigrams 'familiarity' — rare-charset / garbled docs score low).
-    Model arrays arrive once per actor via a ray.put handle."""
+    A plain task closure over the ray.put model handle — per-task
+    ray.get is a local object-store hit, so no actor pool needs to
+    spin up for what is otherwise a stateless map."""
 
-    def __init__(self, model_ref):
+    def score_familiarity(batch: pa.Table) -> pa.Table:
         import ray
 
-        self.keys, self.counts = ray.get(model_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, counts = ray.get(model_ref)
         texts = batch.column("text").to_pylist()
-        keys, doc_of = _tri_windows(texts)
+        wkeys, doc_of = _tri_windows(texts)
         n_docs = len(texts)
         n_tri = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
-        idx = np.searchsorted(self.keys, keys)
+        idx = np.searchsorted(keys, wkeys)
         # model is built on this corpus, so every trigram is present;
         # guard anyway (scoring a doc NOT in the model corpus)
-        idx = np.clip(idx, 0, len(self.keys) - 1)
-        hit = self.keys[idx] == keys
-        fam = np.where(hit, self.counts[idx], 0).astype(np.int64)
+        idx = np.clip(idx, 0, max(len(keys) - 1, 0))
+        hit = keys[idx] == wkeys if len(keys) else np.zeros(len(wkeys), bool)
+        fam = np.where(hit, counts[idx], 0).astype(np.int64)
         # int64 scatter-add (bincount's float64 weights would round
         # above 2^53; corpus-scale counts can reach that)
         fam_sum = np.zeros(n_docs, dtype=np.int64)
@@ -312,6 +312,8 @@ class ScoreFamiliarity:
                 "fam_avg": pa.array(fam_avg, pa.float64()),
             }
         )
+
+    return score_familiarity
 
 
 def lm_familiarity(docs_ds):
@@ -338,10 +340,7 @@ def lm_familiarity(docs_ds):
     order = np.argsort(tri)
     model_ref = ray.put((tri[order], cnt[order]))
     return docs_ds.map_batches(
-        ScoreFamiliarity,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_args=(model_ref,),
+        make_score_familiarity(model_ref), batch_format="pyarrow"
     )
 
 
