@@ -119,3 +119,22 @@ def test_sorted_agg_auto_paths_identical(ray_session):
     )
     assert list(via_ray.columns) == list(via_sorted.columns)
     assert via_ray.equals(via_sorted.astype(via_ray.dtypes.to_dict()))
+
+
+def test_sorted_agg_rejects_null_keys(ray_session):
+    # nulls in a key column would make the boundary comparisons null
+    # and silently drop whole groups — the primitive must fail loudly
+    # (Ray's own sort machinery may raise first; either error is fine,
+    # silence is not)
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, None, 2], pa.int64()),
+                "v": pa.array([1, 1, 1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception):
+        sorted_agg(ds, "k", {"total": ("sum", "v")}).take_all()
