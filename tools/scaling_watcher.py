@@ -42,11 +42,12 @@ MARKER = "/tmp/scaling_run_in_progress"
 WORK_MARKER = "/tmp/interactive_work_in_progress"
 PROBE_MIN = float(os.environ.get("WATCH_PROBE_MIN", "0.84"))
 SLEEP_S = int(os.environ.get("WATCH_SLEEP_S", "120"))
-# Both pairs at 600k pages: the 2026-08-17 23:15 run showed 4->16@200k
-# capping at raw 0.662 even in a 0.983-ceiling window with a clean lo
-# leg — the 16-CPU leg's flat component doesn't amortize at 200k, while
-# BASELINE.md's auto203 showed 600k tracks the hardware ceiling to 2%.
-PAIRS = [("8,32", "600000"), ("4,16", "600000")]
+# 4->16 @ 600k only: BASELINE.md's 02:10 saturation probe showed the
+# single-node build pins at ~7k docs/s above ~24 CPUs (non-CPU
+# resource), so the 8->32 ratio FALLS as the host quietens and can
+# only "pass" via a steal-suppressed 8-leg — inadmissible. The 4->16
+# pair stays below saturation on both legs (landed raw 0.833).
+PAIRS = [("4,16", "600000")]
 
 
 def _burn(q):
