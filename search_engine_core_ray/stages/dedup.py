@@ -131,11 +131,14 @@ def _shingle_hashes(
             out.append(np.empty(0, dtype=np.uint64))
             continue
         if n < k:
-            # mirrors the old single-shingle-of-all-tokens behavior
-            acc = np.uint64(0)
+            # mirrors the old single-shingle-of-all-tokens behavior;
+            # uint64 wraparound is the intended mod-2^64 arithmetic —
+            # compute on 1-element arrays so numpy doesn't warn about
+            # scalar overflow
+            acc = np.zeros(1, dtype=np.uint64)
             for j in range(n):
-                acc ^= h[j] * _SH_C[j % len(_SH_C)]
-            out.append(np.asarray([acc], dtype=np.uint64))
+                acc ^= h[j : j + 1] * _SH_C[j % len(_SH_C)]
+            out.append(acc)
             continue
         m = n - k + 1
         acc = np.zeros(m, dtype=np.uint64)
