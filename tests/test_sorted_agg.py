@@ -138,3 +138,48 @@ def test_sorted_agg_rejects_null_keys(ray_session):
     )
     with pytest.raises(Exception):
         sorted_agg(ds, "k", {"total": ("sum", "v")}).take_all()
+
+
+def test_sorted_agg_property_random_tables(ray_session):
+    # hypothesis sweep: arbitrary key/value distributions, both engines
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(1, 400),
+        key_space=st.integers(1, 50),
+        blocks=st.integers(1, 6),
+        seed=st.integers(0, 2**16),
+    )
+    def check(n, key_space, blocks, seed):
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        tbl = pa.table(
+            {
+                "k": pa.array(rng.integers(0, key_space, n), pa.int64()),
+                "v": pa.array(rng.integers(-9, 9, n), pa.int64()),
+            }
+        )
+        got = (
+            sorted_agg(
+                ray.data.from_arrow(tbl).repartition(blocks),
+                "k",
+                {"total": ("sum", "v"), "lo": ("min", "v"), "rows": ("count", "v")},
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        want = (
+            pl.from_arrow(tbl)
+            .group_by("k")
+            .agg(
+                pl.col("v").sum().alias("total"),
+                pl.col("v").min().alias("lo"),
+                pl.len().cast(pl.Int64).alias("rows"),
+            )
+            .sort("k").to_pandas().reset_index(drop=True)
+        )
+        got = got[want.columns]
+        assert got.equals(want.astype(got.dtypes.to_dict()))
+
+    check()
