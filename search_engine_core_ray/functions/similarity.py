@@ -486,10 +486,13 @@ def semdedup(
     n_clusters: int = 8,
     threshold: float = 0.85,
     centroid_ids: list[int] | None = None,
+    round_digits: int | None = 4,
 ):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster the embedding space, then inside each cluster
-    drop every vector that has an already-kept near-twin.
+    drop every vector with ANY lower-id neighbor (kept or dropped) at
+    cosine >= threshold — transitive suppression, not the kept-only
+    greedy variant: in a chain a~b~c (a!~c) this drops both b and c.
 
     Deterministic, SQL-checkable configuration: the centroids are the
     embeddings of ``centroid_ids`` (default vec_id 0..n_clusters-1) and
@@ -498,10 +501,14 @@ def semdedup(
     pipeline.  The production path can swap in the seeded k-means from
     ``ivf_ann`` (same assignment kernel); the dedup rule is unchanged.
 
-    Keep rule (greedy, low-id-wins): vector v is DROPPED iff some u<v
-    in the same cluster has cos(u, v) >= threshold.  Deterministic and
-    order-free — equivalent to keeping the minimum vec_id of every
-    duplicate neighborhood chain.
+    Keep rule (low-id-wins, transitive suppression): vector v is
+    DROPPED iff some u<v in the same cluster has cos(u, v) >=
+    threshold, regardless of whether u itself was kept.  Deterministic
+    and order-free.  Cosines are rounded (``round_digits``,
+    half-away-from-zero) before the threshold test so the decision is
+    summation-order-independent and replayable by the SQL oracle's
+    ``round(..., d)`` — numpy matmul and DuckDB ``list_sum`` disagree
+    in the last ulp, which matters only for pairs within ~1e-15 of tau.
 
     Scale shape: centroid matrix broadcast once via ``ray.put``;
     assignment is one vectorized matmul per batch; the only shuffle is
@@ -545,6 +552,10 @@ def semdedup(
         mn[mn == 0] = 1.0
         g = m / mn
         sims = g @ g.T
+        if round_digits is not None:
+            from ..stages.textstats import round_half_away
+
+            sims = round_half_away(sims, round_digits)
         # strict upper triangle: sims[u, v] with u < v (vec_id asc)
         dup = (np.triu(sims, k=1) >= threshold).any(axis=0)
         return pa.table(

@@ -1431,33 +1431,53 @@ def q_topk_orders(sf_dir: str):
 )
 def q_mktsegment_revenue(sf_dir: str):
     """Broadcast join: the small customer side is ray.put once and read
-    per actor/task, never shuffled (SURVEY.md §2.5)."""
+    per actor/task, never shuffled (SURVEY.md §2.5) — but gated: TPC-H
+    customer grows with sf, so above BROADCAST_ROW_LIMIT the lookup
+    routes to Ray's distributed inner hash join instead (both paths
+    feed the identical map-side partial aggregate)."""
     import ray
     import polars as pl
     from ray.data.aggregate import Sum
 
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    )  # dimension table: small by definition
-    seg_map = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    from ..functions.joins import gated_lookup
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    mode, side = gated_lookup(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "c_custkey",
+        ["c_mktsegment"],
+    )
+
+    if mode == "broadcast":
+
+        def attach(b: pa.Table) -> pa.Table:
+            dim = pl.from_arrow(ray.get(side))
+            return (
+                pl.from_arrow(b)
+                .join(dim, left_on="o_custkey", right_on="c_custkey", how="left")
+                .with_columns(pl.col("c_mktsegment").fill_null("UNKNOWN"))
+                .to_arrow()
+            )
+
+        seg_ds = orders.map_batches(attach, batch_format="pyarrow")
+    else:
+        seg_ds = orders.join(
+            side, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).repartition(8)
 
     def partial(b: pa.Table) -> pa.Table:
-        m = ray.get(seg_map)
-        df = pl.from_arrow(b)
-        df = df.with_columns(
-            seg=pl.col("o_custkey").replace_strict(m, default="UNKNOWN"),
+        df = pl.from_arrow(b).with_columns(
             cents=(pl.col("o_totalprice") * 100).round(0).cast(pl.Int64),
         )
         return (
-            df.group_by("seg")
+            df.group_by("c_mktsegment")
             .agg(n=pl.len().cast(pl.Int64), cents=pl.col("cents").sum())
-            .rename({"seg": "c_mktsegment"})
             .to_arrow()
         )
 
     agg = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
+        seg_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="cents"))
     )
@@ -1483,26 +1503,23 @@ def q_mktsegment_revenue(sf_dir: str):
     """,
 )
 def q_expensive_order_items(sf_dir: str):
-    """Semi-join via broadcast key set (SURVEY.md §2.5: semi/anti joins
-    broadcast the small side and filter inside map_batches)."""
-    import ray
+    """Semi-join (SURVEY.md §2.5: broadcast the small side and filter
+    inside map_batches) — threshold-gated via ``semi_or_anti_join``:
+    the expensive-order key set grows with sf, so above
+    BROADCAST_ROW_LIMIT it routes to Ray's left_semi hash join instead
+    of a driver collect."""
     from ray.data.aggregate import Count, Sum
 
-    keys = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .map_batches(
-            lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)).select(
-                ["o_orderkey"]
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["o_orderkey"]
-    )
-    key_ref = ray.put(pa.array(sorted(keys)))
+    from ..functions.joins import semi_or_anti_join
 
-    def semi(b: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ks))
+    keys = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def narrow(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "l_orderkey": b.column("l_orderkey"),
@@ -1511,8 +1528,13 @@ def q_expensive_order_items(sf_dir: str):
         )
 
     agg = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(semi, batch_format="pyarrow")
+        semi_or_anti_join(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+            "l_orderkey",
+            keys,
+            "o_orderkey",
+        )
+        .map_batches(narrow, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="qty_sum"))
     )
@@ -1538,39 +1560,31 @@ def q_expensive_order_items(sf_dir: str):
     """,
 )
 def q_parts_not_in_expensive_orders(sf_dir: str):
-    """Anti-join via broadcast key set (visited-set semantics:
-    URLFrontier.cpp:100-107 is the reference's anti-join shape)."""
-    import ray
+    """Anti-join (visited-set semantics: URLFrontier.cpp:100-107 is
+    the reference's anti-join shape), threshold-gated: the seen-part
+    and expensive-order key sets are corpus-proportional, so both
+    exchanges run through ``semi_or_anti_join`` — distributed distinct
+    (sorted_distinct) + broadcast probe under BROADCAST_ROW_LIMIT,
+    Ray left_semi/left_anti hash join above it.  Nothing
+    corpus-proportional lands on the driver on either path."""
+    from ..functions.joins import semi_or_anti_join
 
-    okeys = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .map_batches(
-            lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450000.0)).select(
-                ["o_orderkey"]
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["o_orderkey"]
+    okeys = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450000.0)).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
     )
-    okey_ref = ray.put(pa.array(sorted(okeys)))
-
-    def seen_parts(b: pa.Table) -> pa.Table:
-        ks = ray.get(okey_ref)
-        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ks))
-        return pa.table({"k": pc.unique(b.column("l_partkey"))})
-
-    seen = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .map_batches(seen_parts, batch_format="pyarrow")
-        .to_pandas()["k"]
+    seen = semi_or_anti_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey",
+        okeys,
+        "o_orderkey",
     )
-    seen_ref = ray.put(pa.array(sorted(set(seen))))
-
-    def anti(b: pa.Table) -> pa.Table:
-        ks = ray.get(seen_ref)
-        return b.filter(pc.invert(pc.is_in(b.column("p_partkey"), value_set=ks)))
-
-    out = _read(sf_dir, "part", ["p_partkey"]).map_batches(anti, batch_format="pyarrow")
+    out = semi_or_anti_join(
+        _read(sf_dir, "part", ["p_partkey"]), "p_partkey", seen, "l_partkey",
+        anti=True,
+    )
     # collect to a concrete Table: an all-filtered Dataset loses its
     # schema through to_pandas, which breaks empty-result comparison
     batches = [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
@@ -2211,7 +2225,7 @@ SEMDEDUP_TAU = 0.4
              JOIN embeddings eu ON u.vec_id = eu.vec_id
              JOIN embeddings ev ON a.vec_id = ev.vec_id
              WHERE u.cluster_id = a.cluster_id AND u.vec_id < a.vec_id
-               AND {_SD_COS.format(a="eu.embedding", b="ev.embedding")} >= {SEMDEDUP_TAU}
+               AND round({_SD_COS.format(a="eu.embedding", b="ev.embedding")}, 4) >= {SEMDEDUP_TAU}
            ) THEN 0 ELSE 1 END::BIGINT AS kept
     FROM a
     """,
@@ -2220,13 +2234,14 @@ def q_semdedup(sf_dir: str):
     """SemDeDup (arXiv 2303.09540) in its deterministic SQL-checkable
     configuration: centroids = embeddings of vec_id 0..7, one
     max-cosine assignment pass (ties -> lowest centroid), then inside
-    each cluster drop any vector with a kept lower-id neighbor at
-    cos >= 0.4 (the synth corpus's planted near-dup band, matching
-    embedding_dupes)."""
+    each cluster drop any vector with ANY lower-id neighbor at
+    round(cos, 4) >= 0.4 (the synth corpus's planted near-dup band,
+    matching embedding_dupes)."""
     from ..functions.similarity import semdedup
 
     return semdedup(
-        _read(sf_dir, "embeddings"), n_clusters=8, threshold=SEMDEDUP_TAU
+        _read(sf_dir, "embeddings"), n_clusters=8, threshold=SEMDEDUP_TAU,
+        round_digits=4,
     )
 
 

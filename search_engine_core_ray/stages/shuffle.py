@@ -183,13 +183,22 @@ def sorted_agg(
         return interior.repartition(n_out)
     import ray.data
 
+    # build the edge table with the partials' EXPLICIT schema —
+    # pl.from_dicts would re-infer dtypes (an Int32/UInt64 value column
+    # or an all-null aggregate would mismatch the interior blocks on
+    # union()); cast back after the merge for the same reason (polars
+    # upcasts small-int sums)
+    out_schema = pa.schema(
+        [f for f in partials.schema().base_schema if f.name != "_boundary"]
+    )
+    edge_tbl = pa.Table.from_pylist(edge_rows, schema=out_schema)
     merged = _unlarge(
-        pl.from_dicts(edge_rows)
+        pl.from_arrow(edge_tbl)
         .group_by(keys)
         .agg(merge_exprs)
-        .select(keys + list(aggs))
+        .select(out_schema.names)
         .to_arrow()
-    )
+    ).cast(out_schema)
     edge_ds = ray.data.from_arrow(merged)
     return interior.union(edge_ds).repartition(n_out)
 

@@ -290,12 +290,17 @@ def make_score_familiarity(model_ref):
         wkeys, doc_of = _tri_windows(texts)
         n_docs = len(texts)
         n_tri = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
-        idx = np.searchsorted(keys, wkeys)
-        # model is built on this corpus, so every trigram is present;
-        # guard anyway (scoring a doc NOT in the model corpus)
-        idx = np.clip(idx, 0, max(len(keys) - 1, 0))
-        hit = keys[idx] == wkeys if len(keys) else np.zeros(len(wkeys), bool)
-        fam = np.where(hit, counts[idx], 0).astype(np.int64)
+        if len(keys) == 0:
+            # empty model (closure reused against a different corpus):
+            # every trigram is unknown — counts[idx] below would raise
+            fam = np.zeros(len(wkeys), dtype=np.int64)
+        else:
+            idx = np.searchsorted(keys, wkeys)
+            # model is built on this corpus, so every trigram is present;
+            # guard anyway (scoring a doc NOT in the model corpus)
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit = keys[idx] == wkeys
+            fam = np.where(hit, counts[idx], 0).astype(np.int64)
         # int64 scatter-add (bincount's float64 weights would round
         # above 2^53; corpus-scale counts can reach that)
         fam_sum = np.zeros(n_docs, dtype=np.int64)

@@ -7,14 +7,13 @@ Protocol:
   calibration bench.py --scaling embeds). Only if the probe ceiling is
   >= PROBE_MIN (default 0.84) fire a full measurement — a poor window
   cannot produce an admissible run, so don't waste 5 minutes on it.
-- Alternate two admissible N->4N pairs, BOTH at 600k pages (the
-  2026-08-18 measurements showed 4->16 @ 200k caps at raw ~0.66 even
-  in a quiet window — the 16-CPU leg's flat component only amortizes
-  at 600k):
-    * 8->32 @ 600k pages  (most exposed to steal: asks for every
-      hardware thread)
-    * 4->16 @ 600k pages  (half the threads — the pair that landed
-      the on-record raw 0.833)
+- Measure the single admissible pair 4->16 CPUs @ 600k pages (PAIRS
+  below).  8->32 was dropped from the rotation: the box saturates a
+  non-CPU resource at ~7-7.8k docs/s (24->32 CPUs buys +3%), so the
+  8->32 raw ratio falls as the host quietens — a single-box artifact,
+  not pipeline scaling.  4->16 @ 200k was dropped too: the 16-CPU
+  leg's flat component only amortizes at 600k pages (raw capped ~0.66
+  even in a quiet window).
 - Write /tmp/scaling_run_in_progress while a measurement runs so
   interactive work never overlaps a leg (the pollution mode that
   invalidated run auto202).
@@ -58,7 +57,7 @@ def _burn(q):
     q.put(time.monotonic() - t0)
 
 
-def probe(lo_n: int = 8, hi_n: int = 32) -> float:
+def probe(lo_n: int = 4, hi_n: int = 16) -> float:
     walls = {}
     for n in (1, lo_n, hi_n):
         q = mp.Queue()
