@@ -109,19 +109,25 @@ def gated_lookup(
     value_cols: list[str],
     *,
     broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    byte_limit: int | None = None,
 ):
     """Prepare a small-side lookup for a map-side join: returns either
     ``("broadcast", ObjectRef[pa.Table])`` when the right side fits
-    under ``broadcast_limit`` rows, or ``("dataset", Dataset)`` when it
-    must go through a distributed hash join.  Callers implement the two
-    probe shapes (polars per-batch join vs ``Dataset.join``) — the
-    helper just owns the counting discipline so no caller collects an
-    unbounded table on the driver.
+    under ``broadcast_limit`` rows (and ``byte_limit`` bytes, when
+    given — row counts are the wrong gate for wide binary payload
+    columns), or ``("dataset", Dataset)`` when it must go through a
+    distributed hash join.  Callers implement the two probe shapes
+    (polars per-batch join vs ``Dataset.join``) — the helper just owns
+    the counting discipline so no caller collects an unbounded table
+    on the driver.
     """
     import ray
 
     right = right.materialize()
-    if right.count() <= broadcast_limit:
+    fits = right.count() <= broadcast_limit
+    if fits and byte_limit is not None:
+        fits = (right.size_bytes() or 0) <= byte_limit
+    if fits:
         tbl = pa.concat_tables(
             [
                 b.select([key] + value_cols)

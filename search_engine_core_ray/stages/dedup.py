@@ -268,6 +268,7 @@ def minhash_near_dupes(
     k: int = 3,
     num_partitions: int = 8,
     token_hash: str = "polars",
+    attach_byte_limit: int = 64 * 1024 * 1024,
 ):
     """Full near-dup pipeline -> Dataset(a, b, jaccard) with jaccard >=
     threshold, deduplicated pairs, a < b.
@@ -276,13 +277,16 @@ def minhash_near_dupes(
     1. minhash + banding per doc (map_batches);
     2. groupby(band, band_hash) emits candidate pairs per LSH bucket;
     3. groupby(a, b) dedups pairs that collided in several bands;
-    4. TWO hash-JOINs attach each pair's shingle sets (pairs x shingles
-       on a, then on b) — on a dup-heavy web corpus the candidate set
-       is NOT collision-sized, so the verify payloads travel via
-       shuffle, not through the driver;
-    5. one map_batches verifies exact Jaccard over whole join-output
-       batches (sorted-array intersect per pair — no per-pair
-       map_groups call overhead).
+    4. the shingle table is first SEMI-JOINED down to the docs that
+       appear in any candidate pair (dup-volume-proportional, a small
+       fraction of the corpus) — the full corpus' shingle payloads are
+       never exchanged; the reduced table then attaches to the pairs
+       via a gated broadcast (map-side, zero further exchanges) under
+       ``attach_byte_limit``, or two hash joins against the reduced
+       table above it — either way sized by dup volume, not corpus;
+    5. one map_batches verifies exact Jaccard over whole batches
+       (sorted-array intersect per pair — no per-pair map_groups call
+       overhead).
     """
     import pyarrow.compute as _pc
 
@@ -346,33 +350,80 @@ def minhash_near_dupes(
             )
         )
 
+    # attach each pair's shingle sets.  The candidate-INVOLVED doc set
+    # is dup-volume-proportional — a small fraction of the corpus — so
+    # never exchange the whole shingle table through two hash joins
+    # just to decorate the pairs (measured 15 s of the operator's 20 s
+    # at sf0.1 for 257 pairs):
+    #   1. semi-join the shingle table down to involved docs
+    #      (broadcast is_in probe under BROADCAST_ROW_LIMIT ids — a
+    #      pure streaming filter, zero exchanges — left_semi hash join
+    #      above it);
+    #   2. under the byte limit, broadcast the REDUCED shingle table
+    #      and attach+verify map-side (zero further exchanges); above
+    #      it, run the two pair-attach joins against the reduced table.
+    from ..functions.joins import gated_lookup, semi_or_anti_join
+
     sh_ds = docs_ds.map_batches(
         lambda b: doc_shingles(b, k, token_hash), batch_format="pyarrow"
     )
 
-    def as_side(side: str):
+    def pair_ids(b: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+        )
+        return pa.table({"doc_id": _pc.unique(both)})
+
+    ids_ds = uniq.map_batches(pair_ids, batch_format="pyarrow")
+    sh_needed = semi_or_anti_join(sh_ds, "doc_id", ids_ds, "doc_id")
+    mode, side = gated_lookup(
+        sh_needed, "doc_id", ["sh"], byte_limit=attach_byte_limit
+    )
+
+    def as_side(side_name: str):
         def fn(batch: pa.Table) -> pa.Table:
             return pa.table(
-                {side: batch.column("doc_id"), f"sh_{side}": batch.column("sh")}
+                {
+                    side_name: batch.column("doc_id"),
+                    f"sh_{side_name}": batch.column("sh"),
+                }
             )
 
         return fn
 
-    joined = uniq.join(
-        sh_ds.map_batches(as_side("a"), batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("a",),
-        # the first join emits SCHEMA-LESS blocks for empty hash
-        # partitions; as the LEFT side of the second join they break
-        # Acero key resolution ("no match for FieldRef.Name(b)") —
-        # a partition-layout-dependent flake. Merge them away first.
-    ).repartition(num_partitions).join(
-        sh_ds.map_batches(as_side("b"), batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("b",),
-    )
+    if mode == "broadcast":
+        import ray as _ray
+
+        def attach(b: pa.Table) -> pa.Table:
+            lut = pl.from_arrow(_ray.get(side))
+            return (
+                pl.from_arrow(b)
+                .join(
+                    lut.rename({"doc_id": "a", "sh": "sh_a"}), on="a", how="left"
+                )
+                .join(
+                    lut.rename({"doc_id": "b", "sh": "sh_b"}), on="b", how="left"
+                )
+                .to_arrow()
+            )
+
+        joined = uniq.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = uniq.join(
+            sh_needed.map_batches(as_side("a"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("a",),
+            # the first join emits SCHEMA-LESS blocks for empty hash
+            # partitions; as the LEFT side of the second join they break
+            # Acero key resolution ("no match for FieldRef.Name(b)") —
+            # a partition-layout-dependent flake. Merge them away first.
+        ).repartition(num_partitions).join(
+            sh_needed.map_batches(as_side("b"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("b",),
+        )
 
     def verify_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

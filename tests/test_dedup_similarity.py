@@ -500,3 +500,21 @@ def test_simhash_md5_variant_matches_duckdb_hash_kernel():
     for i, text in enumerate(texts):
         assert got[i] == oracle(text), (i, text)
     assert got[0] == got[3] and got[0] != got[2]
+
+
+def test_minhash_attach_join_path_identical(ray_session):
+    """The gated shingle-attach must give identical pairs on both
+    tiers: map-side broadcast (default) and the reduced-table hash
+    joins (forced with attach_byte_limit=0)."""
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bcast = {
+        (r["a"], r["b"]): round(r["jaccard"], 12)
+        for r in minhash_near_dupes(ds, threshold=0.5).take_all()
+    }
+    joined = {
+        (r["a"], r["b"]): round(r["jaccard"], 12)
+        for r in minhash_near_dupes(
+            ds, threshold=0.5, attach_byte_limit=0
+        ).take_all()
+    }
+    assert bcast == joined and len(bcast) > 0
