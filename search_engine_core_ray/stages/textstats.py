@@ -321,32 +321,129 @@ def make_score_familiarity(model_ref):
     return score_familiarity
 
 
-def lm_familiarity(docs_ds):
-    """Two-pass corpus-LM quality score: (1) train — map-side combined
-    trigram partials -> one small groupby(tri) -> driver-collected,
-    vocabulary-bounded model, broadcast once via ray.put; (2) score —
-    vectorized per-batch lookup (sorted-array searchsorted, no Python
-    per-row work).  Returns (doc_id, n_tri, fam_sum, fam_avg)."""
-    import ray
+# trigram model rows the driver may collect and broadcast: ~32 MB of
+# two int64 arrays.  The vocab saturates at charset^3 — a few hundred
+# keys on the synth corpus, a few million on real web text — so the
+# broadcast tier covers real corpora; the guard exists because
+# "a few million" is an expectation, not a bound, on full-unicode web
+# text, and an unguarded take_all of an unbounded key set is a driver
+# OOM at 100 TB.
+VOCAB_BROADCAST_LIMIT = 2_000_000
 
-    # the trigram vocabulary saturates at charset^3 (a few hundred keys
-    # on this corpus, a few million on real web text) — group count is
-    # BOUNDED, so Ray's groupby beats sorted_agg's sort+boundary
-    # overhead here (measured 0.8 s vs 2.1 s at sf0.1); sorted_agg is
-    # for corpus-proportional key spaces like dup_ngram_stats' windows
-    model_tbl = (
-        docs_ds.map_batches(trigram_partial_counts, batch_format="pyarrow")
-        .groupby("tri")
-        .sum("cnt")
-        .take_all()
+
+def doc_trigram_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for the big-vocab scoring pass: per-(doc,
+    trigram) counts (doc_id, tri, cnt) — vectorized, one np.unique
+    over composite keys per batch."""
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    keys, doc_of = _tri_windows(batch.column("text").to_pylist())
+    if len(keys) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "tri": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    df = (
+        pl.DataFrame({"doc_id": ids[doc_of], "tri": keys})
+        .group_by(["doc_id", "tri"])
+        .agg(cnt=pl.len().cast(pl.Int64))
     )
-    tri = np.array([r["tri"] for r in model_tbl], dtype=np.int64)
-    cnt = np.array([r["sum(cnt)"] for r in model_tbl], dtype=np.int64)
-    order = np.argsort(tri)
-    model_ref = ray.put((tri[order], cnt[order]))
-    return docs_ds.map_batches(
-        make_score_familiarity(model_ref), batch_format="pyarrow"
+    return df.to_arrow().cast(
+        pa.schema([("doc_id", pa.int64()), ("tri", pa.int64()), ("cnt", pa.int64())])
     )
+
+
+def lm_familiarity(
+    docs_ds,
+    vocab_broadcast_limit: int = VOCAB_BROADCAST_LIMIT,
+    num_partitions: int = 8,
+):
+    """Two-pass corpus-LM quality score: (1) train — map-side combined
+    trigram partials -> groupby(tri) model; (2) score.  Returns
+    (doc_id, n_tri, fam_sum, fam_avg).
+
+    Cardinality-gated: at or under ``vocab_broadcast_limit`` distinct
+    trigrams the model is driver-collected once, broadcast via
+    ``ray.put``, and scoring is a vectorized per-batch searchsorted
+    lookup (zero exchanges).  Above the limit nothing
+    vocabulary-proportional touches the driver: scoring becomes a
+    distributed hash join of per-(doc, tri) partial counts against the
+    model on ``tri``, re-aggregated per doc through ``sorted_agg``
+    (doc count is corpus-proportional).  Both tiers are integer-exact
+    and conformance-tested identical (tests/test_packing_semdedup_lm.py).
+    """
+    import ray
+    import ray.data
+
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
+
+    model_ds = sorted_agg(
+        docs_ds.map_batches(trigram_partial_counts, batch_format="pyarrow"),
+        "tri",
+        {"c": ("sum", "cnt")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+
+    if model_ds.count() <= vocab_broadcast_limit:
+        model_tbl = model_ds.take_all()
+        tri = np.array([r["tri"] for r in model_tbl], dtype=np.int64)
+        cnt = np.array([r["c"] for r in model_tbl], dtype=np.int64)
+        order = np.argsort(tri)
+        model_ref = ray.put((tri[order], cnt[order]))
+        return docs_ds.map_batches(
+            make_score_familiarity(model_ref), batch_format="pyarrow"
+        )
+
+    # big-vocab tier: (doc, tri, cnt) ⋈ model(tri, c) -> per-doc sums.
+    # Every doc trigram is in the model (trained on the same corpus),
+    # so the inner join loses nothing; zero-trigram docs re-enter via
+    # a unioned (doc_id, 0, 0) row per doc.
+    doc_tri = docs_ds.map_batches(doc_trigram_partial, batch_format="pyarrow")
+    joined = doc_tri.join(
+        model_ds, join_type="inner", num_partitions=num_partitions, on=("tri",)
+    ).repartition(num_partitions)  # merge schema-less empty join blocks
+
+    def contrib(b: pa.Table) -> pa.Table:
+        n = b.column("cnt").to_numpy().astype(np.int64)
+        c = b.column("c").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "cnt": b.column("cnt"),
+                "fam": pa.array(n * c, pa.int64()),
+            }
+        )
+
+    zeros = docs_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "cnt": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "fam": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = sorted_agg(
+        joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
+        "doc_id",
+        {"n_tri": ("sum", "cnt"), "fam_sum": ("sum", "fam")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_tri = b.column("n_tri").to_numpy().astype(np.int64)
+        fam_sum = b.column("fam_sum").to_numpy().astype(np.int64)
+        fam_avg = np.where(n_tri > 0, fam_sum / np.maximum(n_tri, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tri": b.column("n_tri"),
+                "fam_sum": b.column("fam_sum"),
+                "fam_avg": pa.array(fam_avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def rep_signals(batch: pa.Table) -> pa.Table:

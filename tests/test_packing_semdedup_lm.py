@@ -251,3 +251,38 @@ def test_rep_signals_matches_scalar_oracle(ray_session):
         assert out.loc[did, "top2gram_frac"] == want_tgf
     # fixture sanity: both signals fire somewhere
     assert out["dup_line_frac"].max() > 0 and out["top2gram_frac"].max() > 0.5
+
+
+def test_lm_familiarity_big_vocab_tier_identical(ray_session):
+    """The cardinality-gated big-vocab tier (distributed join scoring,
+    forced with vocab_broadcast_limit=0) must be value-identical to
+    the broadcast tier on a synthetic wide-vocab corpus."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    # wide vocab: random unicode-ish codepoints -> thousands of
+    # distinct trigrams over a few docs, plus degenerate docs
+    alphabet = [chr(c) for c in rng.integers(0x61, 0x2FFF, 400)]
+    texts = [
+        "".join(rng.choice(alphabet, rng.integers(3, 300))) for _ in range(40)
+    ] + ["", "ab", "aaaaaa"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    bcast = lm_familiarity(ds).to_pandas().set_index("doc_id").sort_index()
+    big = (
+        lm_familiarity(ds, vocab_broadcast_limit=0)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(bcast.columns) == list(big.columns)
+    assert len(bcast) == len(big) == len(texts)
+    for col in ("n_tri", "fam_sum", "fam_avg"):
+        assert bcast[col].tolist() == big[col].tolist(), col
