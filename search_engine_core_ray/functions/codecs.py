@@ -10,8 +10,12 @@ rather than stubbed:
   and selectable on the encode side so the decoder's filter paths are
   round-trip testable.
 - **WAV** (audio): PCM 16-bit via the stdlib ``wave`` module.
-
-Video stays honestly stubbed (no container parser is feasible here).
+- **Y4M / YUV4MPEG2** (video): plain-text header + uncompressed
+  planar Y'CbCr frames — the one video container that needs no
+  entropy decoder, so frame sampling can be a REAL decode too.
+  C444 (full-res chroma) and the C420 family (2x2-subsampled chroma,
+  mean-downsampled on encode, nearest-upsampled on decode) are
+  supported.
 """
 
 from __future__ import annotations
@@ -181,3 +185,102 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raw = w.readframes(n)
         samples = np.frombuffer(raw, dtype=np.int16).reshape(n, ch)
         return samples, w.getframerate()
+
+
+# ----------------------------------------------------------------------
+# Y4M / YUV4MPEG2 (uncompressed planar video)
+# ----------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    frames: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    chroma: str = "444",
+) -> bytes:
+    """uint8 frames shaped (n, h, w, 3) — planes are Y'CbCr — to a
+    YUV4MPEG2 stream.  ``chroma='444'`` stores full-resolution planes;
+    ``'420jpeg'`` / ``'420'`` 2x2-mean-downsamples Cb/Cr (h and w must
+    be even)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = f.shape
+    sub = chroma.startswith("420")
+    if sub and (h % 2 or w % 2):
+        raise ValueError("C420 needs even width and height")
+    out = io.BytesIO()
+    out.write(
+        b"%s W%d H%d F%d:%d Ip A1:1 C%s\n"
+        % (_Y4M_MAGIC, w, h, fps[0], fps[1], chroma.encode())
+    )
+    for i in range(n):
+        out.write(b"FRAME\n")
+        out.write(f[i, :, :, 0].tobytes())
+        for p in (1, 2):
+            plane = f[i, :, :, p]
+            if sub:
+                plane = (
+                    plane.reshape(h // 2, 2, w // 2, 2)
+                    .mean(axis=(1, 3))
+                    .round()
+                    .astype(np.uint8)
+                )
+            out.write(plane.tobytes())
+    return out.getvalue()
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, dict]:
+    """YUV4MPEG2 bytes -> (uint8 frames (n, h, w, 3) in Y'CbCr, params
+    dict with 'width', 'height', 'fps' (num, den), 'chroma').  C420*
+    chroma is nearest-upsampled back to full resolution."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(_Y4M_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420jpeg"  # the spec default when C is absent
+    for tok in data[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif key == b"C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    sub = chroma.startswith("420")
+    if sub and (h % 2 or w % 2):
+        raise ValueError("C420 stream with odd dimensions")
+    if not sub and not chroma.startswith("444"):
+        raise ValueError(f"unsupported chroma sampling C{chroma}")
+    cw, ch_ = (w // 2, h // 2) if sub else (w, h)
+    ysz, csz = w * h, cw * ch_
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(data):
+            raise ValueError("truncated Y4M frame payload")
+        y = np.frombuffer(data, np.uint8, ysz, pos).reshape(h, w)
+        u = np.frombuffer(data, np.uint8, csz, pos + ysz).reshape(ch_, cw)
+        v = np.frombuffer(data, np.uint8, csz, pos + ysz + csz).reshape(ch_, cw)
+        if sub:
+            u = u.repeat(2, axis=0).repeat(2, axis=1)
+            v = v.repeat(2, axis=0).repeat(2, axis=1)
+        frames.append(np.stack([y, u, v], axis=2))
+        pos += ysz + 2 * csz
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8),
+        {"width": w, "height": h, "fps": fps, "chroma": chroma},
+    )

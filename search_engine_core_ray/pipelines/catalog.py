@@ -1219,15 +1219,18 @@ def q_media_features(sf_dir: str):
     return images.union(audio)
 
 
-@_q("media_frame_samples")  # rows-only
+@_q("media_frame_samples")  # rows-only + golden-file oracle (pytest)
 def q_media_frame_samples(sf_dir: str):
+    """Video payloads -> evenly-sampled frames -> per-frame plane
+    features, via a REAL YUV4MPEG2 decode (functions/codecs.decode_y4m)
+    in an actor-pool stage — no stub on this path."""
     import ray.data
 
     from ..stages.multimodal import SampleFrames, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(48, seed=12)).repartition(4)
-    return ds.map_batches(
-        SampleFrames, fn_constructor_kwargs={"n_frames": 4, "fake": True},
+    return ds.filter(lambda r: r["kind"] == "video").map_batches(
+        SampleFrames, fn_constructor_kwargs={"n_frames": 4},
         batch_format="pyarrow", batch_size=16, concurrency=2,
     )
 

@@ -4,15 +4,18 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages.
 
-Codec status: the container has no PIL/ffmpeg, but PNG and 16-bit PCM
-WAV are decodable with numpy + the standard library, so the image and
-audio stages run a REAL decode by default (``functions/codecs.py`` —
-zlib-inflated, filter-reconstructed PNG scanlines; ``wave``-module
-PCM). The synthetic media table generates real PNG/WAV payloads so the
-full decode path is exercised end to end. Video has no feasible
-stdlib container parser — ``SampleFrames`` emits deterministic frame
-OFFSETS only and its per-frame decode stays stubbed
-(NotImplementedError; ``fake=True`` for the plumbing-only path).
+Codec status: the container has no PIL/ffmpeg, but PNG, 16-bit PCM
+WAV and YUV4MPEG2 (y4m) are decodable with numpy + the standard
+library, so image, audio AND video stages run a REAL decode by default
+(``functions/codecs.py`` — zlib-inflated, filter-reconstructed PNG
+scanlines; ``wave``-module PCM; plain-header uncompressed planar y4m
+frames). The synthetic media table generates real PNG/WAV/Y4M
+payloads so every decode path is exercised end to end.  ``fake=True``
+on each stage keeps the old deterministic plumbing-only stubs.
+Compressed video containers (mp4 etc.) stay out of scope — no stdlib
+entropy decoder exists — but the per-frame sampling, decode and
+feature plumbing below is the real shape a codec actor would slot
+into.
 
 Scale notes: binary payloads are large, so these stages must run with
 small ``batch_size`` (payload_bytes * batch_size * concurrency bounded
@@ -27,7 +30,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.codecs import decode_png, decode_wav, encode_png, encode_wav
+from ..functions.codecs import (
+    decode_png,
+    decode_wav,
+    decode_y4m,
+    encode_png,
+    encode_wav,
+    encode_y4m,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -46,8 +56,10 @@ FEATURE_DIM = 16
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media rows with REAL payloads: gradient+noise RGB
-    PNGs (decodable by DecodeImage) and sine-mix 16-bit WAVs (decodable
-    by DecodeAudio); video payloads are opaque bytes (stub kind)."""
+    PNGs (decodable by DecodeImage), sine-mix 16-bit WAVs (decodable by
+    DecodeAudio) and moving-gradient YUV4MPEG2 clips (decodable by
+    SampleFrames) — alternating C444/C420jpeg chroma so both decoder
+    paths are exercised."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -79,16 +91,33 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             payload = encode_wav(sig, rate)
             width = height = -1
             dur = dur_ms
-        else:  # video: opaque bytes, stub decode
-            payload = rng.bytes(256 + int(rng.randint(0, 1024)))
-            width = int(rng.randint(16, 512))
-            height = int(rng.randint(16, 512))
-            dur = int(rng.randint(1000, 60000))
+        else:  # video: real uncompressed y4m clip
+            w = int(rng.randint(4, 16)) * 2  # even dims for C420
+            h = int(rng.randint(4, 16)) * 2
+            n_frames = int(rng.randint(4, 12))
+            fps = (int(rng.choice([24, 25, 30])), 1)
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = np.zeros((n_frames, h, w, 3), np.uint8)
+            phase = int(rng.randint(0, 255))
+            for fidx in range(n_frames):
+                frames[fidx, :, :, 0] = (
+                    (xx * 4 + yy * 2 + fidx * 17 + phase) % 256
+                ).astype(np.uint8)
+                frames[fidx, :, :, 1] = ((yy * 8 + fidx * 3) % 256).astype(np.uint8)
+                frames[fidx, :, :, 2] = ((xx * 8 + fidx * 5) % 256).astype(np.uint8)
+            frames[:, :, :, 1:] += rng.randint(
+                0, 8, size=(n_frames, h, w, 2), dtype=np.uint8
+            )
+            chroma = "444" if i % 2 else "420jpeg"
+            payload = encode_y4m(frames, fps=fps, chroma=chroma)
+            width, height = w, h
+            dur = n_frames * 1000 * fps[1] // fps[0]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
         rows["mime"].append(
-            {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
+            {"image": "image/png", "audio": "audio/wav",
+             "video": "video/x-yuv4mpeg"}[kind]
         )
         rows["width"].append(width)
         rows["height"].append(height)
@@ -222,32 +251,69 @@ class ResizeImage:
 
 
 class SampleFrames:
-    """Actor-pool stage: video payload -> n deterministic frame offsets
-    (offsets are real; the per-frame DECODE has no stdlib codec and
-    stays stubbed — fake=True for the plumbing-only path)."""
+    """Actor-pool stage: y4m video payload -> n evenly-spaced frames,
+    REALLY decoded (functions/codecs.decode_y4m), each reduced to
+    integer-exact per-frame features: (media_id, frame_idx,
+    frame_offset_ms, y_mean, y_std, u_mean, v_mean).  Plane means are
+    single divisions of exact integer sums, so the output is stable
+    enough for golden-file comparison.  ``fake=True`` keeps the old
+    offsets-only plumbing stub (media_id, frame_offset_ms) computed
+    from the duration metadata without touching the payload."""
 
     def __init__(self, n_frames: int = 4, fake: bool = False):
         self.n = n_frames
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video codec not available in this environment; "
-                "SampleFrames(fake=True) emits the deterministic offsets"
+        if self.fake:
+            ids, offs = [], []
+            for mid, dur in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("duration_ms").to_pylist(),
+            ):
+                dur = max(int(dur), 0)
+                for j in range(self.n):
+                    ids.append(mid)
+                    offs.append(dur * j // max(self.n, 1))
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "frame_offset_ms": pa.array(offs, pa.int32()),
+                }
             )
-        ids, offs = [], []
-        for mid, dur in zip(
+        cols = {
+            "media_id": [], "frame_idx": [], "frame_offset_ms": [],
+            "y_mean": [], "y_std": [], "u_mean": [], "v_mean": [],
+        }
+        for mid, payload in zip(
             batch.column("media_id").to_pylist(),
-            batch.column("duration_ms").to_pylist(),
+            batch.column("payload").to_pylist(),
         ):
-            dur = max(int(dur), 0)
-            for j in range(self.n):
-                ids.append(mid)
-                offs.append(dur * j // max(self.n, 1))
+            frames, meta = decode_y4m(payload)
+            nf = len(frames)
+            if nf == 0:
+                continue
+            num, den = meta["fps"]
+            picks = sorted(
+                {j * (nf - 1) // max(self.n - 1, 1) for j in range(min(self.n, nf))}
+            )
+            for idx in picks:
+                fr = frames[idx].astype(np.float64)
+                cols["media_id"].append(mid)
+                cols["frame_idx"].append(idx)
+                cols["frame_offset_ms"].append(idx * 1000 * den // num)
+                cols["y_mean"].append(float(fr[:, :, 0].mean()))
+                cols["y_std"].append(float(fr[:, :, 0].std()))
+                cols["u_mean"].append(float(fr[:, :, 1].mean()))
+                cols["v_mean"].append(float(fr[:, :, 2].mean()))
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "frame_offset_ms": pa.array(offs, pa.int32()),
+                "media_id": pa.array(cols["media_id"], pa.int64()),
+                "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
+                "frame_offset_ms": pa.array(cols["frame_offset_ms"], pa.int32()),
+                "y_mean": pa.array(cols["y_mean"], pa.float64()),
+                "y_std": pa.array(cols["y_std"], pa.float64()),
+                "u_mean": pa.array(cols["u_mean"], pa.float64()),
+                "v_mean": pa.array(cols["v_mean"], pa.float64()),
             }
         )

@@ -89,3 +89,45 @@ def test_entry_smoke(ray_session):
     out = _to_pandas(entrymod.entry())
     assert len(out) > 0
     assert set(out.columns) == {"query", "rnk", "doc_id", "url", "score"}
+
+
+# golden-file oracles for the two entries whose decode step cannot be
+# expressed in DuckDB (binary PNG/WAV/Y4M payloads): the expected
+# feature tables were generated once from the seeded media table and
+# committed; the diff below is the same rows+schema+values gate the
+# SQL entries get.
+GOLDEN_KEYS = {
+    "media_features": ["media_id"],
+    "media_frame_samples": ["media_id", "frame_idx"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_KEYS))
+def test_media_entries_match_goldens(ray_session, name):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", f"{name}.parquet"
+    )
+    want = pq.read_table(golden_path).to_pandas()
+    got = _to_pandas(entrymod.queries()[name](SF_DIR))
+    got = got[sorted(got.columns)].sort_values(
+        by=GOLDEN_KEYS[name]
+    ).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for col in want.columns:
+        gv, wv = got[col].tolist(), want[col].tolist()
+        for i, (x, y) in enumerate(zip(gv, wv)):
+            if isinstance(x, (list, np.ndarray)):
+                assert np.allclose(
+                    np.asarray(x, np.float64), np.asarray(y, np.float64),
+                    rtol=0, atol=1e-6,
+                ), f"{name}.{col}[{i}]"
+            elif isinstance(x, float):
+                assert x == pytest.approx(y, abs=1e-9), f"{name}.{col}[{i}]"
+            else:
+                assert x == y, f"{name}.{col}[{i}]"

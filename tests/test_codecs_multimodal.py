@@ -10,8 +10,10 @@ import pytest
 from search_engine_core_ray.functions.codecs import (
     decode_png,
     decode_wav,
+    decode_y4m,
     encode_png,
     encode_wav,
+    encode_y4m,
 )
 from search_engine_core_ray.stages.multimodal import (
     DecodeAudio,
@@ -117,14 +119,70 @@ def test_synth_media_payloads_really_decode():
         elif kind == "audio":
             s, rate = decode_wav(payload)
             assert rate == 8000 and len(s) > 0
+        else:
+            frames, meta = decode_y4m(payload)
+            assert frames.ndim == 4 and frames.shape[3] == 3
+            assert meta["width"] == frames.shape[2]
 
 
-def test_video_decode_stays_stubbed():
+def test_y4m_roundtrip_c444_exact_and_c420_luma_exact():
+    rng = np.random.RandomState(3)
+    f = rng.randint(0, 256, (5, 16, 20, 3), dtype=np.uint8)
+    dec, meta = decode_y4m(encode_y4m(f, fps=(30, 1), chroma="444"))
+    assert (dec == f).all() and meta["fps"] == (30, 1)
+    dec2, meta2 = decode_y4m(encode_y4m(f, chroma="420jpeg"))
+    assert (dec2[:, :, :, 0] == f[:, :, :, 0]).all()  # luma lossless
+    assert dec2.shape == f.shape and meta2["chroma"] == "420jpeg"
+    # 2x2-mean chroma survives within rounding of the downsample
+    u = f[:, :, :, 1].reshape(5, 8, 2, 10, 2).mean(axis=(2, 4))
+    got_u = dec2[:, ::2, ::2, 1].astype(np.float64)
+    assert np.abs(got_u - u).max() <= 0.5
+
+
+def test_y4m_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a stream")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\x00" * 7)  # truncated
+
+
+def test_video_frames_really_decode():
+    t = synth_media_table(6, seed=2)
+    vids = t.filter(pa.compute.equal(t.column("kind"), "video"))
+    out = SampleFrames(n_frames=3)(vids)
+    assert out.num_rows > 0
+    assert set(out.column("media_id").to_pylist()) == set(
+        vids.column("media_id").to_pylist()
+    )
+    # features match a direct decode of the first clip's first frame
+    payload = vids.column("payload")[0].as_py()
+    frames, _ = decode_y4m(payload)
+    first = out.filter(
+        pa.compute.and_(
+            pa.compute.equal(out.column("media_id"), vids.column("media_id")[0]),
+            pa.compute.equal(out.column("frame_idx"), 0),
+        )
+    )
+    assert first.num_rows == 1
+    assert first.column("y_mean")[0].as_py() == float(
+        frames[0, :, :, 0].astype(np.float64).mean()
+    )
+    # offsets increase with frame index
+    offs = out.column("frame_offset_ms").to_pylist()
+    idxs = out.column("frame_idx").to_pylist()
+    assert all(
+        o2 >= o1
+        for (i1, o1), (i2, o2) in zip(
+            sorted(zip(idxs, offs)), sorted(zip(idxs, offs))[1:]
+        )
+    )
+
+
+def test_video_fake_path_offsets_only():
     t = synth_media_table(3, seed=2)
-    with pytest.raises(NotImplementedError):
-        SampleFrames()(t)
     out = SampleFrames(n_frames=2, fake=True)(t)
     assert out.num_rows == 6
+    assert out.schema.names == ["media_id", "frame_offset_ms"]
 
 
 def test_fake_paths_still_work():
