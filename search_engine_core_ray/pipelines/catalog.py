@@ -199,7 +199,10 @@ def q_bm25_topk(sf_dir: str):
         p = p.filter(mask)
         return _attach_lens(p, b, [("text", "doc_len")])
 
-    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
+    # materialize the NARROW query-term tf table: it feeds BOTH the df
+    # pass and the score pass, and an unmaterialized Dataset would
+    # re-run the tokenizer over every document per consumer
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
 
     # tiny aggregates in ONE pass: N and total byte length
     def stat_partial(t: pa.Table) -> pa.Table:
@@ -324,7 +327,8 @@ def q_bm25_fielded_topk(sf_dir: str):
             p, b, [("title", "lt"), ("text", "lc"), ("meta_description", "ld")]
         )
 
-    tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow")
+    # materialized: consumed by both the df pass and the score pass
+    tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
 
     # one-pass global stats over the derived fields
     def stat_partial(b: pa.Table) -> pa.Table:
@@ -469,7 +473,8 @@ def q_tfidf_fielded_topk(sf_dir: str):
             p, b, [("title", "lt"), ("text", "lc"), ("meta_description", "ld")]
         )
 
-    tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow")
+    # materialized: consumed by both the df pass and the score pass
+    tf_ds = fields_ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
 
     n = 0
     for b in fields_ds.map_batches(
