@@ -483,10 +483,12 @@ def lsh_bucket_ann(
 
 def semdedup(
     embeddings_ds,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     threshold: float = 0.85,
     centroid_ids: list[int] | None = None,
     round_digits: int | None = 4,
+    kmeans: bool = False,
+    sample_size: int = 2048,
 ):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster the embedding space, then inside each cluster
@@ -494,12 +496,16 @@ def semdedup(
     cosine >= threshold — transitive suppression, not the kept-only
     greedy variant: in a chain a~b~c (a!~c) this drops both b and c.
 
-    Deterministic, SQL-checkable configuration: the centroids are the
-    embeddings of ``centroid_ids`` (default vec_id 0..n_clusters-1) and
-    assignment is a single max-cosine pass (ties -> lowest centroid
-    index) — no k-means iterations, so DuckDB can replay the whole
-    pipeline.  The production path can swap in the seeded k-means from
-    ``ivf_ann`` (same assignment kernel); the dedup rule is unchanged.
+    Deterministic, SQL-checkable configuration (default): the
+    centroids are the embeddings of ``centroid_ids`` (default vec_id
+    0..n_clusters-1) and assignment is a single max-cosine pass (ties
+    -> lowest centroid index) — no k-means iterations, so DuckDB can
+    replay the whole pipeline.  Production configuration
+    (``kmeans=True``): centroids come from the same seeded Lloyd
+    k-means ``ivf_ann`` uses (bounded driver-side sample, broadcast
+    once), with ``n_clusters=None`` applying the paper's practical
+    sqrt(N) sizing rule so clusters stay worker-sized as the corpus
+    grows; the dedup rule is identical in both configurations.
 
     Keep rule (low-id-wins, transitive suppression): vector v is
     DROPPED iff some u<v in the same cluster has cos(u, v) >=
@@ -520,10 +526,24 @@ def semdedup(
     """
     import ray
 
-    cids = list(centroid_ids) if centroid_ids is not None else list(range(n_clusters))
-    cmat, got = _collect_query_vectors(embeddings_ds, cids)
-    if list(got) != sorted(cids):
-        raise ValueError(f"centroid ids {sorted(cids)} not all present (got {got})")
+    if kmeans:
+        if n_clusters is None:  # sqrt(N) rule: clusters stay worker-sized
+            n_clusters = max(1, int(np.sqrt(embeddings_ds.count())))
+        sample_rows = embeddings_ds.limit(sample_size).take_all()
+        sample = np.asarray(
+            [r["embedding"] for r in sample_rows], dtype=np.float64
+        )
+        cmat = _kmeans(sample, n_clusters)
+    else:
+        cids = (
+            list(centroid_ids) if centroid_ids is not None
+            else list(range(n_clusters))
+        )
+        cmat, got = _collect_query_vectors(embeddings_ds, cids)
+        if list(got) != sorted(cids):
+            raise ValueError(
+                f"centroid ids {sorted(cids)} not all present (got {got})"
+            )
     cn = np.linalg.norm(cmat, axis=1, keepdims=True)
     cn[cn == 0] = 1.0
     cref = ray.put(cmat / cn)

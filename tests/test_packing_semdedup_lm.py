@@ -286,3 +286,32 @@ def test_lm_familiarity_big_vocab_tier_identical(ray_session):
     assert len(bcast) == len(big) == len(texts)
     for col in ("n_tri", "fam_sum", "fam_avg"):
         assert bcast[col].tolist() == big[col].tolist(), col
+
+
+def test_semdedup_kmeans_production_path(ray_session):
+    """kmeans=True (seeded Lloyd centroids, sqrt(N) sizing) is the
+    production configuration; the det path (centroids = low vec_ids)
+    exists for the SQL gate. Same dedup rule, so keep-rates on the
+    synth corpus must be close, every row accounted for, and the
+    lowest vec_id of every cluster always kept."""
+    import ray.data
+
+    from search_engine_core_ray.functions.similarity import semdedup
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = ds.count()
+
+    det = semdedup(ds, n_clusters=8, threshold=0.4).to_pandas()
+    km = semdedup(ds, n_clusters=None, threshold=0.4, kmeans=True).to_pandas()
+
+    assert len(det) == len(km) == n
+    assert int(np.sqrt(n)) >= km["cluster_id"].nunique() > 1
+    low = km.loc[km.groupby("cluster_id")["vec_id"].idxmin()]
+    assert (low["kept"] == 1).all()
+    # same rule, different partitions: keep-rates must be in the same
+    # band (clustering only changes which pairs are co-clustered;
+    # finer clusters can only keep MORE)
+    det_rate = det["kept"].mean()
+    km_rate = km["kept"].mean()
+    assert km_rate >= det_rate - 0.02
+    assert abs(km_rate - det_rate) < 0.15, (det_rate, km_rate)
