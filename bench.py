@@ -97,7 +97,7 @@ def ensure_pages_parquet(n: int = None) -> str:
     return pages_dir
 
 
-def run_build_synth(tag: str, n: int = None) -> dict:
+def run_build_synth(tag: str, n: int = None, bucket_bits: int = 3) -> dict:
     import ray.data
 
     from search_engine_core_ray.index.build import build_index
@@ -111,7 +111,8 @@ def run_build_synth(tag: str, n: int = None) -> dict:
     import glob as _glob
 
     result = build_index(
-        pages, idx, lineage=f"bench-synth-{n}", num_shards=32, bucket_bits=3,
+        pages, idx, lineage=f"bench-synth-{n}", num_shards=32,
+        bucket_bits=bucket_bits,
         # small extract batches -> ~4x num_cpus tasks (packing); encode
         # batches sized so the sort barrier gets enough tasks to pack
         batch_size=512, encode_batch_size=1024,
@@ -242,6 +243,31 @@ def main() -> None:
         queries["dist_topk"] = round(time.monotonic() - t0, 3)
     finally:
         dist.shutdown()
+
+    # same scatter-gather at 2^4 buckets over the 100k-page corpus —
+    # the 10^12-doc sharding shape with a measured per-actor memory
+    # number: each of the 16 actors holds 1/16 of the index, so the
+    # claim "bucket_bits sizes per-node memory" carries data
+    d16 = run_build_synth("dist16", bucket_bits=4)
+    queries["build_dist16_idx"] = round(d16["seconds"], 3)
+    dist16 = DistributedSearch(d16["index_dir"])
+    try:
+        dist16.search("dup", limit=10)  # warm all 16 actors, untimed
+        lat16 = []
+        t0 = time.monotonic()
+        for _ in range(10):
+            for q in ["dup", "vector", "dup vector", "dup OR vector"]:
+                t1 = time.monotonic()
+                dist16.topk(q, k=10)
+                lat16.append((time.monotonic() - t1) * 1000)
+        queries["dist_topk16"] = round(time.monotonic() - t0, 3)
+        extras["dist16_p50_ms"] = round(float(np.percentile(lat16, 50)), 3)
+        extras["dist16_p99_ms"] = round(float(np.percentile(lat16, 99)), 3)
+        rss = dist16.actor_rss_mb()
+        extras["dist16_actor_rss_mb_max"] = round(max(rss), 1)
+        extras["dist16_actor_rss_mb_mean"] = round(sum(rss) / len(rss), 1)
+    finally:
+        dist16.shutdown()
 
     # representative catalog operators at SF_DIR
     for name in [

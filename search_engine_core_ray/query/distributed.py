@@ -79,6 +79,14 @@ class _BucketActor:
             highlight_terms=highlight_terms,
         )
 
+    def rss_mb(self) -> float:
+        """Peak RSS of this bucket's dedicated process, MB — the
+        per-actor memory number the 10^12-doc sharding claim needs
+        (each bucket actor holds 1/2^bucket_bits of the index)."""
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
 
 class DistributedSearch:
     """Coordinator over one bucket actor per docID range."""
@@ -238,6 +246,11 @@ class DistributedSearch:
         merged = [item for p in parts for item in p]
         merged.sort(key=lambda t: (-t[1], t[0]))
         return merged[:k]
+
+    def actor_rss_mb(self) -> list[float]:
+        """Peak RSS per bucket actor, MB (one dedicated process per
+        docID-range bucket)."""
+        return ray.get([a.rss_mb.remote() for a in self.actors])
 
     def shutdown(self) -> None:
         for a in self.actors:

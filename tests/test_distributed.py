@@ -174,3 +174,11 @@ def test_bucket_engine_prunes_docstore_read(built):
         assert 0 < len(eng.doc_ids) < n_total
         seen += len(eng.doc_ids)
     assert seen == n_total
+
+
+def test_actor_rss_probe(built, dist):
+    """Every bucket actor reports a positive, plausible peak RSS —
+    the per-actor memory number the bench's 16-bucket line records."""
+    rss = dist.actor_rss_mb()
+    assert len(rss) == dist.n_buckets
+    assert all(10.0 < r < 16_384.0 for r in rss)
