@@ -95,3 +95,31 @@ def test_gated_lookup_modes(ray_session):
 def test_limit_is_scale_sane():
     # the gate exists to bound driver/worker heap: a few MB of int64
     assert 100_000 <= BROADCAST_ROW_LIMIT <= 50_000_000
+
+
+def test_gated_lookup_string_keys_and_missing(ray_session):
+    """String-keyed lookup side with missing left keys: the broadcast
+    tier must leave misses joinable (null -> caller default), matching
+    what mktsegment_revenue's UNKNOWN fill relies on."""
+    import polars as pl
+    import ray
+    import ray.data
+
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b"], pa.string()),
+                "v": pa.array(["x", "y"], pa.string()),
+            }
+        )
+    )
+    mode, side = gated_lookup(right, "k", ["v"])
+    assert mode == "broadcast"
+    dim = pl.from_arrow(ray.get(side))
+    left = pl.DataFrame({"k": ["a", "c", "b"]})
+    out = (
+        left.join(dim, on="k", how="left")
+        .with_columns(pl.col("v").fill_null("UNKNOWN"))
+        .sort("k")
+    )
+    assert out["v"].to_list() == ["x", "y", "UNKNOWN"]
