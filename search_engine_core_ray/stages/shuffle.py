@@ -129,7 +129,10 @@ def sorted_agg(
         _AGGS[agg][1](out).alias(out) for out, (agg, _c) in aggs.items()
     ]
 
-    srt = ds.sort(keys).materialize()
+    # no materialize: the sort output streams into its single consumer
+    # (block_agg); only the PARTIALS — the groups-sized table consumed
+    # twice (interior filter + edge take_all) — need pinning below
+    srt = ds.sort(keys)
 
     def block_agg(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
