@@ -2282,6 +2282,41 @@ def q_lm_familiarity(sf_dir: str):
     return ts.lm_familiarity(_docs(sf_dir))
 
 
+@_q(
+    "familiarity_buckets",
+    """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+      FROM documents),
+    tri AS (SELECT doc_id, substr(text, i::INT, 3) AS g FROM pos),
+    model AS (SELECT g, count(*)::BIGINT AS c FROM tri GROUP BY 1),
+    scored AS (
+      SELECT tri.doc_id, count(*)::BIGINT AS n_tri, sum(model.c)::BIGINT AS fam_sum
+      FROM tri JOIN model USING (g) GROUP BY 1),
+    fam AS (
+      SELECT d.doc_id,
+             CASE WHEN COALESCE(s.n_tri, 0) > 0
+                  THEN CAST(s.fam_sum AS DOUBLE) / s.n_tri ELSE 0.0 END AS fam_avg
+      FROM documents d LEFT JOIN scored s USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, fam_avg,
+             ntile(3) OVER (ORDER BY fam_avg DESC, doc_id) AS bucket
+      FROM fam)
+    SELECT doc_id, fam_avg, bucket::BIGINT AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS label
+    FROM ranked
+    """,
+)
+def q_familiarity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020 §4.3):
+    NTILE(3) over the corpus ranked by LM familiarity (fam_avg DESC,
+    doc_id tiebreak). Exact global ranks via the distributed prefix
+    scan (sorted blocks + O(blocks) driver rows) — the narrow 16 B/row
+    rank table is the only exchange beyond lm_familiarity itself."""
+    return ts.familiarity_buckets(_docs(sf_dir), n_buckets=3)
+
+
 _REP_INJ_SQL = (
     "CASE WHEN doc_id % 2 = 0 THEN text || chr(10) || 'repeat line' "
     "|| chr(10) || '  repeat line' ELSE text END"

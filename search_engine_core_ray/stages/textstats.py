@@ -533,3 +533,98 @@ def rep_signals(batch: pa.Table) -> pa.Table:
             ]
         )
     )
+
+
+def familiarity_buckets(docs_ds, n_buckets: int = 3):
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020
+    §4.3, public method): rank every doc by corpus-LM familiarity
+    (``lm_familiarity``'s fam_avg, the in-domain analog of CCNet's
+    target-LM perplexity), most-familiar first (fam_avg DESC, doc_id
+    tiebreak), and NTILE the ranking into ``n_buckets`` equal-count
+    groups — bucket 1 = "head" (cleanest), last = "tail".  Returns
+    (doc_id, fam_avg, bucket, label).
+
+    Distribution (100-TB note): only the NARROW (doc_id, fam_avg)
+    table — 16 B/row — rides the rank exchange.  Exact global ranks
+    come from the same two-pass distributed prefix scan sequence
+    packing uses: sort + materialize pins rank-disjoint sorted blocks,
+    ONE row per block reaches the driver (block first-key + count),
+    the exclusive block-prefix broadcasts back via ``ray.put``, and a
+    second whole-block map adds the within-block arange — no
+    corpus-proportional driver collect anywhere.  fam_avg is a single
+    division of exact int64s, so the ordering (and therefore the
+    NTILE) is bit-identical to the SQL oracle's.
+    """
+    import ray
+
+    fam = lm_familiarity(docs_ds)
+    narrow = fam.map_batches(
+        lambda b: b.select(["doc_id", "fam_avg"]), batch_format="pyarrow"
+    )
+    srt = narrow.sort(["fam_avg", "doc_id"], descending=[True, False]).materialize()
+
+    def block_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"first_fam": pa.array([], pa.float64()),
+                 "first_doc": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_fam": pa.array(
+                    [b.column("fam_avg")[0].as_py()], pa.float64()
+                ),
+                "first_doc": pa.array([b.column("doc_id")[0].as_py()], pa.int64()),
+                "cnt": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = srt.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # O(blocks) rows, by design
+    parts.sort(key=lambda r: (-r["first_fam"], r["first_doc"]))
+    n_total = sum(int(p["cnt"]) for p in parts)
+    base: dict[tuple, int] = {}
+    acc = 0
+    for p in parts:
+        base[(float(p["first_fam"]), int(p["first_doc"]))] = acc
+        acc += int(p["cnt"])
+    # DuckDB NTILE sizes: first (N % k) tiles get one extra row
+    q, r = divmod(n_total, n_buckets)
+    cum = np.cumsum([q + (1 if i < r else 0) for i in range(n_buckets)])
+    labels3 = {1: "head", 2: "middle", 3: "tail"}
+    ref = ray.put((base, cum))
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "fam_avg": pa.array([], pa.float64()),
+                 "bucket": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.string())}
+            )
+        base_map, cum_b = ray.get(ref)
+        key = (
+            float(b.column("fam_avg")[0].as_py()),
+            int(b.column("doc_id")[0].as_py()),
+        )
+        ranks = base_map[key] + np.arange(b.num_rows, dtype=np.int64)
+        bucket = np.searchsorted(cum_b, ranks, side="right") + 1
+        if n_buckets == 3:
+            lab = [labels3[int(x)] for x in bucket]
+        else:
+            lab = [f"q{int(x)}" for x in bucket]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "fam_avg": b.column("fam_avg"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "label": pa.array(lab, pa.string()),
+            }
+        )
+
+    out = srt.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    # merge the sort's schema-less empty range partitions (they bypass
+    # the map UDFs above and would surface in the output)
+    return out.repartition(max(1, min(srt.num_blocks(), 16)))
