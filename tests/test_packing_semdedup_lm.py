@@ -315,3 +315,30 @@ def test_semdedup_kmeans_production_path(ray_session):
     km_rate = km["kept"].mean()
     assert km_rate >= det_rate - 0.02
     assert abs(km_rate - det_rate) < 0.15, (det_rate, km_rate)
+
+
+def test_familiarity_buckets_properties(ray_session):
+    """Distributed NTILE sanity independent of the SQL oracle: sizes
+    differ by at most 1, every doc appears once, and bucket boundaries
+    respect the (fam_avg DESC, doc_id ASC) order."""
+    import ray.data
+
+    from search_engine_core_ray.stages.textstats import familiarity_buckets
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(5)
+    out = familiarity_buckets(ds, n_buckets=3).to_pandas()
+    n = len(out)
+    assert out["doc_id"].nunique() == n
+    sizes = out.groupby("bucket").size()
+    assert sorted(sizes.index) == [1, 2, 3]
+    assert sizes.max() - sizes.min() <= 1
+    srt = out.sort_values(["fam_avg", "doc_id"], ascending=[False, True])
+    assert srt["bucket"].is_monotonic_increasing
+    assert set(out["label"]) == {"head", "middle", "tail"}
+    # head really is the most familiar tercile
+    assert (
+        out[out["label"] == "head"]["fam_avg"].min()
+        >= out[out["label"] == "tail"]["fam_avg"].max()
+    )
