@@ -139,3 +139,62 @@ def gated_lookup(
         )
         return "broadcast", ray.put(tbl.combine_chunks())
     return "dataset", right
+
+
+def gated_left_join(
+    left,
+    on: str,
+    right,
+    right_on: str,
+    value_cols: list[str],
+    *,
+    num_partitions: int = 8,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    byte_limit: int | None = None,
+):
+    """LEFT OUTER join ``left`` with ``right[[right_on] + value_cols]``
+    under the same counting discipline as :func:`gated_lookup`: a right
+    side under the limits is broadcast once (``ray.put``) and probed
+    with a per-batch polars left join (zero exchanges); above them the
+    work routes to Ray's distributed ``left_outer`` hash join, followed
+    by the schema-merging repartition the other join helpers apply
+    (Acero emits schema-less blocks for empty hash partitions).
+
+    Missing right rows yield nulls in ``value_cols`` — callers fill.
+    """
+    import polars as pl
+
+    import ray
+
+    narrowed = right.map_batches(
+        lambda b, _c=[right_on] + list(value_cols): b.select(_c),
+        batch_format="pyarrow",
+    )
+    mode, side = gated_lookup(
+        narrowed, right_on, list(value_cols),
+        broadcast_limit=broadcast_limit, byte_limit=byte_limit,
+    )
+    if mode == "broadcast":
+
+        def attach(b: pa.Table) -> pa.Table:
+            from ..stages.shuffle import _unlarge
+
+            lut = pl.from_arrow(ray.get(side))
+            if right_on != on:
+                lut = lut.rename({right_on: on})
+            return _unlarge(pl.from_arrow(b).join(lut, on=on, how="left").to_arrow())
+
+        return left.map_batches(attach, batch_format="pyarrow")
+
+    if right_on == on:
+        rds = side
+    else:
+        rds = side.map_batches(
+            lambda b, _f=right_on, _t=on: b.rename_columns(
+                [_t if c == _f else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return left.join(
+        rds, join_type="left_outer", num_partitions=num_partitions, on=(on,)
+    ).repartition(num_partitions)

@@ -2546,4 +2546,136 @@ def q_prepare_training_data(sf_dir: str):
     return pack_sequences(sdocs, seq_len=SEQ_LEN)
 
 
+# ======================================================================
+# link graph: edge extraction, degree stats, fixed-point PageRank
+# (ContentParser::extractLinks -> URLFrontier feedback loop as a batch
+# job; SiteProfile.inboundLinkCount,
+# include/search_engine/storage/SiteProfile.h:65)
+# ======================================================================
+
+# The linked-pages fixture's edge rule (sources/pages.py:
+# link_targets_for_doc) re-expressed in SQL.  The Ray side gets edges
+# the REAL way — HTML parse, href resolution, frontier normalization —
+# and the oracle regenerates what those edges must be algebraically.
+_LINK_EDGE_CTES = """
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    tgt AS (
+      SELECT d.doc_id AS src, d.source AS src_source,
+             (d.doc_id * 2654435761 + 97 * g.j) % (SELECT n FROM nd) AS t
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 4)) AS j) g
+      WHERE d.doc_id % 7 <> 0),
+    e AS (
+      SELECT 'https://' || src_source || '.example.com/doc/' || src AS src_url,
+             'https://' || src_source || '.example.com/doc/' || t   AS dst_url
+      FROM tgt WHERE t <> src)
+"""
+
+PR_ITERATIONS = 10
+
+
+def _pagerank_sql(iterations: int = PR_ITERATIONS, scale: int = 10**12,
+                  damp_num: int = 85, damp_den: int = 100) -> str:
+    """Programmatically unrolled fixed-point PageRank oracle: chained
+    (non-recursive) CTEs, one trio per iteration — dangling mass d{k},
+    contribution flow c{k}, next rank vector it{k} — in pure BIGINT
+    arithmetic, bit-identical to stages/linkgraph.py by construction.
+
+    Every CTE is MATERIALIZED: without it DuckDB re-expands each
+    reference inline, and since it{{k}} references it{{k-1}} twice (via
+    d{{k}} and c{{k}}) the plan would blow up 2^iterations."""
+    edge_ctes = _LINK_EDGE_CTES.strip().replace(" AS (", " AS MATERIALIZED (")
+    parts = [
+        "WITH " + edge_ctes + ",",
+        f"""
+    nodes AS MATERIALIZED (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url
+      FROM documents
+      UNION SELECT DISTINCT dst_url FROM e),
+    cnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM nodes),
+    outd AS MATERIALIZED (
+      SELECT src_url AS url, count(*)::BIGINT AS od FROM e GROUP BY 1),
+    it0 AS MATERIALIZED (
+      SELECT url, (SELECT {scale} // nn FROM cnt) AS r FROM nodes)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+    d{k} AS MATERIALIZED (
+             SELECT (SELECT COALESCE(SUM(p.r), 0)::BIGINT
+                     FROM it{k - 1} p LEFT JOIN outd o USING (url)
+                     WHERE o.od IS NULL) AS dm),
+    c{k} AS MATERIALIZED (
+             SELECT e.dst_url AS url, SUM(p.r // o.od)::BIGINT AS s
+             FROM e JOIN it{k - 1} p ON e.src_url = p.url
+                    JOIN outd o ON e.src_url = o.url
+             GROUP BY 1),
+    it{k} AS MATERIALIZED (
+      SELECT n.url,
+             (SELECT ({damp_den - damp_num} * {scale}) // ({damp_den} * nn)
+              FROM cnt)
+             + ({damp_num} * (COALESCE(c.s, 0)
+                + (SELECT (SELECT dm FROM d{k}) // nn FROM cnt))) // {damp_den}
+               AS r
+      FROM nodes n LEFT JOIN c{k} c USING (url))""")
+    parts.append(
+        f"""
+    SELECT url, r::BIGINT AS rank_scaled, r / {scale}.0 AS pagerank
+    FROM it{iterations}"""
+    )
+    return "".join(parts)
+
+
+@_q(
+    "link_edges",
+    f"WITH {_LINK_EDGE_CTES.strip()} SELECT src_url, dst_url FROM e",
+)
+def q_link_edges(sf_dir: str):
+    """Link-graph edge list the crawler way: HTML parse -> <a href>
+    resolution (ContentParser.cpp:69-90) -> frontier canonicalization
+    (URLFrontier.cpp:398-432); the oracle regenerates the fixture's
+    deterministic link rule algebraically."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import pages_to_edges
+
+    return pages_to_edges(read_documents_as_linked_pages(sf_dir))
+
+
+@_q(
+    "link_stats",
+    f"""
+    WITH {_LINK_EDGE_CTES.strip()},
+    pages AS (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url
+      FROM documents),
+    outd AS (SELECT src_url AS url, count(*)::BIGINT AS od FROM e GROUP BY 1),
+    ind  AS (SELECT dst_url AS url, count(*)::BIGINT AS i FROM e GROUP BY 1)
+    SELECT p.url,
+           COALESCE(o.od, 0)::BIGINT AS out_degree,
+           COALESCE(i.i, 0)::BIGINT AS in_degree
+    FROM pages p LEFT JOIN outd o USING (url) LEFT JOIN ind i USING (url)
+    """,
+)
+def q_link_stats(sf_dir: str):
+    """Per-page out/in-degree (SiteProfile.inboundLinkCount semantics):
+    out-degree map-side from the page's own parsed links; in-degree one
+    corpus-proportional-key count (sorted_agg) + a gated left join."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import link_stats
+
+    return link_stats(read_documents_as_linked_pages(sf_dir))
+
+
+@_q("pagerank", _pagerank_sql())
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (10 iterations, d=0.85) over pages
+    ∪ link targets, links to never-crawled URLs as dangling nodes —
+    the corpus-quality authority signal a training-data pipeline ranks
+    sources by.  Bit-exact vs the SQL oracle (pure int64 arithmetic;
+    pagerank column is one exact integer division)."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import pagerank
+
+    return pagerank(read_documents_as_linked_pages(sf_dir))
+
+
 QUERIES["build_and_search"] = flagship

@@ -110,3 +110,104 @@ def read_documents_as_pages(sf_dir: str, min_blocks: int = 8) -> "ray.data.Datas
         override_num_blocks=min_blocks,
     )
     return ds.map_batches(documents_to_pages, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# Linked pages: the same deterministic wrapper plus an intra-corpus
+# link structure, for the link-graph operators (link_edges / link_stats
+# / pagerank).  Kept separate from ``documents_to_pages`` so the
+# byte-identical extraction oracle (extract_text) is untouched.
+# ----------------------------------------------------------------------
+
+# Knuth multiplicative constant — same one _category_for uses; public
+# folklore, not a reference-derived value.
+_LINK_MULT = 2654435761
+
+
+def link_targets_for_doc(doc_id: int, n_docs: int) -> list[int]:
+    """Deterministic fixture link rule, SQL-reproducible in one line:
+    doc ``i`` is DANGLING (no outlinks) when ``i % 7 == 0``; otherwise
+    it has ``1 + i % 4`` link slots, slot ``j`` (1-based) targeting
+    ``(i*2654435761 + 97*j) % n_docs`` with self-targets skipped.
+    Targets live on the SOURCE page's own domain (site-internal links),
+    so the resolved URL needs no information about the target row —
+    and URLs that exist only as link targets become natural dangling
+    nodes of the graph."""
+    if doc_id % 7 == 0:
+        return []
+    out = []
+    for j in range(1, 2 + doc_id % 4):
+        t = (doc_id * _LINK_MULT + 97 * j) % n_docs
+        if t != doc_id:
+            out.append(t)
+    return out
+
+
+def link_hrefs_for_doc(doc_id: int, source: str, n_docs: int) -> list[tuple[str, str]]:
+    """(href_as_written, canonical_dst_url) pairs for one doc.  The
+    href form cycles through the reference's four resolvable shapes —
+    absolute, proto-relative, path-absolute, absolute+#fragment
+    (ContentParser::normalizeUrl, src/crawler/ContentParser.cpp:209-243)
+    — all of which normalize_link + normalize_url collapse onto the
+    canonical ``https://{source}.example.com/doc/{t}``."""
+    pairs = []
+    for j, t in enumerate(link_targets_for_doc(doc_id, n_docs), start=1):
+        canon = f"https://{source}.example.com/doc/{t}"
+        kind = (doc_id + j) % 4
+        if kind == 0:
+            href = canon
+        elif kind == 1:
+            href = f"//{source}.example.com/doc/{t}"
+        elif kind == 2:
+            href = f"/doc/{t}"
+        else:
+            href = f"{canon}#ref{j}"
+        pairs.append((href, canon))
+    return pairs
+
+
+def documents_to_linked_pages(batch: pa.Table, n_docs: int) -> pa.Table:
+    """map_batches kernel: documents rows -> pages rows whose HTML body
+    carries the deterministic ``<a href>`` structure above (anchor text
+    ``Doc {t}``)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls, htmls, ts = [], [], []
+    for did, src, txt in zip(doc_ids, sources, texts):
+        f = page_fields_for_doc(did, src, txt or "")
+        html = f["html"].decode("utf-8")
+        anchors = "".join(
+            f'<div><a href="{href}">Doc {dst.rsplit("/", 1)[1]}</a></div>'
+            for href, dst in link_hrefs_for_doc(did, src, n_docs)
+        )
+        html = html.replace("</body></html>", anchors + "</body></html>")
+        urls.append(f["url"])
+        htmls.append(html.encode("utf-8"))
+        ts.append(_BASE_TS_US + int(did))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def read_documents_as_linked_pages(sf_dir: str, min_blocks: int = 8):
+    """documents.parquet -> linked pages Dataset.  The one scalar the
+    kernel needs is the corpus doc count (the link rule's modulus) —
+    an O(1) driver aggregate, computed before the streaming job."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=min_blocks,
+    )
+    return ds.map_batches(
+        lambda b: documents_to_linked_pages(b, n_docs), batch_format="pyarrow"
+    )

@@ -1,0 +1,380 @@
+"""Link-graph operators: edge extraction, degree statistics, PageRank.
+
+The reference crawler extracts every ``<a href>`` from each fetched
+page (ContentParser::extractLinks, src/crawler/ContentParser.cpp:69-90,
+169-186), normalizes it (ContentParser::normalizeUrl :209-243, then
+URLFrontier::normalizeURL, src/crawler/URLFrontier.cpp:398-432) and
+feeds it back into the frontier; the stored SiteProfile carries an
+``inboundLinkCount`` backlink field
+(include/search_engine/storage/SiteProfile.h:65).  This module is the
+batch analogue of that loop over a static corpus:
+
+- :func:`pages_to_edges` — pages(url, html) -> (src_url, dst_url)
+  edge list, one row per extracted link, both endpoints in canonical
+  (frontier-normalized) URL space.
+- :func:`link_stats` — per PAGE out-degree / in-degree
+  (= SiteProfile.inboundLinkCount).
+- :func:`pagerank` — damped power iteration over the full node set
+  (pages ∪ link targets).  Links to never-crawled URLs are first-class
+  dangling nodes, exactly as a frontier sees them.
+
+PageRank is computed in FIXED-POINT integer arithmetic: ranks are
+int64 scaled by ``scale`` (default 10^12) and every step uses integer
+floor division, so the result is bit-identical across engines (numpy,
+Ray aggregate, DuckDB BIGINT) — no float summation-order hazard.  With
+damping d = damp_num/damp_den and N nodes the update is
+
+    r'[v] = ((damp_den-damp_num)*scale) // (damp_den*N)
+            + (damp_num * (contrib[v] + D // N)) // damp_den
+    contrib[v] = sum over edges (u,v) of  r[u] // out_degree[u]
+    D          = sum of r[u] over dangling u  (out_degree 0)
+
+All quantities stay positive, so floor == truncation in every engine;
+the result is within one part in ~scale of float PageRank.
+
+100-TB design: edges are a narrow exchange (two int64 ids after
+hashing urls through ``doc_id_for_url``); the degree aggregations are
+corpus-proportional-key reductions and run through ``sorted_agg``;
+the iteration state (one int64 per node) lives in a Dataset, with each
+step one hash join (edges ⋈ ranks, partitioned on src) + one sorted
+aggregate (contributions per dst) + one gated left join back onto the
+static node table.  Below ``broadcast_limit`` total graph rows the
+whole solve runs vectorized on collected numpy arrays instead
+(threshold-gated, same discipline as functions/joins.py — both paths
+conformance-tested identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import polars as pl
+
+from ..functions.joins import BROADCAST_ROW_LIMIT, gated_left_join
+from ..functions.urls import normalize_url
+from ..stages.extract import HtmlExtract
+from ..stages.shuffle import AUTO_THRESHOLD, _unlarge, sorted_agg, sorted_distinct
+
+PR_SCALE = 10**12
+
+
+def _explode_links(batch: pa.Table) -> pa.Table:
+    """(url, links list<string>) -> (src_url, dst_url) rows.
+
+    Link hrefs were already resolved + sanitized at parse time
+    (stages/extract.py); here each endpoint additionally gets the
+    frontier canonicalization (lowercase, #fragment strip, trailing
+    slash) so graph node identity matches doc identity.
+    """
+    t = pl.from_arrow(batch.select(["url", "links"]))
+    t = t.filter(pl.col("links").list.len() > 0).explode("links")
+    if t.height == 0:
+        return pa.table(
+            {"src_url": pa.array([], pa.string()), "dst_url": pa.array([], pa.string())}
+        )
+    src = [normalize_url(u) for u in t["url"].to_list()]
+    dst = [normalize_url(u) for u in t["links"].to_list()]
+    return pa.table(
+        {"src_url": pa.array(src, pa.string()), "dst_url": pa.array(dst, pa.string())}
+    )
+
+
+def pages_to_edges(pages, *, extracted: bool = False):
+    """pages(url, html) -> edge Dataset (src_url, dst_url), one row per
+    link occurrence (multi-edges preserved — they carry rank weight and
+    out-degree exactly as repeated anchors do).  ``extracted=True``
+    skips the HTML parse when the input already has a ``links`` column.
+    """
+    ds = pages if extracted else pages.map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return ds.map_batches(_explode_links, batch_format="pyarrow")
+
+
+def link_stats(pages):
+    """Per-page link-degree table: (url, out_degree, in_degree).
+
+    out_degree counts every link the page emits (including links to
+    never-crawled URLs); in_degree counts links from OTHER crawled
+    pages whose canonical target equals this page's canonical url —
+    the SiteProfile.inboundLinkCount semantics
+    (include/search_engine/storage/SiteProfile.h:65).
+    """
+    extracted = pages.map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    edges = pages_to_edges(extracted, extracted=True).materialize()
+
+    # out-degree is map-side exact: it is the row's own links length
+    # (after normalization each href still yields exactly one edge row),
+    # so no exchange is needed for it.
+    def outd(b: pa.Table) -> pa.Table:
+        urls = [normalize_url(u) for u in b.column("url").to_pylist()]
+        n = pc.cast(pc.list_value_length(b.column("links")), pa.int64())
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "out_degree": pc.fill_null(n, 0)}
+        )
+
+    nodes = extracted.map_batches(outd, batch_format="pyarrow")
+    ind = sorted_agg(
+        edges,
+        "dst_url",
+        {"in_degree": ("count", "dst_url")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    joined = gated_left_join(nodes, "url", ind, "dst_url", ["in_degree"])
+    return joined.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("in_degree"),
+            "in_degree",
+            pc.cast(pc.fill_null(b.column("in_degree"), 0), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def graph_nodes(pages, edges):
+    """Node universe: every crawled page url plus every link target
+    (never-crawled targets become dangling nodes).  Distinct via the
+    corpus-proportional-key primitive."""
+    page_urls = pages.map_batches(
+        lambda b: pa.table(
+            {"url": pa.array(
+                [normalize_url(u) for u in b.column("url").to_pylist()], pa.string()
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    dsts = edges.map_batches(
+        lambda b: b.select(["dst_url"]).rename_columns(["url"]),
+        batch_format="pyarrow",
+    )
+    return sorted_distinct(
+        page_urls.union(dsts), "url", auto_threshold=AUTO_THRESHOLD
+    )
+
+
+def _pagerank_local(
+    node_urls: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    iterations: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+) -> pa.Table:
+    """Vectorized in-memory solve (the gated small path).  Exact
+    integer semantics as documented in the module docstring."""
+    order = np.argsort(node_urls, kind="stable")
+    nodes_sorted = node_urls[order]
+    n = len(nodes_sorted)
+    si = np.searchsorted(nodes_sorted, src)
+    di = np.searchsorted(nodes_sorted, dst)
+    od = np.bincount(si, minlength=n).astype(np.int64)
+    dangling = od == 0
+    jump = ((damp_den - damp_num) * scale) // (damp_den * n)
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.int64)
+        if len(si):
+            np.add.at(contrib, di, r[si] // od[si])
+        d_mass = int(r[dangling].sum())
+        r = jump + (damp_num * (contrib + d_mass // n)) // damp_den
+    return pa.table(
+        {
+            "url": pa.array(nodes_sorted, pa.string()),
+            "rank_scaled": pa.array(r, pa.int64()),
+            "pagerank": pa.array(r.astype(np.float64) / float(scale), pa.float64()),
+        }
+    )
+
+
+def pagerank(
+    pages,
+    *,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    num_partitions: int = 8,
+):
+    """Damped PageRank over the corpus link graph; returns a Dataset
+    (url, rank_scaled int64, pagerank double = rank_scaled/scale, an
+    exact single integer division so both columns are engine-exact).
+
+    Gate: when nodes+edges fit under ``broadcast_limit`` rows the
+    power iteration runs vectorized on the driver over collected numpy
+    arrays (graph solve of a gated-size graph — the same sanctioned
+    shape as every gated broadcast in functions/joins.py); above it,
+    each iteration is expressed distributedly:
+
+        edges ⋈ ranks (hash join on src)        — contribution flow
+        sorted_agg by dst (sum)                 — inbound mass
+        nodes gated-left-join contributions     — next rank vector
+
+    with the static per-node out-degree carried INSIDE the ranks
+    Dataset so the dangling-mass scalar is one filtered aggregate, not
+    an extra join.  Both paths are bit-identical (integer arithmetic;
+    conformance-tested in tests/test_linkgraph.py).
+    """
+    edges = pages_to_edges(pages).materialize()
+    nodes = graph_nodes(pages, edges).materialize()
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+
+    if n_nodes + n_edges <= broadcast_limit:
+        node_urls = np.asarray(
+            [u for b in nodes.iter_batches(batch_size=None, batch_format="pyarrow")
+             for u in b.column("url").to_pylist()],
+            dtype=object,
+        )
+        src_l: list = []
+        dst_l: list = []
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            src_l.extend(b.column("src_url").to_pylist())
+            dst_l.extend(b.column("dst_url").to_pylist())
+        import ray.data
+
+        local = _pagerank_local(
+            node_urls,
+            np.asarray(src_l, dtype=object),
+            np.asarray(dst_l, dtype=object),
+            iterations=iterations,
+            scale=scale,
+            damp_num=damp_num,
+            damp_den=damp_den,
+        )
+        return ray.data.from_arrow(local)
+
+    return _pagerank_distributed(
+        nodes, edges, n_nodes,
+        iterations=iterations, scale=scale,
+        damp_num=damp_num, damp_den=damp_den,
+        num_partitions=num_partitions,
+    )
+
+
+def _pagerank_distributed(
+    nodes,
+    edges,
+    n_nodes: int,
+    *,
+    iterations: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+    num_partitions: int,
+):
+    """Dataset-resident power iteration (the big path).  State per
+    node: (url, od, r).  Narrowness note: a deployment at 10^11 nodes
+    would first map url -> int64 via functions.urls.doc_id_for_url and
+    run every exchange below in id space, joining urls back once at the
+    end; at catalog scale the string keys keep the entry simpler and
+    the semantics identical."""
+    n = n_nodes
+    jump = ((damp_den - damp_num) * scale) // (damp_den * n)
+
+    outdeg = sorted_agg(
+        edges.map_batches(
+            lambda b: b.select(["src_url"]).rename_columns(["url"]),
+            batch_format="pyarrow",
+        ),
+        "url",
+        {"od": ("count", "url")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    state = gated_left_join(nodes, "url", outdeg, "url", ["od"]).map_batches(
+        lambda b, _s=scale, _n=n: _unlarge(
+            pa.table(
+                {
+                    "url": b.column("url"),
+                    "od": pc.cast(pc.fill_null(b.column("od"), 0), pa.int64()),
+                    "r": pa.array([_s // _n] * b.num_rows, pa.int64()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        # dangling mass: one scalar aggregate over the state
+        d_mass = state.map_batches(
+            lambda b: b.filter(pc.equal(b.column("od"), 0)).select(["r"]),
+            batch_format="pyarrow",
+        ).sum("r") or 0
+        # contribution flow: edges ⋈ state on src, emit (dst, r // od)
+        flows = edges.join(
+            state.map_batches(
+                lambda b: b.rename_columns(
+                    ["src_url" if c == "url" else c for c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src_url",),
+        ).repartition(num_partitions).map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b.column("dst_url"),
+                    "c": pc.cast(
+                        pc.divide(b.column("r"), b.column("od")), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib = sorted_agg(
+            flows, "url", {"c": ("sum", "c")}, auto_threshold=AUTO_THRESHOLD
+        )
+        share = d_mass // n
+        state = gated_left_join(
+            state.map_batches(
+                lambda b: b.select(["url", "od"]), batch_format="pyarrow"
+            ),
+            "url",
+            contrib,
+            "url",
+            ["c"],
+        ).map_batches(
+            lambda b, _j=jump, _sh=share, _dn=damp_num, _dd=damp_den: _unlarge(
+                pa.table(
+                    {
+                        "url": b.column("url"),
+                        "od": b.column("od"),
+                        "r": pa.array(
+                            _j
+                            + (
+                                _dn
+                                * (
+                                    pc.fill_null(b.column("c"), 0)
+                                    .cast(pa.int64())
+                                    .to_numpy(zero_copy_only=False)
+                                    + _sh
+                                )
+                            )
+                            // _dd,
+                            pa.int64(),
+                        ),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return state.map_batches(
+        lambda b, _s=scale: pa.table(
+            {
+                "url": b.column("url"),
+                "rank_scaled": b.column("r"),
+                "pagerank": pc.divide(
+                    pc.cast(b.column("r"), pa.float64()), float(_s)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

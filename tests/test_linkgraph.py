@@ -1,0 +1,132 @@
+"""Link-graph operator tests: fixture rule, degree invariants, and the
+gated-vs-distributed PageRank path identity (the same conformance
+discipline as tests/test_gated_joins.py — both paths must be
+bit-identical because the arithmetic is pure int64)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_core_ray.sources.pages import (
+    link_hrefs_for_doc,
+    link_targets_for_doc,
+    read_documents_as_linked_pages,
+)
+from search_engine_core_ray.stages.linkgraph import (
+    _pagerank_local,
+    link_stats,
+    pagerank,
+    pages_to_edges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_DOCS = 500
+
+
+def test_fixture_rule_shapes():
+    assert link_targets_for_doc(0, N_DOCS) == []      # 0 % 7 == 0: dangling
+    assert link_targets_for_doc(7, N_DOCS) == []
+    t1 = link_targets_for_doc(1, N_DOCS)
+    assert len(t1) == 2 and all(0 <= t < N_DOCS and t != 1 for t in t1)
+    # href shapes all normalize onto the canonical target url
+    from search_engine_core_ray.functions.urls import normalize_link, normalize_url
+
+    for d in (1, 2, 3, 4, 5):
+        for href, canon in link_hrefs_for_doc(d, "src9", N_DOCS):
+            url = f"https://src9.example.com/doc/{d}"
+            assert normalize_url(normalize_link(href, url)) == canon
+
+
+def test_edges_match_fixture_rule(ray_session):
+    pages = read_documents_as_linked_pages(SF_DIR)
+    got = sorted(
+        (r["src_url"], r["dst_url"])
+        for r in pages_to_edges(pages).take_all()
+    )
+    # src id -> source name is doc_id % 20 ('src{k}') in the testdata
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+    src_of = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("source").to_pylist()))
+    exp = sorted(
+        (
+            f"https://{src_of[i]}.example.com/doc/{i}",
+            f"https://{src_of[i]}.example.com/doc/{t}",
+        )
+        for i in range(N_DOCS)
+        for t in link_targets_for_doc(i, N_DOCS)
+    )
+    assert got == exp
+
+
+def test_link_stats_invariants(ray_session):
+    pages = read_documents_as_linked_pages(SF_DIR)
+    rows = link_stats(pages).take_all()
+    assert len(rows) == N_DOCS
+    by_url = {r["url"]: r for r in rows}
+    # dangling fixture docs have out_degree 0
+    for i in (0, 7, 14):
+        src = f"src{i % 20}"
+        assert by_url[f"https://{src}.example.com/doc/{i}"]["out_degree"] == 0
+    # total out-degree == edge count; in_degree sums to the subset of
+    # edges whose target landed on a real page (same-domain targets)
+    n_edges = sum(r["out_degree"] for r in rows)
+    assert n_edges == sum(
+        1 for i in range(N_DOCS) for _ in link_targets_for_doc(i, N_DOCS)
+    )
+    in_total = sum(r["in_degree"] for r in rows)
+    exp_in = sum(
+        1
+        for i in range(N_DOCS)
+        for t in link_targets_for_doc(i, N_DOCS)
+        if t % 20 == i % 20  # target's own source == link's domain
+    )
+    assert in_total == exp_in
+
+
+def test_pagerank_paths_identical(ray_session):
+    """Gated numpy solve vs Dataset-resident power iteration: bit-equal."""
+    pages = read_documents_as_linked_pages(SF_DIR)
+    small = pagerank(pages, iterations=3).take_all()
+    big = pagerank(pages, iterations=3, broadcast_limit=0).take_all()
+    key = lambda r: r["url"]
+    small, big = sorted(small, key=key), sorted(big, key=key)
+    assert len(small) == len(big)
+    for a, b in zip(small, big):
+        assert a["url"] == b["url"]
+        assert a["rank_scaled"] == b["rank_scaled"]
+        assert a["pagerank"] == b["pagerank"]
+
+
+def test_pagerank_mass_and_positivity(ray_session):
+    pages = read_documents_as_linked_pages(SF_DIR)
+    rows = pagerank(pages, iterations=10).take_all()
+    total = sum(r["rank_scaled"] for r in rows)
+    # floor losses only: within |nodes| * (iterations+2) of full mass
+    assert 0 < 10**12 - total < len(rows) * 12 * 4
+    assert all(r["rank_scaled"] > 0 for r in rows)
+
+
+def test_pagerank_local_matches_float_reference():
+    """The int64 fixed-point solve tracks textbook float PageRank to
+    ~1e-9 on a small closed graph with a dangling node."""
+    #   0 -> 1, 0 -> 2, 1 -> 2, 2 dangling
+    nodes = np.asarray(["a", "b", "c"], dtype=object)
+    src = np.asarray(["a", "a", "b"], dtype=object)
+    dst = np.asarray(["b", "c", "c"], dtype=object)
+    t = _pagerank_local(
+        nodes, src, dst, iterations=50, scale=10**12, damp_num=85, damp_den=100
+    )
+    got = dict(zip(t.column("url").to_pylist(), t.column("pagerank").to_pylist()))
+    # float reference
+    r = np.full(3, 1 / 3)
+    od = np.array([2.0, 1.0, 0.0])
+    for _ in range(200):
+        contrib = np.zeros(3)
+        contrib[1] += r[0] / 2
+        contrib[2] += r[0] / 2 + r[1]
+        d = r[2]
+        r = 0.15 / 3 + 0.85 * (contrib + d / 3)
+    for i, u in enumerate("abc"):
+        assert got[u] == pytest.approx(r[i], abs=1e-6)
+    assert got["c"] > got["b"] > got["a"]
