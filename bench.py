@@ -277,7 +277,7 @@ def main() -> None:
         "pii_redact", "decontaminate", "stratified_sample", "normalize_text",
         "sequence_pack", "semdedup", "lm_familiarity", "dup_ngram_fraction",
         "rep_signals", "prepare_training_data", "contamination_frac",
-        "familiarity_buckets",
+        "familiarity_buckets", "link_stats", "pagerank",
     ]:
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))
