@@ -763,6 +763,65 @@ def q_exact_dedup(sf_dir: str):
 
 
 @_q(
+    "incremental_dedup",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'boilerplate page ' || (doc_id % 3)
+                  WHEN doc_id % 5 = 4 AND doc_id % 7 = 3
+                       THEN 'shard-only boilerplate ' || (doc_id % 2)
+                  ELSE text END AS text
+      FROM documents),
+    newd AS (
+      SELECT doc_id, md5(text) AS h FROM dirty WHERE doc_id % 5 = 4),
+    within AS (SELECT h, min(doc_id) AS doc_id FROM newd GROUP BY 1)
+    SELECT w.h AS text_md5, w.doc_id FROM within w
+    WHERE w.h NOT IN (SELECT md5(text) FROM dirty WHERE doc_id % 5 <> 4)
+    """,
+)
+def q_incremental_dedup(sf_dir: str):
+    """Incremental cross-corpus dedup: docs with doc_id % 5 == 4 play
+    the NEW crawl shard, the rest the existing deduped corpus.  The
+    corpus side contributes only its content-hash index (narrow
+    column); the shard is deduped within itself then anti-joined
+    against that index — batch form of the visited-set upsert check
+    (URLFrontier.cpp:25-81).  The raw corpus has no exact duplicates,
+    so (scrub-entry style) deterministic boilerplate is injected
+    in-query on BOTH engines: docs with doc_id % 11 == 0 share 3
+    corpus-wide texts (cross-corpus drops) and shard docs with
+    doc_id % 7 == 3 share 2 shard-only texts (within-shard collapse)."""
+    from ..stages.dedup import incremental_dedup, text_md5
+
+    def dirty(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out = [
+            f"boilerplate page {i % 3}" if i % 11 == 0
+            else f"shard-only boilerplate {i % 2}" if i % 5 == 4 and i % 7 == 3
+            else t
+            for i, t in zip(ids, texts)
+        ]
+        return b.set_column(
+            b.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    def part(want_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 5 == 4) if want_new else (ids % 5 != 4)
+            return b.filter(pa.array(m))
+
+        return f
+
+    docs = _docs(sf_dir).map_batches(dirty, batch_format="pyarrow")
+    new_shard = docs.map_batches(part(True), batch_format="pyarrow")
+    corpus_hashes = docs.map_batches(part(False), batch_format="pyarrow").map_batches(
+        lambda b: text_md5(b).select(["text_md5"]), batch_format="pyarrow"
+    )
+    return incremental_dedup(new_shard, corpus_hashes)
+
+
+@_q(
     "line_dedup",
     """
     WITH s AS (

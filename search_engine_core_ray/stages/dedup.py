@@ -68,6 +68,36 @@ def exact_dedup(docs_ds, col: str = "text"):
     )
 
 
+def incremental_dedup(new_docs, corpus_hashes, col: str = "text", **gate_kwargs):
+    """Dedup a NEW shard against an EXISTING corpus — the production
+    flow when a fresh crawl lands next to an already-deduped 100-TB
+    corpus: the old corpus is never reshuffled, only its narrow
+    content-hash index participates.
+
+    Reference tie: this is the batch form of the upsert visited-set
+    check (URLFrontier::hasBeenVisited, src/crawler/URLFrontier.cpp:25-81;
+    ContentStorage update-or-insert, src/storage/ContentStorage.cpp:246-283)
+    applied to content identity instead of URL identity.
+
+    Steps:
+      1. within-shard exact dedup — min-doc_id survivor per content
+         hash (sorted_agg, corpus-proportional keys);
+      2. anti-join the survivors' hashes against ``corpus_hashes``
+         (a Dataset with a ``text_md5`` column — in production the
+         PERSISTED hash index from the corpus' own exact_dedup run,
+         not a rescan), threshold-gated broadcast vs distributed
+         left_anti per functions/joins.py.
+
+    Returns the surviving new-shard rows as (text_md5, doc_id).
+    """
+    from ..functions.joins import semi_or_anti_join
+
+    within = exact_dedup(new_docs, col)
+    return semi_or_anti_join(
+        within, "text_md5", corpus_hashes, "text_md5", anti=True, **gate_kwargs
+    )
+
+
 # ---- shingles + minhash ------------------------------------------------
 
 _TOKEN_HASH_SEED = 24862

@@ -518,3 +518,48 @@ def test_minhash_attach_join_path_identical(ray_session):
         ).take_all()
     }
     assert bcast == joined and len(bcast) > 0
+
+
+def test_incremental_dedup_paths_identical(ray_session):
+    """Gated broadcast anti-join vs forced distributed left_anti give
+    the same survivor set, and the injected boilerplate really drops
+    rows (the entry is non-vacuous)."""
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+    import ray.data
+    import pyarrow as pa
+    from search_engine_core_ray.stages.dedup import incremental_dedup, text_md5
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["incremental_dedup"](sf).take_all()
+    got = sorted((r["text_md5"], r["doc_id"]) for r in rows)
+    n_shard = 100
+    assert 0 < len(got) < n_shard  # drops happened
+
+    # rebuild the same inputs and force the distributed tier
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def dirty(b):
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = [
+            f"boilerplate page {i % 3}" if i % 11 == 0
+            else f"shard-only boilerplate {i % 2}" if i % 5 == 4 and i % 7 == 3
+            else t
+            for i, t in zip(ids, texts)
+        ]
+        return b.set_column(
+            b.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    def keep(pred):
+        return lambda b: b.filter(
+            pa.array([pred(i) for i in b.column("doc_id").to_pylist()])
+        )
+
+    dirtied = docs.map_batches(dirty, batch_format="pyarrow")
+    shard = dirtied.map_batches(keep(lambda i: i % 5 == 4), batch_format="pyarrow")
+    corpus = dirtied.map_batches(
+        keep(lambda i: i % 5 != 4), batch_format="pyarrow"
+    ).map_batches(lambda b: text_md5(b).select(["text_md5"]), batch_format="pyarrow")
+    forced = incremental_dedup(shard, corpus, broadcast_limit=0).take_all()
+    assert sorted((r["text_md5"], r["doc_id"]) for r in forced) == got
