@@ -1729,6 +1729,72 @@ def q_search_documents(sf_dir: str):
 
 
 @_q(
+    "domain_stats",
+    """
+    SELECT source || '.example.com' AS domain,
+           count(*)::BIGINT AS n_pages,
+           sum(length('Doc ' || doc_id || ' ' || source || ' ' || text || ' '))
+             ::BIGINT AS total_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_domain_stats(sf_dir: str):
+    """Per-domain crawl aggregates (DomainManager keys per-domain
+    state by URLFrontier::extractDomain,
+    src/crawler/URLFrontier.cpp:322-332): the Ray side parses the
+    domain out of each page url and measures the EXTRACTED text
+    (HtmlExtract over the page html); the oracle reconstructs the
+    extraction length algebraically from the wrapper rule.  Counts and
+    char totals combine map-side on (domain, lang) pairs before one
+    bounded-key groupby(domain) finishes count/sum/distinct-lang at
+    once."""
+    import polars as pl
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.urls import extract_domain, normalize_url
+    from ..sources.pages import read_documents_as_pages
+    from ..stages.extract import HtmlExtract
+
+    pages = read_documents_as_pages(sf_dir).map_batches(
+        lambda b: b.select(["url", "html", "lang"]), batch_format="pyarrow"
+    ).map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        doms = [
+            extract_domain(normalize_url(u)) for u in b.column("url").to_pylist()
+        ]
+        return (
+            pl.DataFrame(
+                {
+                    "domain": doms,
+                    "chars": [len(t or "") for t in b.column("text").to_pylist()],
+                    "lang": b.column("lang").to_pylist(),
+                }
+            )
+            .group_by("domain", "lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("chars").sum().cast(pl.Int64).alias("c"),
+            )
+            .to_arrow()
+        )
+
+    per_pair = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["domain", "lang"])
+        .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+    )
+    return per_pair.groupby("domain").aggregate(
+        Sum("n", alias_name="n_pages"),
+        Sum("c", alias_name="total_chars"),
+        Count(alias_name="n_langs"),
+    )
+
+
+@_q(
     "docs_by_lang",
     "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1",
 )
