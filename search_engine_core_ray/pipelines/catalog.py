@@ -853,15 +853,10 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
-def _minhash_oracle_sql(threshold: float = 0.5) -> str:
-    """DuckDB replay of the ENTIRE MinHash+LSH pipeline with the
-    md5_number_lower token hash: ordered token hashes -> k=3 sliding
-    multiply-xor shingles (wrap-mod-2^64, distinct) -> 64 permutations
-    ((sh*a+b) mod 2^64 mod 2^61, min over shingles) -> 16 band hashes
-    (xor of 4 permuted rows) -> candidate pairs per (band, hash)
-    bucket -> exact Jaccard over the shingle-hash sets -> threshold.
-    All constants come from the SAME seeded arrays the Python pipeline
-    uses (stages/dedup._SH_C/_MH_A/_MH_B/_BAND_C)."""
+def _minhash_sig_ctes() -> str:
+    """Shared CTE prefix (toks -> sh -> sig -> bands -> bh) of the
+    MinHash oracle SQL, parameter-free so both the pair query and the
+    incremental-dedup query build on the identical signature replay."""
     from ..stages import dedup as dd
 
     C = [int(x) for x in dd._SH_C]
@@ -882,7 +877,7 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
         for r in range(dd.ROWS_PER_BAND)
     )
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'),
                                     t -> md5_number_lower(t)) AS h
       FROM documents),
@@ -907,7 +902,21 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
       SELECT doc_id, CAST(k // {dd.ROWS_PER_BAND} AS INT) AS band, {band_terms}
       FROM sig GROUP BY doc_id, band),
     bh AS (
-      SELECT doc_id, band, xor(xor(t0, t1), xor(t2, t3)) AS band_hash FROM bands),
+      SELECT doc_id, band, xor(xor(t0, t1), xor(t2, t3)) AS band_hash FROM bands)
+    """
+
+
+def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB replay of the ENTIRE MinHash+LSH pipeline with the
+    md5_number_lower token hash: ordered token hashes -> k=3 sliding
+    multiply-xor shingles (wrap-mod-2^64, distinct) -> 64 permutations
+    ((sh*a+b) mod 2^64 mod 2^61, min over shingles) -> 16 band hashes
+    (xor of 4 permuted rows) -> candidate pairs per (band, hash)
+    bucket -> exact Jaccard over the shingle-hash sets -> threshold.
+    All constants come from the SAME seeded arrays the Python pipeline
+    uses (stages/dedup._SH_C/_MH_A/_MH_B/_BAND_C)."""
+    return f"""
+    WITH {_minhash_sig_ctes().strip()},
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
@@ -921,12 +930,69 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _minhash_incremental_oracle_sql(threshold: float = 0.5) -> str:
+    """Incremental near-dedup oracle: same signature replay, but the
+    candidate join pairs SHARD band rows (doc_id % 5 = 4) against
+    CORPUS band rows, and the answer is the shard ids with NO verified
+    corpus near-twin."""
+    return f"""
+    WITH {_minhash_sig_ctes().strip()},
+    cand AS (
+      SELECT DISTINCT y.doc_id AS s, x.doc_id AS c
+      FROM bh y JOIN bh x ON y.band = x.band AND y.band_hash = x.band_hash
+      WHERE y.doc_id % 5 = 4 AND x.doc_id % 5 <> 4),
+    j AS (
+      SELECT c.s,
+             len(list_intersect(ss.s, sc.s))::DOUBLE
+               / len(list_distinct(list_concat(ss.s, sc.s))) AS jaccard
+      FROM cand c JOIN sh ss ON ss.doc_id = c.s JOIN sh sc ON sc.doc_id = c.c),
+    dropped AS (SELECT DISTINCT s FROM j WHERE jaccard >= {threshold})
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 4 AND doc_id NOT IN (SELECT s FROM dropped)
+    """
+
+
 @_q("minhash_dupes", _minhash_oracle_sql(0.5))
 def q_minhash_dupes(sf_dir: str):
     """MinHash+LSH near-dup pairs, SQL-checked END TO END (banding
     included) via the md5 token-hash variant — same machinery as the
     production polars-hash path, DuckDB-reproducible hash kernel."""
     return minhash_near_dupes(_docs(sf_dir), threshold=0.5, token_hash="md5")
+
+
+@_q("incremental_minhash_dedup", _minhash_incremental_oracle_sql(0.5))
+def q_incremental_minhash_dedup(sf_dir: str):
+    """Near-dup incremental dedup: shard docs (doc_id % 5 == 4) are
+    checked against the rest of the corpus' PRECOMPUTED MinHash index
+    (band signatures + shingle sets — what the corpus' own dedup run
+    persists); shard docs with a verified Jaccard >= 0.5 corpus twin
+    are dropped.  The corpus texts are never touched."""
+    from ..stages.dedup import (
+        doc_shingles,
+        incremental_minhash_dedup,
+        minhash_bands,
+    )
+
+    def part(want_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 5 == 4) if want_new else (ids % 5 != 4)
+            return b.filter(pa.array(m))
+
+        return f
+
+    docs = _docs(sf_dir)
+    shard = docs.map_batches(part(True), batch_format="pyarrow")
+    corpus = docs.map_batches(part(False), batch_format="pyarrow")
+    corpus_bands = corpus.map_batches(
+        lambda b: minhash_bands(b, 3, "md5"), batch_format="pyarrow"
+    )
+    corpus_shingles = corpus.map_batches(
+        lambda b: doc_shingles(b, 3, "md5"), batch_format="pyarrow"
+    )
+    return incremental_minhash_dedup(
+        shard, corpus_bands, corpus_shingles, threshold=0.5, token_hash="md5"
+    )
 
 
 @_q(

@@ -494,6 +494,161 @@ def minhash_near_dupes(
     return verified.repartition(num_partitions)
 
 
+def incremental_minhash_dedup(
+    shard_docs,
+    corpus_bands,
+    corpus_shingles,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int = 8,
+    token_hash: str = "polars",
+    attach_byte_limit: int = 64 * 1024 * 1024,
+    **gate_kwargs,
+):
+    """NEAR-dup form of :func:`incremental_dedup`: drop every doc of a
+    NEW shard that has a verified near-twin (Jaccard >= threshold) in
+    an EXISTING corpus, where the corpus participates only through its
+    PRECOMPUTED MinHash index — ``corpus_bands`` (doc_id, band,
+    band_hash) and ``corpus_shingles`` (doc_id, sh) as persisted by the
+    corpus' own dedup run — never its texts.  Returns Dataset(doc_id)
+    of shard survivors.
+
+    Fully distributed, dup-volume-sized exchanges throughout:
+      1. shard minhash+banding (map_batches);
+      2. candidate (s, c) pairs via a shard-bands ⋈ corpus-bands hash
+         join on (band, band_hash), distinct via sorted_distinct;
+      3. shingle sets for INVOLVED docs only (semi-join reduction on
+         both sides), attached map-side under ``attach_byte_limit``
+         via a gated broadcast or by hash joins above it;
+      4. vectorized exact-Jaccard verify; dropped = distinct s of
+         verified pairs; survivors = shard ids anti-join dropped
+         (threshold-gated, functions/joins.py).
+    """
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from ..functions.joins import gated_lookup, semi_or_anti_join
+    from .shuffle import AUTO_THRESHOLD, sorted_distinct
+
+    shard_ids = shard_docs.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    shard_bands = shard_docs.map_batches(
+        lambda b: minhash_bands(b, k, token_hash), batch_format="pyarrow"
+    )
+
+    def _side(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "band": b.column("band"),
+                    "band_hash": b.column("band_hash"),
+                    name: b.column("doc_id"),
+                }
+            )
+
+        return fn
+
+    pairs_ds = (
+        shard_bands.map_batches(_side("s"), batch_format="pyarrow")
+        .join(
+            corpus_bands.map_batches(_side("c"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("band", "band_hash"),
+        )
+        .repartition(num_partitions)  # merge schema-less empty partitions
+        .map_batches(lambda b: b.select(["s", "c"]), batch_format="pyarrow")
+    )
+    uniq = sorted_distinct(
+        pairs_ds, ["s", "c"], auto_threshold=AUTO_THRESHOLD
+    ).materialize()
+    if uniq.count() == 0:
+        return shard_ids
+
+    # shingle sets for involved docs only (both sides semi-joined down)
+    sh_shard = shard_docs.map_batches(
+        lambda b: doc_shingles(b, k, token_hash), batch_format="pyarrow"
+    )
+    s_ids = uniq.map_batches(
+        lambda b: pa.table({"doc_id": _pc.unique(b.column("s"))}),
+        batch_format="pyarrow",
+    )
+    c_ids = uniq.map_batches(
+        lambda b: pa.table({"doc_id": _pc.unique(b.column("c"))}),
+        batch_format="pyarrow",
+    )
+    sh_needed = semi_or_anti_join(sh_shard, "doc_id", s_ids, "doc_id").union(
+        semi_or_anti_join(corpus_shingles, "doc_id", c_ids, "doc_id")
+    )
+    mode, side = gated_lookup(
+        sh_needed, "doc_id", ["sh"], byte_limit=attach_byte_limit
+    )
+
+    if mode == "broadcast":
+        import ray as _ray
+
+        def attach(b: pa.Table) -> pa.Table:
+            lut = pl.from_arrow(_ray.get(side))
+            return (
+                pl.from_arrow(b)
+                .join(lut.rename({"doc_id": "s", "sh": "sh_s"}), on="s", how="left")
+                .join(lut.rename({"doc_id": "c", "sh": "sh_c"}), on="c", how="left")
+                .to_arrow()
+            )
+
+        joined = uniq.map_batches(attach, batch_format="pyarrow")
+    else:
+
+        def as_side(side_name: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        side_name: batch.column("doc_id"),
+                        f"sh_{side_name}": batch.column("sh"),
+                    }
+                )
+
+            return fn
+
+        joined = uniq.join(
+            sh_needed.map_batches(as_side("s"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("s",),
+        ).repartition(num_partitions).join(
+            sh_needed.map_batches(as_side("c"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("c",),
+        )
+
+    def dropped_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        s_sh = batch.column("sh_s").combine_chunks()
+        c_sh = batch.column("sh_c").combine_chunks()
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            sa = np.frombuffer(s_sh[i].as_py() or b"", dtype=np.uint64)
+            sb = np.frombuffer(c_sh[i].as_py() or b"", dtype=np.uint64)
+            if len(sa) and len(sb):
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                keep[i] = inter / (len(sa) + len(sb) - inter) >= threshold
+        return pa.table(
+            {"doc_id": batch.column("s").filter(pa.array(keep))}
+        )
+
+    dropped = joined.map_batches(dropped_batch, batch_format="pyarrow").repartition(
+        num_partitions
+    )
+    return semi_or_anti_join(
+        shard_ids, "doc_id", dropped, "doc_id", anti=True, **gate_kwargs
+    )
+
+
 def near_dup_survivors(
     docs_ds,
     threshold: float = 0.5,

@@ -563,3 +563,41 @@ def test_incremental_dedup_paths_identical(ray_session):
     ).map_batches(lambda b: text_md5(b).select(["text_md5"]), batch_format="pyarrow")
     forced = incremental_dedup(shard, corpus, broadcast_limit=0).take_all()
     assert sorted((r["text_md5"], r["doc_id"]) for r in forced) == got
+
+
+def test_incremental_minhash_paths_identical(ray_session):
+    """Broadcast attach + gated anti-join vs forced hash-join tiers
+    give identical shard survivors, and the entry is non-vacuous
+    (shard docs with corpus near-twins really drop)."""
+    import pyarrow as pa
+    import ray.data
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+    from search_engine_core_ray.stages.dedup import (
+        doc_shingles,
+        incremental_minhash_dedup,
+        minhash_bands,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(r["doc_id"] for r in QUERIES["incremental_minhash_dedup"](sf).take_all())
+    assert 0 < len(got) < 100  # some of the 100 shard docs dropped
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def keep(pred):
+        return lambda b: b.filter(
+            pa.array([pred(i) for i in b.column("doc_id").to_pylist()])
+        )
+
+    shard = docs.map_batches(keep(lambda i: i % 5 == 4), batch_format="pyarrow")
+    corpus = docs.map_batches(keep(lambda i: i % 5 != 4), batch_format="pyarrow")
+    forced = incremental_minhash_dedup(
+        shard,
+        corpus.map_batches(lambda b: minhash_bands(b, 3, "md5"), batch_format="pyarrow"),
+        corpus.map_batches(lambda b: doc_shingles(b, 3, "md5"), batch_format="pyarrow"),
+        threshold=0.5,
+        token_hash="md5",
+        attach_byte_limit=0,
+        broadcast_limit=0,
+    )
+    assert sorted(r["doc_id"] for r in forced.take_all()) == got
