@@ -155,10 +155,10 @@ def q_corpus_stats(sf_dir: str):
     )
 
 
-@_q(
-    "bm25_topk",
-    f"""
-    WITH tok AS (
+# BM25 per-doc content scores (rounded to 4 digits) as a CTE chain —
+# shared by bm25_topk and the authority-boosted composition entry.
+_BM25_SCORE_CTES = f"""
+    tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS term
       FROM documents),
     tf AS (
@@ -178,8 +178,16 @@ def q_corpus_stats(sf_dir: str):
       FROM tf
       JOIN df USING (term)
       JOIN documents d ON d.doc_id = tf.doc_id, stats
-      GROUP BY tf.doc_id)
-    SELECT doc_id, round(s, 4) AS score FROM scores
+      GROUP BY tf.doc_id),
+    bscores AS (SELECT doc_id, round(s, 4) AS score FROM scores)
+"""
+
+
+@_q(
+    "bm25_topk",
+    f"""
+    WITH {_BM25_SCORE_CTES.strip()}
+    SELECT doc_id, score FROM bscores
     ORDER BY score DESC, doc_id LIMIT 20
     """,
 )
@@ -188,6 +196,15 @@ def q_bm25_topk(sf_dir: str):
     byte doc lengths, no floor on IDF — SearchScorer.cpp:257-274) as a
     pure Dataset pipeline: tf explode -> broadcast stats/df -> vectorized
     score -> groupby(doc).sum -> sort/limit."""
+    return _bm25_doc_scores(sf_dir).sort(
+        ["score", "doc_id"], descending=[True, False]
+    ).limit(20)
+
+
+def _bm25_doc_scores(sf_dir: str):
+    """Per-doc rounded BM25 content scores (doc_id, score) for the
+    fixed query terms — the shared body of bm25_topk and
+    authority_ranked_topk."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -243,10 +260,77 @@ def q_bm25_topk(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum("s", alias_name="score"))
     )
-    out = summed.map_batches(
+    return summed.map_batches(
         lambda t: _round_col(t, "score", 4), batch_format="pyarrow"
-    ).sort(["score", "doc_id"], descending=[True, False]).limit(20)
-    return out
+    )
+
+
+@_q(
+    "authority_ranked_topk",
+    f"""
+    WITH pr AS MATERIALIZED ({{pagerank_sql}}),
+    {_BM25_SCORE_CTES.strip()}
+    SELECT b.doc_id, b.score + 1000 * pr.pagerank AS score
+    FROM bscores b
+    JOIN documents d ON d.doc_id = b.doc_id
+    JOIN pr ON pr.url = 'https://' || d.source || '.example.com/doc/' || d.doc_id
+    ORDER BY score DESC, b.doc_id LIMIT 20
+    """,
+)
+def q_authority_ranked_topk(sf_dir: str):
+    """Authority-boosted ranking: the reference boosts matched docs by
+    a BINARY domain-authority flag (SearchScorer::applyBoosts,
+    src/scoring/SearchScorer.cpp:501-505); at web scale that flag is a
+    link-analysis signal, so this entry composes the two SQL-checked
+    operators — per-doc BM25 + the fixed-point PageRank of the doc's
+    own page — as score = bm25_rounded + 1000 * pagerank (one IEEE
+    multiply + one add, engine-exact since both inputs are).  The
+    PageRank side attaches through a gated left join on the canonical
+    page url."""
+    from ..functions.joins import gated_left_join
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import pagerank
+
+    scores = _bm25_doc_scores(sf_dir)
+    # attach each scored doc's canonical page url (deterministic
+    # wrapper rule; same construction the pages fixture uses)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    with_url = gated_left_join(scores, "doc_id", src, "doc_id", ["source"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "score": b.column("score"),
+                "url": pa.array(
+                    [
+                        f"https://{s}.example.com/doc/{i}"
+                        for i, s in zip(
+                            b.column("doc_id").to_pylist(),
+                            b.column("source").to_pylist(),
+                        )
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(read_documents_as_linked_pages(sf_dir))
+    boosted = gated_left_join(with_url, "url", pr, "url", ["pagerank"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "score": pc.add(
+                    b.column("score"),
+                    pc.multiply(
+                        pc.cast(pc.fill_null(b.column("pagerank"), 0.0), pa.float64()),
+                        1000.0,
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return boosted.sort(["score", "doc_id"], descending=[True, False]).limit(20)
 
 
 @_q(
@@ -2752,7 +2836,12 @@ _LINK_EDGE_CTES = """
     nd AS (SELECT count(*)::BIGINT AS n FROM documents),
     tgt AS (
       SELECT d.doc_id AS src, d.source AS src_source,
-             (d.doc_id * 2654435761 + 97 * g.j) % (SELECT n FROM nd) AS t
+             CASE WHEN g.j % 2 = 1
+                  THEN (d.doc_id + 20 * ((d.doc_id * 2654435761 + 97 * g.j)
+                        % GREATEST((SELECT n FROM nd) // 20, 1)))
+                       % (SELECT n FROM nd)
+                  ELSE (d.doc_id * 2654435761 + 97 * g.j) % (SELECT n FROM nd)
+             END AS t
       FROM documents d,
            LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 4)) AS j) g
       WHERE d.doc_id % 7 <> 0),
@@ -2814,6 +2903,14 @@ def _pagerank_sql(iterations: int = PR_ITERATIONS, scale: int = 10**12,
     FROM it{iterations}"""
     )
     return "".join(parts)
+
+
+# authority_ranked_topk's oracle composes the pagerank oracle (defined
+# just above) into its pr CTE; substitute it now that both exist.
+# (plain replace, not str.format — the SQL carries regex braces)
+ORACLE_SQL["authority_ranked_topk"] = ORACLE_SQL["authority_ranked_topk"].replace(
+    "{pagerank_sql}", _pagerank_sql()
+)
 
 
 @_q(

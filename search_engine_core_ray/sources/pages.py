@@ -127,17 +127,29 @@ _LINK_MULT = 2654435761
 def link_targets_for_doc(doc_id: int, n_docs: int) -> list[int]:
     """Deterministic fixture link rule, SQL-reproducible in one line:
     doc ``i`` is DANGLING (no outlinks) when ``i % 7 == 0``; otherwise
-    it has ``1 + i % 4`` link slots, slot ``j`` (1-based) targeting
-    ``(i*2654435761 + 97*j) % n_docs`` with self-targets skipped.
-    Targets live on the SOURCE page's own domain (site-internal links),
-    so the resolved URL needs no information about the target row —
-    and URLs that exist only as link targets become natural dangling
-    nodes of the graph."""
+    it has ``1 + i % 4`` link slots (1-based ``j``), self-targets
+    skipped.  All link URLs live on the SOURCE page's own domain
+    (site-internal hrefs — resolvable without any information about
+    the target row):
+
+    - ODD slots target ``(i + 20*((i*2654435761 + 97*j) % max(n//20,1))) % n``
+      — congruent to ``i`` mod 20, so when the corpus' ``source``
+      assignment is doc_id-mod-20 round-robin (the driver testdata
+      shape) the URL is the target's REAL canonical page — a genuine
+      intra-site in-link;
+    - EVEN slots target ``(i*2654435761 + 97*j) % n`` — almost always
+      another source's doc, so the URL names a page nobody crawled:
+      a natural dangling node of the graph, exactly what a frontier
+      sees in links to the uncrawled web."""
     if doc_id % 7 == 0:
         return []
     out = []
     for j in range(1, 2 + doc_id % 4):
-        t = (doc_id * _LINK_MULT + 97 * j) % n_docs
+        h = (doc_id * _LINK_MULT + 97 * j)
+        if j % 2 == 1:
+            t = (doc_id + 20 * (h % max(n_docs // 20, 1))) % n_docs
+        else:
+            t = h % n_docs
         if t != doc_id:
             out.append(t)
     return out

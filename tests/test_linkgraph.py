@@ -75,12 +75,19 @@ def test_link_stats_invariants(ray_session):
         1 for i in range(N_DOCS) for _ in link_targets_for_doc(i, N_DOCS)
     )
     in_total = sum(r["in_degree"] for r in rows)
+    page_urls = set(by_url)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"])
+    src_of = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("source").to_pylist()))
     exp_in = sum(
         1
         for i in range(N_DOCS)
-        for t in link_targets_for_doc(i, N_DOCS)
-        if t % 20 == i % 20  # target's own source == link's domain
+        for _href, canon in link_hrefs_for_doc(i, src_of[i], N_DOCS)
+        if canon in page_urls  # link target is a real crawled page
     )
+    # odd slots produce genuine intra-site in-links — must be nonzero
+    assert exp_in > 0
     assert in_total == exp_in
 
 
