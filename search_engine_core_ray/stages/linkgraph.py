@@ -87,7 +87,7 @@ def pages_to_edges(pages, *, extracted: bool = False):
     skips the HTML parse when the input already has a ``links`` column.
     """
     ds = pages if extracted else pages.map_batches(
-        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=2
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
     return ds.map_batches(_explode_links, batch_format="pyarrow")
 
@@ -101,10 +101,15 @@ def link_stats(pages):
     the SiteProfile.inboundLinkCount semantics
     (include/search_engine/storage/SiteProfile.h:65).
     """
-    extracted = pages.map_batches(
-        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=2
-    )
-    edges = pages_to_edges(extracted, extracted=True).materialize()
+    # ONE HTML-extract pass; materialize only the NARROW (url, links)
+    # projection (~1% of page bytes) so both consumers — the edge
+    # explode and the out-degree map — read it without re-parsing.
+    links_tbl = pages.map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    ).map_batches(
+        lambda b: b.select(["url", "links"]), batch_format="pyarrow"
+    ).materialize()
+    edges = pages_to_edges(links_tbl, extracted=True).materialize()
 
     # out-degree is map-side exact: it is the row's own links length
     # (after normalization each href still yields exactly one edge row),
@@ -117,7 +122,7 @@ def link_stats(pages):
              "out_degree": pc.fill_null(n, 0)}
         )
 
-    nodes = extracted.map_batches(outd, batch_format="pyarrow")
+    nodes = links_tbl.map_batches(outd, batch_format="pyarrow")
     ind = sorted_agg(
         edges,
         "dst_url",
