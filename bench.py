@@ -278,6 +278,7 @@ def main() -> None:
         "sequence_pack", "semdedup", "lm_familiarity", "dup_ngram_fraction",
         "rep_signals", "prepare_training_data", "contamination_frac",
         "familiarity_buckets", "link_stats", "pagerank",
+        "incremental_minhash_dedup", "authority_ranked_topk",
     ]:
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))
