@@ -2966,4 +2966,44 @@ def q_pagerank(sf_dir: str):
     return pagerank(read_documents_as_linked_pages(sf_dir))
 
 
+@_q(
+    "top_pages_per_domain",
+    f"""
+    WITH pr AS MATERIALIZED ({_pagerank_sql()}),
+    d AS (SELECT regexp_extract(url, 'https?://([^/:]+)', 1) AS domain,
+                 url, rank_scaled, pagerank
+          FROM pr),
+    r AS (SELECT *, row_number() OVER
+                    (PARTITION BY domain ORDER BY rank_scaled DESC, url) AS rk
+          FROM d)
+    SELECT domain, url, rank_scaled, pagerank, rk::BIGINT AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q_top_pages_per_domain(sf_dir: str):
+    """Grouped top-k: the 3 highest-PageRank URLs per domain — the
+    per-domain shape DomainManager reports on, computed WITHOUT a
+    global sort via the grouped_topk primitive (per-batch vectorized
+    partial top-k, one bounded fold, exact final cut; int rank + url
+    tiebreak keeps the ordering engine-exact)."""
+    from ..functions.urls import extract_domain
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import pagerank
+    from ..stages.shuffle import grouped_topk
+
+    pr = pagerank(read_documents_as_linked_pages(sf_dir)).map_batches(
+        lambda b: b.append_column(
+            "domain",
+            pa.array(
+                [extract_domain(u) for u in b.column("url").to_pylist()],
+                pa.string(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(
+        pr, "domain", "rank_scaled", 3, tiebreak_cols=["url"], emit_rank="rk"
+    )
+
+
 QUERIES["build_and_search"] = flagship

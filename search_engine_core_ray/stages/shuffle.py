@@ -217,3 +217,64 @@ def sorted_distinct(ds, key: str | list[str], auto_threshold: int | None = None)
     return out.map_batches(
         lambda b: b.drop_columns(["_n"]), batch_format="pyarrow"
     )
+
+
+def grouped_topk(
+    ds,
+    group_cols: str | list[str],
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+    emit_rank: str | None = None,
+):
+    """Per-group top-k WITHOUT a global sort: every batch keeps at most
+    k rows per group (vectorized polars partial), partials fold down to
+    one block, and a final identical pass cuts the exact answer.  Ties
+    are broken by ``tiebreak_cols`` ascending (default: all remaining
+    group-invariant determinism is the caller's job — pass an explicit
+    unique tiebreak for engine-exact output).  ``emit_rank`` adds a
+    1-based dense position column.
+
+    Cardinality contract: the FOLD step concentrates <= groups * k rows
+    into one block, so this primitive is for BOUNDED group counts
+    (domains, languages, shards — the reference's per-domain shapes).
+    A corpus-proportional group count should instead sort by
+    (group, order) and boundary-merge like sorted_agg; no caller here
+    needs that yet.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ties = list(tiebreak_cols or [])
+    by = [order_col] + ties
+    desc = [descending] + [False] * len(ties)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return _unlarge(
+            pl.from_arrow(b)
+            .sort(by, descending=desc, maintain_order=True)
+            .group_by(groups, maintain_order=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    folded = pruned.repartition(1).map_batches(partial, batch_format="pyarrow")
+    if emit_rank is None:
+        return folded
+
+    def with_rank(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return _unlarge(
+            pl.from_arrow(b)
+            .sort(by, descending=desc, maintain_order=True)
+            .with_columns(
+                pl.col(order_col).cum_count().over(groups).cast(pl.Int64).alias(emit_rank)
+            )
+            .to_arrow()
+        )
+
+    return folded.map_batches(with_rank, batch_format="pyarrow")

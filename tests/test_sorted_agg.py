@@ -183,3 +183,40 @@ def test_sorted_agg_property_random_tables(ray_session):
         assert got.equals(want.astype(got.dtypes.to_dict()))
 
     check()
+
+
+def test_grouped_topk_matches_local_oracle(ray_session):
+    """grouped_topk over many small blocks (groups straddle every
+    block) == a local polars window top-k, including the rank column
+    and tiebreaks on equal order values."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import grouped_topk
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "g": pa.array([f"g{i % 13}" for i in range(n)]),
+            "v": pa.array(rng.randint(0, 40, n), pa.int64()),  # many ties
+            "u": pa.array([f"u{rng.randint(0, 10**6):06d}-{i}" for i in range(n)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(23)
+    got = (
+        grouped_topk(ds, "g", "v", 4, tiebreak_cols=["u"], emit_rank="rk")
+        .to_pandas()
+        .sort_values(["g", "rk"], ignore_index=True)
+    )
+    exp = (
+        pl.from_arrow(tbl)
+        .sort(["v", "u"], descending=[True, False])
+        .with_columns(pl.col("v").cum_count().over("g").cast(pl.Int64).alias("rk"))
+        .filter(pl.col("rk") <= 4)
+        .to_pandas()
+        .sort_values(["g", "rk"], ignore_index=True)
+    )
+    assert got[["g", "v", "u", "rk"]].values.tolist() == exp[["g", "v", "u", "rk"]].values.tolist()
