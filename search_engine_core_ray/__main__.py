@@ -77,6 +77,17 @@ def main(argv: list[str] | None = None) -> int:
     p_upd.add_argument("--bucket-bits", type=int, default=2)
     p_upd.add_argument("--lineage", default="cli-update")
 
+    p_exp = sub.add_parser(
+        "export-training",
+        help="resumable partitioned export of the training-data flagship "
+             "(prepare_training_data -> hive buckets with per-partition "
+             "commit markers; a rerun skips finished buckets)",
+    )
+    p_exp.add_argument("--sf-dir", required=True)
+    p_exp.add_argument("--out", required=True)
+    p_exp.add_argument("--buckets", type=int, default=8)
+    p_exp.add_argument("--lineage", default="cli-export")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synth":
@@ -152,6 +163,35 @@ def main(argv: list[str] | None = None) -> int:
             "out": args.out, "docs": r.stats.total_docs,
             "avgdl": round(r.stats.avgdl, 2),
         }))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "export-training":
+        ray = _init_ray(args.num_cpus)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .pipelines.catalog import QUERIES
+        from .state.sink import write_resumable_partitions
+
+        nb = args.buckets
+        ds = QUERIES["prepare_training_data"](args.sf_dir).map_batches(
+            lambda b, _n=nb: b.append_column(
+                "bucket",
+                pc.cast(
+                    pc.subtract(
+                        b.column("seq_id"),
+                        pc.multiply(pc.divide(b.column("seq_id"), _n), _n),
+                    ),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        m = write_resumable_partitions(
+            ds, args.out, "bucket", args.lineage, range(nb)
+        )
+        print(json.dumps({"out": args.out, **m}))
         ray.shutdown()
         return 0
 
