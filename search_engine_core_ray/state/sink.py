@@ -12,9 +12,14 @@ Dataset output the same stage-marker discipline the index build uses
 - each finished bucket directory is renamed into place (atomic on one
   filesystem; on an object store this is a per-partition manifest
   flip) and commits a ``_PART_<k>.json`` marker carrying the lineage;
-- a rerun skips committed buckets entirely — the input for those
-  buckets is filtered out BEFORE any compute runs, so resume cost is
-  proportional to the missing work, not the corpus.
+- a rerun skips committed buckets entirely at the WRITE: their rows
+  are filtered out of the stream before any byte is rewritten.  How
+  much COMPUTE the resume re-runs depends on where the bucket column
+  is born: derived at the source (input shard id, key-range bucket —
+  the index build's shape) the filter prunes the whole pipeline;
+  derived from the output (export-training's seq_id buckets) the
+  upstream transform re-runs and only the write is saved.  Pick
+  source-derived buckets when resume compute matters.
 
 Deterministic pipelines (everything in this repo) make the
 skipped+rewritten result byte-identical to an uninterrupted run;
