@@ -278,7 +278,10 @@ def main() -> None:
         "sequence_pack", "semdedup", "lm_familiarity", "dup_ngram_fraction",
         "rep_signals", "prepare_training_data", "contamination_frac",
         "familiarity_buckets", "link_stats", "pagerank",
-        "incremental_minhash_dedup", "authority_ranked_topk",
+        "incremental_minhash_dedup",
+        # authority_ranked_topk is deliberately NOT benched: it is the
+        # composition of bm25_topk + pagerank (both timed above), so a
+        # suite slot would double-count their cost; CORRECTNESS covers it
     ]:
         t0 = time.monotonic()
         _consume(QUERIES[name](SF_DIR))
