@@ -1164,10 +1164,10 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
-@_q(
-    "simhash",
-    """
-    WITH toks AS (
+# SimHash bit-voting signature as a CTE chain (md5 token hash) —
+# shared by the signature entry and the hamming near-dup entry.
+_SIMHASH_SIG_CTES = """
+    toks AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS tok
       FROM documents),
@@ -1182,6 +1182,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
              sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit
                  ELSE CAST(0 AS HUGEINT) END) AS s
       FROM b GROUP BY doc_id)
+"""
+
+
+@_q(
+    "simhash",
+    f"""
+    WITH {_SIMHASH_SIG_CTES.strip()}
     SELECT d.doc_id,
            CAST(CASE WHEN coalesce(sig.s, 0) >= 9223372036854775808
                 THEN coalesce(sig.s, 0) - 18446744073709551616
@@ -1199,6 +1206,45 @@ def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(
         simhash64, fn_kwargs={"token_hash": "md5"}, batch_format="pyarrow"
     )
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Manku chunk-banded SimHash near-dup oracle: the shared signature
+    CTEs, per-doc unsigned view, (chunk, value) self-join candidates,
+    exact popcount verify — same pigeonhole widths as the Ray side."""
+    n_chunks = max_hamming + 1
+    base = 64 // n_chunks
+    widths = [base + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS c, CAST((u >> {off}) & {(1 << w) - 1} AS BIGINT) AS v"
+        f" FROM usig"
+        for c, (off, w) in enumerate(zip(offsets, widths))
+    )
+    return f"""
+    WITH {_SIMHASH_SIG_CTES.strip()},
+    usig AS (
+      SELECT d.doc_id, CAST(coalesce(sig.s, 0) AS UBIGINT) AS u
+      FROM documents d LEFT JOIN sig USING (doc_id)),
+    ch AS ({chunk_selects}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND y.doc_id > x.doc_id)
+    SELECT c.a, c.b, bit_count(xor(ua.u, ub.u))::BIGINT AS hamming
+    FROM cand c JOIN usig ua ON ua.doc_id = c.a JOIN usig ub ON ub.doc_id = c.b
+    WHERE bit_count(xor(ua.u, ub.u)) <= {max_hamming}
+    """
+
+
+@_q("simhash_near_dupes", _simhash_pairs_oracle_sql(3))
+def q_simhash_near_dupes(sf_dir: str):
+    """SimHash hamming<=3 near-dup pairs (Manku et al., WWW'07) via the
+    pigeonhole chunk self-join — the third near-dup family member next
+    to MinHash+LSH and exact-hash, SQL-checked end to end with the
+    md5 token hash."""
+    from ..stages.dedup import simhash_near_dupes
+
+    return simhash_near_dupes(_docs(sf_dir), max_hamming=3, token_hash="md5")
 
 
 @_q(

@@ -849,6 +849,149 @@ def simhash64(batch: pa.Table, token_hash: str = "polars") -> pa.Table:
     )
 
 
+def simhash_near_dupes(
+    docs_ds,
+    max_hamming: int = 3,
+    token_hash: str = "polars",
+    num_partitions: int = 8,
+    **gate_kwargs,
+):
+    """SimHash near-dup PAIRS (Manku/Jain/Sarma, WWW'07): Dataset
+    (a, b, hamming) for every pair whose 64-bit SimHash signatures
+    differ in <= ``max_hamming`` bits, a < b.
+
+    Candidate generation is the pigeonhole chunk trick: split the
+    signature into ``max_hamming + 1`` bit chunks — any pair within the
+    hamming budget must agree on at least one whole chunk — and
+    self-join on (chunk_idx, chunk_value), exactly the LSH-banding
+    exchange shape minhash_near_dupes uses.  Verification is one
+    vectorized popcount over the xor of the attached signatures; the
+    signature side of the attach is 16 bytes/doc, gated-broadcast
+    under BROADCAST_ROW_LIMIT and a pair of hash joins above it.
+    """
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from ..functions.joins import gated_lookup
+    from .shuffle import AUTO_THRESHOLD, sorted_distinct
+
+    n_chunks = max_hamming + 1
+    base = 64 // n_chunks
+    widths = [base + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    sigs = docs_ds.map_batches(
+        lambda b, _t=token_hash: simhash64(b, _t), batch_format="pyarrow"
+    ).materialize()  # feeds both the chunk explode and the verify attach
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("simhash").to_pylist(), dtype=np.int64).view(
+            np.uint64
+        )
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        outs = []
+        for c, (off, w) in enumerate(zip(offsets, widths)):
+            v = ((u >> np.uint64(off)) & np.uint64((1 << w) - 1)).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "c": pa.array(np.full(len(ids), c, np.int64)),
+                        "v": pa.array(v, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    chunks = sigs.map_batches(chunk_rows, batch_format="pyarrow")
+
+    def _side(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"c": b.column("c"), "v": b.column("v"), name: b.column("doc_id")}
+            )
+
+        return fn
+
+    pairs = (
+        chunks.map_batches(_side("a"), batch_format="pyarrow")
+        .join(
+            chunks.map_batches(_side("b"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("c", "v"),
+        )
+        .repartition(num_partitions)  # merge schema-less empty partitions
+        .map_batches(
+            lambda b: b.filter(_pc.less(b.column("a"), b.column("b"))).select(
+                ["a", "b"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    uniq = sorted_distinct(pairs, ["a", "b"], auto_threshold=AUTO_THRESHOLD).materialize()
+    if uniq.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        )
+
+    mode, side = gated_lookup(sigs, "doc_id", ["simhash"], **gate_kwargs)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if mode == "broadcast":
+            import ray as _ray
+
+            lut = pl.from_arrow(_ray.get(side))
+            t = (
+                pl.from_arrow(b)
+                .join(lut.rename({"doc_id": "a", "simhash": "ha"}), on="a")
+                .join(lut.rename({"doc_id": "b", "simhash": "hb"}), on="b")
+                .to_arrow()
+            )
+        else:
+            t = b  # already attached by the joins below
+        ua = np.asarray(t.column("ha").to_pylist(), dtype=np.int64).view(np.uint64)
+        ub = np.asarray(t.column("hb").to_pylist(), dtype=np.int64).view(np.uint64)
+        x = ua ^ ub
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+            axis=1
+        ).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": t.column("a").filter(pa.array(keep)),
+                "b": t.column("b").filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    if mode == "broadcast":
+        verified = uniq.map_batches(verify, batch_format="pyarrow")
+    else:
+
+        def as_side(side_name, out):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {side_name: batch.column("doc_id"), out: batch.column("simhash")}
+                )
+
+            return fn
+
+        attached = uniq.join(
+            side.map_batches(as_side("a", "ha"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("a",),
+        ).repartition(num_partitions).join(
+            side.map_batches(as_side("b", "hb"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("b",),
+        )
+        verified = attached.map_batches(verify, batch_format="pyarrow")
+    return verified.repartition(num_partitions)
+
+
 # ---- duplicated-line removal (C4 / RefinedWeb boilerplate scrub) --------
 
 _LINE_STRIP = " \t\r"

@@ -601,3 +601,24 @@ def test_incremental_minhash_paths_identical(ray_session):
         broadcast_limit=0,
     )
     assert sorted(r["doc_id"] for r in forced.take_all()) == got
+
+
+def test_simhash_near_dupes_paths_identical(ray_session):
+    """Broadcast vs hash-join signature attach give identical pairs,
+    and the hamming<=3 pair set is non-empty on the synth corpus."""
+    import ray.data
+    from search_engine_core_ray.stages.dedup import simhash_near_dupes
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = simhash_near_dupes(docs, max_hamming=3, token_hash="md5").take_all()
+    b = simhash_near_dupes(
+        docs, max_hamming=3, token_hash="md5", broadcast_limit=0
+    ).take_all()
+    key = lambda r: (r["a"], r["b"])
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert len(a) > 0
+    assert [(r["a"], r["b"], r["hamming"]) for r in a] == [
+        (r["a"], r["b"], r["hamming"]) for r in b
+    ]
