@@ -137,3 +137,54 @@ def test_pagerank_local_matches_float_reference():
     for i, u in enumerate("abc"):
         assert got[u] == pytest.approx(r[i], abs=1e-6)
     assert got["c"] > got["b"] > got["a"]
+
+
+def test_pagerank_local_properties_random_graphs():
+    """Property test of the fixed-point core on random graphs (no Ray):
+    vs a float power-iteration reference, plus exact invariants —
+    positivity, the jump floor, and bounded floor-loss mass."""
+    import numpy as np
+
+    from search_engine_core_ray.stages.linkgraph import _pagerank_local
+
+    rng = np.random.RandomState(1234)
+    for trial in range(8):
+        n = int(rng.randint(3, 40))
+        n_edges = int(rng.randint(0, 4 * n))
+        nodes = np.asarray([f"n{i:03d}" for i in range(n)], dtype=object)
+        src_i = rng.randint(0, n, n_edges)
+        dst_i = rng.randint(0, n, n_edges)
+        keep = src_i != dst_i
+        src_i, dst_i = src_i[keep], dst_i[keep]
+        iters = 30
+        t = _pagerank_local(
+            nodes,
+            nodes[src_i],
+            nodes[dst_i],
+            iterations=iters,
+            scale=10**12,
+            damp_num=85,
+            damp_den=100,
+        )
+        got = np.asarray(t.column("pagerank").to_pylist())
+        rs = np.asarray(t.column("rank_scaled").to_pylist())
+        order = {u: i for i, u in enumerate(t.column("url").to_pylist())}
+        # float reference with the same update rule
+        od = np.bincount(src_i, minlength=n).astype(float)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            if len(src_i):
+                np.add.at(contrib, dst_i, r[src_i] / od[src_i])
+            d = r[od == 0].sum()
+            r = 0.15 / n + 0.85 * (contrib + d / n)
+        ref = np.asarray([r[int(u[1:])] for u in t.column("url").to_pylist()])
+        # fixed-point tracks float to ~per-iteration floor loss
+        assert np.max(np.abs(got - ref)) < iters * n * 1e-12 + 1e-9
+        # invariants
+        jump = (15 * 10**12) // (100 * n)
+        assert (rs >= jump).all()
+        total = int(rs.sum())
+        assert 0 < 10**12 - total < (iters + 2) * (n + 2) * 4
+        # node ids round-trip (every node present exactly once)
+        assert len(order) == n
