@@ -590,3 +590,71 @@ def semdedup(
         assign, batch_format="pyarrow"
     )
     return assigned.groupby("cluster_id").map_groups(mark, batch_format="pyarrow")
+
+
+def gram_matrix(embeddings_ds, scale: int = 1_000_000):
+    """Distributed Gram matrix G = X^T X over the embedding column
+    (upper triangle i <= j), the second-moment statistic behind PCA /
+    whitening / covariance of an embedding corpus.
+
+    Exactness: each coordinate is quantized q = round_half_away(x *
+    scale) to int64 fixed-point (the catalog-oracle discipline — float32
+    -> float64 casts are exact, the quantized products and sums are
+    integer-exact in both engines), and the reported ``gram`` is ONE
+    division of the exactly-reconstructed integer sum by scale^2, so the
+    double is bit-identical between Ray and the DuckDB oracle regardless
+    of summation order.
+
+    100-TB shape: each input block contributes ONE d*(d+1)/2-row int64
+    partial (d=64 -> 2080 rows, ~50 KB) computed as a vectorized integer
+    matmul inside map_batches; the reduce is a bounded-key groupby over
+    d^2 keys, so exchange traffic is O(blocks * d^2) — independent of
+    corpus row count — and no stage ever materializes the row dimension.
+    int64 headroom: |q| <= scale * max|x|; at scale=1e6, max|x|~4 the
+    per-row product is <= 1.6e13, overflowing int64 only past ~5e5 rows
+    PER PARTIAL — far above any single block — while the cross-block sum
+    is exact because the groupby sum is promoted (Arrow sum of int64
+    overflow-checked; at web scale lower `scale` to 1e4 or reduce per
+    the docholder note below).
+    """
+    from ..stages.textstats import round_half_away
+
+    empty = pa.table(
+        {
+            "i": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "g": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-pinned empty (Acero/groupby hazard)
+            return empty
+        x = _to_matrix(batch)
+        q = round_half_away(x * float(scale), 0).astype(np.int64)
+        g = q.T @ q
+        ii, jj = np.triu_indices(g.shape[0])
+        return pa.table(
+            {
+                "i": pa.array(ii.astype(np.int64)),
+                "j": pa.array(jj.astype(np.int64)),
+                "g": pa.array(g[ii, jj]),
+            }
+        )
+
+    parts = embeddings_ds.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    red = parts.groupby(["i", "j"]).sum("g")
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.column("sum(g)").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "i": t.column("i"),
+                "j": t.column("j"),
+                "gram": pa.array(g / float(scale) ** 2, pa.float64()),
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow").sort(["i", "j"])

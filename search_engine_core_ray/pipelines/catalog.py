@@ -1451,6 +1451,36 @@ def q_lsh_ann(sf_dir: str):
     )
 
 
+@_q(
+    "gram_matrix",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT e.vec_id, gs.k - 1 AS k,
+             CAST(round(CAST(e.embedding[gs.k] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS k) gs
+    )
+    SELECT a.k AS i, b.k AS j,
+           CAST(SUM(a.qv * b.qv) AS DOUBLE) / 1e12 AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.k <= b.k
+    GROUP BY 1, 2
+    ORDER BY i, j
+    """,
+)
+def q_gram_matrix(sf_dir: str):
+    """Second-moment (Gram) matrix of the embedding corpus, upper
+    triangle — the one-pass statistic behind PCA / covariance /
+    whitening of a 100-TB embedding table.  Per-block int64 fixed-point
+    partials (quantize at 1e-6, vectorized integer matmul) reduced by a
+    bounded d^2-key groupby; exchange is O(blocks * d^2), never O(rows),
+    and the reported double is one division of exactly-reconstructed
+    integers so Ray and DuckDB agree bit-for-bit."""
+    from ..functions.similarity import gram_matrix
+
+    return gram_matrix(_read(sf_dir, "embeddings"), scale=1_000_000)
+
+
 # ======================================================================
 # multimodal: REAL stdlib PNG/WAV codecs (video decode stays stubbed)
 # ======================================================================

@@ -622,3 +622,34 @@ def test_simhash_near_dupes_paths_identical(ray_session):
     assert [(r["a"], r["b"], r["hamming"]) for r in a] == [
         (r["a"], r["b"], r["hamming"]) for r in b
     ]
+
+
+def test_gram_matrix_matches_numpy_and_is_psd(ray_session):
+    """gram_matrix == numpy X^T X on the quantized coordinates (exact),
+    and the reconstructed full matrix is symmetric PSD with a positive
+    diagonal — i.e. it really is a second-moment matrix, not vacuous."""
+    import pyarrow.parquet as pq
+
+    from search_engine_core_ray.functions.similarity import gram_matrix
+    from search_engine_core_ray.stages.textstats import round_half_away
+
+    sf = "/root/testdata/sf0.001"
+    out = gram_matrix(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet"), scale=1_000_000
+    ).to_pandas()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = round_half_away(x * 1e6, 0).astype(np.int64)
+    g_ref = (q.T @ q).astype(np.float64) / 1e12
+
+    d = x.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    full = np.zeros((d, d))
+    ii = out["i"].to_numpy()
+    jj = out["j"].to_numpy()
+    full[ii, jj] = out["gram"].to_numpy()
+    full[jj, ii] = out["gram"].to_numpy()
+    assert (full == np.where(np.ones((d, d)), g_ref, 0)).all()
+    assert (np.diag(full) > 0).all()
+    assert np.linalg.eigvalsh(full).min() > -1e-6
