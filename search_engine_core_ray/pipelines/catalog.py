@@ -1481,6 +1481,48 @@ def q_gram_matrix(sf_dir: str):
     return gram_matrix(_read(sf_dir, "embeddings"), scale=1_000_000)
 
 
+@_q(
+    "cooccurrence_pmi",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(tl) AS tok,
+             unnest(generate_series(1, len(tl)))::BIGINT AS pos
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tl
+            FROM documents) d
+    ),
+    offs AS (SELECT unnest(range(1, 3)) AS o),
+    pairs AS MATERIALIZED (
+      SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b,
+             count(*)::BIGINT AS c_ab
+      FROM toks x JOIN offs ON true
+           JOIN toks y ON y.doc_id = x.doc_id AND y.pos = x.pos + offs.o
+      GROUP BY 1, 2
+    ),
+    uni AS MATERIALIZED (
+      SELECT tok, count(*)::BIGINT AS u FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS t FROM toks)
+    SELECT p.a, p.b, p.c_ab,
+           round(ln(CAST(p.c_ab * tot.t AS DOUBLE)
+                    / CAST(ua.u * ub.u AS DOUBLE)), 6) AS pmi
+    FROM pairs p, tot, uni ua, uni ub
+    WHERE ua.tok = p.a AND ub.tok = p.b AND p.c_ab >= 3
+    """,
+)
+def q_cooccurrence_pmi(sf_dir: str):
+    """Skip-gram co-occurrence + PMI (window 2, min_count 3) — the
+    word2vec/GloVe training-data statistic over the web-text corpus.
+    Pair extraction is map-only with a per-batch polars combine; both
+    corpus-proportional reductions (pair counts, unigram counts) run
+    through sorted_agg; the unigram attach is a gated join.  PMI is
+    ln of exact int64 products cast to double identically in both
+    engines, rounded half-away at 6 digits (libm-ulp guard)."""
+    from ..stages.textstats import cooccurrence_pmi
+
+    return cooccurrence_pmi(_docs(sf_dir), window=2, min_count=3)
+
+
 # ======================================================================
 # multimodal: REAL stdlib PNG/WAV codecs (video decode stays stubbed)
 # ======================================================================

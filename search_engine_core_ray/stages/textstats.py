@@ -628,3 +628,153 @@ def familiarity_buckets(docs_ds, n_buckets: int = 3):
     # merge the sort's schema-less empty range partitions (they bypass
     # the map UDFs above and would surface in the output)
     return out.repartition(max(1, min(srt.num_blocks(), 16)))
+
+
+def cooccurrence_pmi(
+    docs_ds,
+    window: int = 2,
+    min_count: int = 3,
+    round_digits: int = 6,
+    broadcast_limit: int | None = None,
+):
+    """Skip-gram co-occurrence counts + PMI over the document token
+    stream — the statistic word2vec-style embedding training data is
+    built from (Levy & Goldberg 2014's implicit matrix; Church & Hanks
+    1990 PMI).
+
+    Semantics (replayed exactly by the SQL oracle): tokens are the
+    postings tokenizer's ``[a-z0-9]{2,}`` runs of lower(text) in
+    document order; every position pair (i, j) with i < j <= i+window
+    inside one document is ONE co-occurrence event for the unordered,
+    lexicographically-normalized pair (least, greatest); ``c_ab`` sums
+    events over the corpus; ``pmi = ln(c_ab * T / (u_a * u_b))`` with
+    ``u_x`` the corpus unigram count and ``T`` total tokens, rounded
+    half-away (``round_digits``) because DuckDB/libm ``ln`` may differ
+    in the last ulp.  The log argument's numerator/denominator are
+    exact int64 products cast to double identically in both engines.
+
+    100-TB shape: pair extraction + a per-batch polars combine are
+    map-only (exchange rows = distinct pairs per block, not token
+    events); both reductions run through ``sorted_agg`` because the
+    key spaces (vocab^2-bounded pairs, vocab) grow with the corpus;
+    the unigram attach is a ``gated_left_join`` (broadcast under the
+    row gate, distributed hash join above).  int64 headroom: c_ab * T
+    overflows past T ~ 3e9 * c_ab — at full web scale compute the log
+    argument as ln(c_ab) + ln(T) - ln(u_a) - ln(u_b) instead; kept as
+    the exact-product form here because it is bit-replayable in SQL.
+    """
+    from ..functions.joins import gated_left_join
+    from .shuffle import AUTO_THRESHOLD, _unlarge, sorted_agg
+
+    pair_empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    uni_empty = pa.table(
+        {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def _explode(batch: pa.Table):
+        df = pl.from_arrow(batch.select(["text"]))
+        ex = (
+            df.with_columns(
+                pl.col("text")
+                .fill_null("")
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]{2,}")
+                .alias("tok")
+            )
+            .drop("text")
+            .with_row_index("did")
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        return ex["tok"].to_numpy(), ex["did"].to_numpy()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        tok, did = _explode(batch)
+        if len(tok) == 0:
+            return pair_empty
+        xs, ys = [], []
+        for o in range(1, window + 1):
+            if o >= len(tok):
+                break
+            same = did[:-o] == did[o:]
+            xs.append(tok[:-o][same])
+            ys.append(tok[o:][same])
+        if not xs or not sum(len(x) for x in xs):
+            return pair_empty
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        lo = x <= y  # ASCII tokens: python/duckdb binary collation agree
+        part = (
+            pl.DataFrame({"a": np.where(lo, x, y), "b": np.where(lo, y, x)})
+            .group_by(["a", "b"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return _unlarge(part.to_arrow())
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        tok, _did = _explode(batch)
+        if len(tok) == 0:
+            return uni_empty
+        part = (
+            pl.DataFrame({"term": tok})
+            .group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return _unlarge(part.to_arrow())
+
+    pairs = sorted_agg(
+        docs_ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["a", "b"],
+        {"c_ab": ("sum", "cnt")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).map_batches(
+        lambda b, _m=min_count: b.filter(
+            pc.greater_equal(b.column("c_ab"), _m)
+        ),
+        batch_format="pyarrow",
+    )
+    uni = sorted_agg(
+        docs_ds.map_batches(uni_partial, batch_format="pyarrow"),
+        "term",
+        {"u": ("sum", "cnt")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+    total_tokens = int(uni.sum("u"))
+
+    join_kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
+    with_ua = gated_left_join(pairs, "a", uni, "term", ["u"], **join_kw).map_batches(
+        lambda b: b.rename_columns(
+            ["u_a" if c == "u" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_ub = gated_left_join(with_ua, "b", uni, "term", ["u"], **join_kw).map_batches(
+        lambda b: b.rename_columns(
+            ["u_b" if c == "u" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("c_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+        ua = t.column("u_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        ub = t.column("u_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (c * total_tokens).astype(np.float64)
+        den = (ua * ub).astype(np.float64)
+        pmi = round_half_away(np.log(num / den), round_digits)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "c_ab": pa.array(c),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return with_ub.map_batches(score, batch_format="pyarrow")

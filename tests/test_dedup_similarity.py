@@ -653,3 +653,23 @@ def test_gram_matrix_matches_numpy_and_is_psd(ray_session):
     assert (full == np.where(np.ones((d, d)), g_ref, 0)).all()
     assert (np.diag(full) > 0).all()
     assert np.linalg.eigvalsh(full).min() > -1e-6
+
+
+def test_cooccurrence_pmi_tiers_identical_and_nonvacuous(ray_session):
+    """Broadcast vs distributed-hash-join unigram attach give identical
+    (a, b, c_ab, pmi) rows, and the synth corpus actually produces
+    pairs above min_count with varying PMI (non-vacuity)."""
+    from search_engine_core_ray.stages.textstats import cooccurrence_pmi
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    key = lambda r: (r["a"], r["b"])
+    got = sorted(cooccurrence_pmi(docs).take_all(), key=key)
+    forced = sorted(
+        cooccurrence_pmi(docs, broadcast_limit=0).take_all(), key=key
+    )
+    assert len(got) > 100  # real pair mass, not a trivial handful
+    assert got == forced
+    pmis = {r["pmi"] for r in got}
+    assert len(pmis) > 10  # PMI varies — the statistic is informative
