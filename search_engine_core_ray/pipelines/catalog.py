@@ -1523,6 +1523,55 @@ def q_cooccurrence_pmi(sf_dir: str):
     return cooccurrence_pmi(_docs(sf_dir), window=2, min_count=3)
 
 
+@_q(
+    "doclen_quantiles",
+    """
+    WITH lens AS MATERIALIZED (
+      SELECT len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))::BIGINT AS v
+      FROM documents
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM lens),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum
+      FROM (SELECT v, count(*)::BIGINT AS cnt FROM lens GROUP BY 1)
+    ),
+    qs AS (SELECT unnest([25, 50, 75, 95, 99])::BIGINT AS pct)
+    SELECT qs.pct, MIN(cum.v) AS value
+    FROM qs, tot, cum
+    WHERE cum.cum >= (qs.pct * tot.n + 99) // 100
+    GROUP BY qs.pct
+    ORDER BY pct
+    """,
+)
+def q_doclen_quantiles(sf_dir: str):
+    """Exact token-length percentiles of the corpus (p25/50/75/95/99) —
+    the profiling statistic length-based quality filters are thresholded
+    on at corpus scale.  Map-side value-count combine, sorted_agg over
+    the distinct-length DOMAIN (bounded by max tokens per doc, not by
+    corpus rows), integer-exact rank selection — no float anywhere."""
+    from ..stages.shuffle import exact_int_quantiles
+    from ..stages.textstats import TOKEN_RE
+
+    def nlen(b: pa.Table) -> pa.Table:
+        lens = (
+            pl.from_arrow(b.select(["text"]))
+            .select(
+                pl.col("text")
+                .fill_null("")
+                .str.to_lowercase()
+                .str.count_matches(r"[a-z0-9]{2,}")
+                .cast(pl.Int64)
+                .alias("n_tok")
+            )
+        )
+        return lens.to_arrow()
+
+    lens = _docs(sf_dir, columns=("text",)).map_batches(
+        nlen, batch_format="pyarrow"
+    )
+    return exact_int_quantiles(lens, "n_tok", [25, 50, 75, 95, 99])
+
+
 # ======================================================================
 # multimodal: REAL stdlib PNG/WAV codecs (video decode stays stubbed)
 # ======================================================================

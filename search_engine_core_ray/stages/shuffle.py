@@ -278,3 +278,73 @@ def grouped_topk(
         )
 
     return folded.map_batches(with_rank, batch_format="pyarrow")
+
+
+def exact_int_quantiles(ds, col: str, pcts: list[int]):
+    """Exact percentiles of an integer column, distributed: per-batch
+    value-count combine (map-side), a ``sorted_agg`` reduce over the
+    DISTINCT VALUE DOMAIN, then the rank selection on the domain-sized
+    histogram.  Returns a Dataset of (pct int64, value int64).
+
+    Percentile rule (mirrored by the SQL oracle's window cumsum):
+    value(p) = min v such that cum_count(v) >= ceil(p * N / 100),
+    with ceil done in exact integer arithmetic ((p*N + 99) // 100) —
+    no float enters the computation at all, so the result is
+    bit-exact by construction.
+
+    100-TB shape: exchange rows per block = DISTINCT values in the
+    block, never row count; the one driver-side collect is the merged
+    histogram, bounded by the VALUE DOMAIN (for doc token lengths,
+    max-tokens-per-doc distinct values — thousands — independent of
+    corpus row count).  For unbounded/continuous domains bucket the
+    value first; this primitive is for genuinely domain-bounded ints.
+    """
+    empty = pa.table(
+        {"v": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        part = (
+            pl.from_arrow(b.select([col]))
+            .rename({col: "v"})
+            .group_by("v")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return _unlarge(part.with_columns(pl.col("v").cast(pl.Int64)).to_arrow())
+
+    merged = sorted_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        "v",
+        {"cnt": ("sum", "cnt")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    rows = merged.take_all()  # domain-bounded, by contract above
+    rows.sort(key=lambda r: r["v"])
+    vals = [r["v"] for r in rows]
+    cum = []
+    run = 0
+    for r in rows:
+        run += r["cnt"]
+        cum.append(run)
+    n = run
+    import ray.data
+
+    if n == 0:  # empty input: no percentile is defined
+        return ray.data.from_arrow(
+            pa.table(
+                {"pct": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}
+            )
+        )
+    out_p, out_v = [], []
+    for p in pcts:
+        rank = (p * n + 99) // 100
+        idx = next(i for i, c in enumerate(cum) if c >= rank)
+        out_p.append(int(p))
+        out_v.append(int(vals[idx]))
+    return ray.data.from_arrow(
+        pa.table(
+            {"pct": pa.array(out_p, pa.int64()), "value": pa.array(out_v, pa.int64())}
+        )
+    )

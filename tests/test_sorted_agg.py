@@ -220,3 +220,34 @@ def test_grouped_topk_matches_local_oracle(ray_session):
         .sort_values(["g", "rk"], ignore_index=True)
     )
     assert got[["g", "v", "u", "rk"]].values.tolist() == exp[["g", "v", "u", "rk"]].values.tolist()
+
+
+def test_exact_int_quantiles_matches_local_rule(ray_session):
+    """exact_int_quantiles == the local min-v-with-cum>=ceil(pN/100)
+    rule on random skewed ints, across many blocks."""
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import exact_int_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.7, size=20_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(13)
+    got = {
+        r["pct"]: r["value"]
+        for r in exact_int_quantiles(ds, "x", [1, 25, 50, 75, 95, 99, 100]).take_all()
+    }
+    s = np.sort(vals)
+    n = len(s)
+    for p, v in got.items():
+        rank = (p * n + 99) // 100
+        assert v == s[rank - 1], (p, v, s[rank - 1])
+    assert got[100] == s[-1] and got[1] == s[(1 * n + 99) // 100 - 1]
+
+
+def test_exact_int_quantiles_empty(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import exact_int_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert exact_int_quantiles(ds, "x", [50]).take_all() == []
