@@ -658,3 +658,78 @@ def gram_matrix(embeddings_ds, scale: int = 1_000_000):
         )
 
     return red.map_batches(finish, batch_format="pyarrow").sort(["i", "j"])
+
+
+def embedding_dim_stats(embeddings_ds, scale: int = 1_000_000):
+    """Per-dimension count / mean / population variance of the embedding
+    corpus — the normalization statistics for whitening and feature
+    scaling (companion to :func:`gram_matrix`).
+
+    Exactness: coordinates are quantized to int64 fixed-point
+    (``round_half_away(x * scale)``); each block emits one d-row partial
+    (k, n, s, ss); the reduce is a bounded d-key groupby.  The final
+    d-row table converts the exact rationals to doubles with ONE
+    division each — mean = s / (n*scale), var = (n*ss - s^2) /
+    (n^2 * scale^2) — computed in arbitrary-precision Python ints
+    (s^2 exceeds int64 already at ~10k rows) and mirrored by the
+    oracle in HUGEINT, so the doubles are bit-identical.
+
+    100-TB shape: exchange is O(blocks * d); the final map touches d
+    rows (a Python loop over DIMENSIONS, not rows).  int64 partial
+    headroom: per-block ss <= rows * (scale*max|x|)^2 — at scale=1e6
+    the corpus-wide int64 ss sum overflows past ~1e18/(4e12) ~ 250B
+    rows; beyond that lower ``scale`` (1e4 buys 4 orders) or shard the
+    reduce by row range.
+    """
+    from ..stages.textstats import round_half_away
+
+    empty = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "ss": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        x = _to_matrix(batch)
+        q = round_half_away(x * float(scale), 0).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "k": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, q.shape[0], dtype=np.int64)),
+                "s": pa.array(q.sum(axis=0, dtype=np.int64)),
+                "ss": pa.array((q * q).sum(axis=0, dtype=np.int64)),
+            }
+        )
+
+    red = (
+        embeddings_ds.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum(["n", "s", "ss"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ks = t.column("k").to_pylist()
+        ns = t.column("sum(n)").to_pylist()
+        ss_ = t.column("sum(s)").to_pylist()
+        sss = t.column("sum(ss)").to_pylist()
+        means, vars_ = [], []
+        for n, s, ss in zip(ns, ss_, sss):  # O(d) rows — exact big-int math
+            means.append(float(s) / float(n * scale))
+            vars_.append(float(n * ss - s * s) / float(n * n * scale * scale))
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "mean": pa.array(means, pa.float64()),
+                "var_pop": pa.array(vars_, pa.float64()),
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow").sort("k")

@@ -1572,6 +1572,39 @@ def q_doclen_quantiles(sf_dir: str):
     return exact_int_quantiles(lens, "n_tok", [25, 50, 75, 95, 99])
 
 
+@_q(
+    "embedding_dim_stats",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT gs.k - 1 AS k,
+             CAST(round(CAST(e.embedding[gs.k] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS k) gs
+    ),
+    agg AS (
+      SELECT k, count(*)::BIGINT AS n, SUM(qv)::HUGEINT AS s,
+             SUM(qv::HUGEINT * qv)::HUGEINT AS ss
+      FROM q GROUP BY 1
+    )
+    SELECT k, n,
+           CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean,
+           CAST(n * ss - s * s AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n * 1000000000000 AS DOUBLE) AS var_pop
+    FROM agg ORDER BY k
+    """,
+)
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance of the embedding corpus in exact
+    fixed-point — whitening / feature-scaling statistics.  One d-row
+    int64 partial per block, bounded d-key groupby reduce, exact
+    big-int rationals converted to doubles with one division each
+    (HUGEINT-mirrored in the oracle, bit-identical)."""
+    from ..functions.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_read(sf_dir, "embeddings"), scale=1_000_000)
+
+
 # ======================================================================
 # multimodal: REAL stdlib PNG/WAV codecs (video decode stays stubbed)
 # ======================================================================

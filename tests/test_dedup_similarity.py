@@ -673,3 +673,33 @@ def test_cooccurrence_pmi_tiers_identical_and_nonvacuous(ray_session):
     assert got == forced
     pmis = {r["pmi"] for r in got}
     assert len(pmis) > 10  # PMI varies — the statistic is informative
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    """dim stats equal numpy moments computed on the quantized
+    coordinates (exact), and variance is strictly positive on real
+    embedding data."""
+    import pyarrow.parquet as pq
+
+    from search_engine_core_ray.functions.similarity import embedding_dim_stats
+    from search_engine_core_ray.stages.textstats import round_half_away
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        embedding_dim_stats(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet"), scale=1_000_000
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = round_half_away(x * 1e6, 0).astype(object)  # exact big-int math
+    n = q.shape[0]
+    for k in range(q.shape[1]):
+        col = [int(v) for v in q[:, k]]
+        s, ss = sum(col), sum(v * v for v in col)
+        assert out["n"][k] == n
+        assert out["mean"][k] == float(s) / float(n * 10**6)
+        assert out["var_pop"][k] == float(n * ss - s * s) / float(n * n * 10**12)
+    assert (out["var_pop"] > 0).all()
