@@ -778,3 +778,181 @@ def cooccurrence_pmi(
         )
 
     return with_ub.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_related_docs(
+    docs_ds,
+    n_docs: int,
+    k: int = 5,
+    df_min: int = 2,
+    df_max: int | None = None,
+    idf_scale: int = 1000,
+    round_digits: int = 4,
+    num_partitions: int = 8,
+    broadcast_limit: int | None = None,
+):
+    """Related documents by sparse TF-IDF cosine through the inverted
+    index — the classic more-like-this / lexical-clustering operator:
+    docs are vectors in the term space restricted to ``df_min <= df <=
+    df_max`` (rare/stop-term pruning — ALSO the scale guard: the pair
+    exchange is bounded by sum_term df^2 <= df_max * |postings|, the
+    standard bound for postings-self-join similarity), pair dot
+    products ride a term-partitioned distributed hash join, and the
+    per-doc top-k cut is a per-batch vectorized prune followed by a
+    hash-partitioned groupby(doc_id) cut — no driver concentration.
+
+    Exactness: idf is quantized to int64 milli-nats (``round_half_away
+    (ln(N/df) * idf_scale)`` — N/df and the ln argument are identical
+    doubles in both engines; the rounding absorbs libm ulp skew), so
+    weights w = tf * idf_q, norms sum(w^2) and pair numerators
+    sum(w_a*w_b) are exact int64; cosine divides identical doubles
+    (IEEE sqrt is correctly rounded), rounded at ``round_digits`` with
+    neighbor-id tiebreak for engine-exact ranking.  int64 headroom:
+    per-doc sum(w^2) <= terms * (tf * ln(N)*scale)^2 — overflows only
+    past ~1e9 tf*idf mass per doc; lower idf_scale if a corpus nears it.
+
+    Returns (doc_id, neighbor_id, rnk, cos) with rnk 1-based per doc.
+    """
+    from ..functions.joins import gated_left_join
+    from .shuffle import AUTO_THRESHOLD, _unlarge, sorted_agg
+
+    if df_max is None:
+        df_max = max(df_min, n_docs // 4)
+    join_kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
+
+    tf = docs_ds.map_batches(content_postings, batch_format="pyarrow")
+    df_tbl = sorted_agg(
+        tf, "term", {"df": ("count", "doc_id")}, auto_threshold=AUTO_THRESHOLD
+    )
+
+    def to_idf(b: pa.Table) -> pa.Table:
+        dfv = b.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (dfv >= df_min) & (dfv <= df_max)
+        t = b.filter(pa.array(keep))
+        dfk = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        idf_q = round_half_away(np.log(float(n_docs) / dfk) * idf_scale, 0)
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "idf_q": pa.array(idf_q.astype(np.int64)),
+            }
+        )
+
+    idf_tbl = df_tbl.map_batches(to_idf, batch_format="pyarrow")
+
+    w_attached = gated_left_join(tf, "term", idf_tbl, "term", ["idf_q"], **join_kw)
+
+    def to_w(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("idf_q")))  # pruned terms out
+        w = pc.multiply_checked(
+            pc.cast(t.column("tf"), pa.int64()), t.column("idf_q")
+        )
+        return pa.table(
+            {"term": t.column("term"), "doc_id": t.column("doc_id"), "w": w}
+        )
+
+    w_ds = w_attached.map_batches(to_w, batch_format="pyarrow").materialize()
+
+    norm2 = sorted_agg(
+        w_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "w2": pc.multiply_checked(b.column("w"), b.column("w")),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "doc_id",
+        {"n2": ("sum", "w2")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+    right = w_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "term": b.column("term"),
+                "doc_b": b.column("doc_id"),
+                "w_b": b.column("w"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = w_ds.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("term",)
+    ).repartition(num_partitions)
+
+    def prod(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("doc_id"), b.column("doc_b")))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "doc_b": t.column("doc_b"),
+                "p": pc.multiply_checked(t.column("w"), t.column("w_b")),
+            }
+        )
+
+    nums = sorted_agg(
+        joined.map_batches(prod, batch_format="pyarrow"),
+        ["doc_id", "doc_b"],
+        {"num": ("sum", "p")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+    with_na = gated_left_join(
+        nums, "doc_id", norm2, "doc_id", ["n2"], **join_kw
+    ).map_batches(
+        lambda b: b.rename_columns(["n2_a" if c == "n2" else c for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+    with_nb = gated_left_join(
+        with_na, "doc_b", norm2, "doc_id", ["n2"], **join_kw
+    ).map_batches(
+        lambda b: b.rename_columns(["n2_b" if c == "n2" else c for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+
+    def cos_mirror(b: pa.Table) -> pa.Table:
+        num = b.column("num").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b.column("n2_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = b.column("n2_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        cos = round_half_away(num / (np.sqrt(na) * np.sqrt(nb)), round_digits)
+        da = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([da, db])),
+                "neighbor_id": pa.array(np.concatenate([db, da])),
+                "cos": pa.array(np.concatenate([cos, cos]), pa.float64()),
+            }
+        )
+
+    sym = with_nb.map_batches(cos_mirror, batch_format="pyarrow")
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return _unlarge(
+            pl.from_arrow(b)
+            .sort(["cos", "neighbor_id"], descending=[True, False])
+            .group_by("doc_id", maintain_order=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    def cut(g: pa.Table) -> pa.Table:
+        t = (
+            pl.from_arrow(g)
+            .sort(["cos", "neighbor_id"], descending=[True, False])
+            .head(k)
+            .with_row_index("rnk", offset=1)
+            .with_columns(pl.col("rnk").cast(pl.Int64))
+            .select(["doc_id", "neighbor_id", "rnk", "cos"])
+        )
+        return _unlarge(t.to_arrow())
+
+    return (
+        sym.map_batches(prune, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(cut, batch_format="pyarrow")
+    )

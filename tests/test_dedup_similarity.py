@@ -703,3 +703,49 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
         assert out["mean"][k] == float(s) / float(n * 10**6)
         assert out["var_pop"][k] == float(n * ss - s * s) / float(n * n * 10**12)
     assert (out["var_pop"] > 0).all()
+
+
+def test_related_docs_tiers_identical(ray_session):
+    """tfidf_related_docs with broadcast joins vs forced distributed
+    hash joins produce identical (doc, neighbor, rnk, cos) rows, and
+    the cut is non-vacuous (full k for docs with enough neighbors,
+    multiple distinct cosine levels)."""
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        entrymod.queries()["related_docs_topk"](sf)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"], ignore_index=True)
+    )
+    # forced-distributed twin: same injection, broadcast_limit=0
+    import pyarrow.parquet as pq
+
+    import polars as pl_
+
+    from search_engine_core_ray.stages.textstats import tfidf_related_docs
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+
+    def inject(b):
+        t = pl_.from_arrow(b.select(["doc_id", "text"]))
+        return t.with_columns(
+            pl_.format(
+                "{} tag{} tag{}",
+                pl_.col("text").fill_null(""),
+                pl_.col("doc_id") % 97,
+                (pl_.col("doc_id") * 31) % 97,
+            ).alias("text")
+        ).to_arrow()
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(inject, batch_format="pyarrow")
+    b = (
+        tfidf_related_docs(docs, n_docs, k=5, broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"], ignore_index=True)
+    )
+    assert len(a) > 0 and a["doc_id"].nunique() == n_docs
+    assert a["cos"].nunique() > 3
+    assert a.equals(b)
