@@ -3240,6 +3240,74 @@ def q_link_stats(sf_dir: str):
     return link_stats(read_documents_as_linked_pages(sf_dir))
 
 
+def _hits_sql(iterations: int | None = None, scale: int = 10**12) -> str:
+    """Programmatically unrolled fixed-point HITS oracle (quotient
+    renormalization — see stages/linkgraph.py): per iteration six
+    chained MATERIALIZED CTEs — raw authority mass ra{k}, quotient
+    qa{k}, normalized a{k}, then the mirrored hub triple — in pure
+    BIGINT arithmetic, bit-identical to the Ray paths by construction."""
+    from ..stages.linkgraph import HITS_ITERATIONS
+
+    iters = HITS_ITERATIONS if iterations is None else iterations
+    edge_ctes = _LINK_EDGE_CTES.strip().replace(" AS (", " AS MATERIALIZED (")
+    parts = [
+        "WITH " + edge_ctes + ",",
+        f"""
+    nodes AS MATERIALIZED (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url
+      FROM documents
+      UNION SELECT DISTINCT dst_url FROM e),
+    cnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT url, (SELECT {scale} // nn FROM cnt) AS r FROM nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    ra{k} AS MATERIALIZED (
+      SELECT e.dst_url AS url, SUM(h.r)::BIGINT AS s
+      FROM e JOIN h{k - 1} h ON e.src_url = h.url GROUP BY 1),
+    qa{k} AS MATERIALIZED (
+      SELECT GREATEST((SELECT COALESCE(SUM(s), 0)::BIGINT FROM ra{k})
+                      // {scale}, 1) AS q),
+    a{k} AS MATERIALIZED (
+      SELECT n.url, COALESCE(r.s, 0) // (SELECT q FROM qa{k}) AS r
+      FROM nodes n LEFT JOIN ra{k} r USING (url)),
+    rh{k} AS MATERIALIZED (
+      SELECT e.src_url AS url, SUM(a.r)::BIGINT AS s
+      FROM e JOIN a{k} a ON e.dst_url = a.url GROUP BY 1),
+    qh{k} AS MATERIALIZED (
+      SELECT GREATEST((SELECT COALESCE(SUM(s), 0)::BIGINT FROM rh{k})
+                      // {scale}, 1) AS q),
+    h{k} AS MATERIALIZED (
+      SELECT n.url, COALESCE(r.s, 0) // (SELECT q FROM qh{k}) AS r
+      FROM nodes n LEFT JOIN rh{k} r USING (url))""")
+    parts.append(f""",
+    sa AS (SELECT SUM(r)::BIGINT AS s FROM a{iters}),
+    sh AS (SELECT SUM(r)::BIGINT AS s FROM h{iters})
+    SELECT n.url, a.r AS auth_scaled, h.r AS hub_scaled,
+           CASE WHEN (SELECT s FROM sa) > 0
+                THEN CAST(a.r AS DOUBLE) / CAST((SELECT s FROM sa) AS DOUBLE)
+                ELSE 0.0 END AS authority,
+           CASE WHEN (SELECT s FROM sh) > 0
+                THEN CAST(h.r AS DOUBLE) / CAST((SELECT s FROM sh) AS DOUBLE)
+                ELSE 0.0 END AS hub
+    FROM nodes n JOIN a{iters} a USING (url) JOIN h{iters} h USING (url)""")
+    return "".join(parts)
+
+
+@_q("hits", _hits_sql())
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the corpus link
+    graph in fixed-point int64 with quotient renormalization — the
+    companion authority signal to pagerank; bit-exact vs the unrolled
+    SQL oracle (pure integer arithmetic; the two doubles are each one
+    division of the exact final vector by its exact integer sum)."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import hits
+
+    return hits(read_documents_as_linked_pages(sf_dir))
+
+
 @_q("pagerank", _pagerank_sql())
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (10 iterations, d=0.85) over pages

@@ -383,3 +383,238 @@ def _pagerank_distributed(
         ),
         batch_format="pyarrow",
     )
+
+
+# ----------------------------------------------------------------------
+# HITS (Kleinberg 1999): hubs & authorities — the second classic
+# link-analysis signal next to PageRank.  Same fixed-point integer
+# discipline: scores are int64 scaled by ``scale``; instead of the
+# float L2 normalization the update renormalizes by QUOTIENT DIVISION
+#     q = max(sum(raw) // scale, 1);  score = raw // q
+# which keeps every vector sum in [0, 2*scale) forever (for sums S >=
+# scale, S // q <= S / (S/scale - 1) -> ~scale; for S < 2*scale, q=1
+# keeps S), is pure positive integer arithmetic (floor == truncation in
+# every engine), and is therefore bit-replayable by the unrolled DuckDB
+# oracle.  Max intermediate = sum over edges of a capped score
+# <= max_out_degree * 2 * scale — int64-safe far past catalog scale
+# (overflow needs max_degree * scale > 9e18, i.e. degree ~ 4.6M at the
+# default 1e12 scale; lower ``scale`` for denser hubs).
+# ----------------------------------------------------------------------
+
+HITS_ITERATIONS = 8
+
+
+def _hits_local(
+    node_urls: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    iterations: int,
+    scale: int,
+) -> pa.Table:
+    """Vectorized in-memory HITS (the gated small path)."""
+    order = np.argsort(node_urls, kind="stable")
+    nodes_sorted = node_urls[order]
+    n = len(nodes_sorted)
+    si = np.searchsorted(nodes_sorted, src)
+    di = np.searchsorted(nodes_sorted, dst)
+    a = np.full(n, scale // n, dtype=np.int64)
+    h = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        ra = np.zeros(n, dtype=np.int64)
+        if len(si):
+            np.add.at(ra, di, h[si])
+        qa = max(int(ra.sum()) // scale, 1)
+        a = ra // qa
+        rh = np.zeros(n, dtype=np.int64)
+        if len(si):
+            np.add.at(rh, si, a[di])
+        qh = max(int(rh.sum()) // scale, 1)
+        h = rh // qh
+    sa, sh = int(a.sum()), int(h.sum())
+    return pa.table(
+        {
+            "url": pa.array(nodes_sorted, pa.string()),
+            "auth_scaled": pa.array(a, pa.int64()),
+            "hub_scaled": pa.array(h, pa.int64()),
+            "authority": pa.array(
+                a.astype(np.float64) / float(sa) if sa else np.zeros(n),
+                pa.float64(),
+            ),
+            "hub": pa.array(
+                h.astype(np.float64) / float(sh) if sh else np.zeros(n),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def hits(
+    pages,
+    *,
+    iterations: int = HITS_ITERATIONS,
+    scale: int = PR_SCALE,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    num_partitions: int = 8,
+):
+    """HITS hubs & authorities over the corpus link graph; returns a
+    Dataset (url, auth_scaled, hub_scaled, authority, hub) where the
+    doubles are ONE division of the exact final integer vector by its
+    exact integer sum — engine-identical.
+
+    Gate (same discipline as :func:`pagerank`): graphs under
+    ``broadcast_limit`` total rows solve vectorized on collected numpy
+    arrays; above it each half-iteration is one hash join (edges ⋈
+    scores, partitioned on the flow endpoint) + one ``sorted_agg``
+    (mass per node) + one gated left join onto the static node table,
+    with the normalization quotient an O(1) driver scalar per half
+    step.  Both paths are bit-identical (integer arithmetic;
+    conformance-tested).
+    """
+    edges = pages_to_edges(pages).materialize()
+    nodes = graph_nodes(pages, edges).materialize()
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+
+    if n_nodes + n_edges <= broadcast_limit:
+        node_urls = np.asarray(
+            [u for b in nodes.iter_batches(batch_size=None, batch_format="pyarrow")
+             for u in b.column("url").to_pylist()],
+            dtype=object,
+        )
+        src_l: list = []
+        dst_l: list = []
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            src_l.extend(b.column("src_url").to_pylist())
+            dst_l.extend(b.column("dst_url").to_pylist())
+        import ray.data
+
+        return ray.data.from_arrow(
+            _hits_local(
+                node_urls,
+                np.asarray(src_l, dtype=object),
+                np.asarray(dst_l, dtype=object),
+                iterations=iterations,
+                scale=scale,
+            )
+        )
+
+    return _hits_distributed(
+        nodes, edges,
+        iterations=iterations, scale=scale, num_partitions=num_partitions,
+    )
+
+
+def _hits_distributed(
+    nodes,
+    edges,
+    *,
+    iterations: int,
+    scale: int,
+    num_partitions: int,
+):
+    """Dataset-resident HITS iteration (the big path).  State: two
+    (url, r) Datasets over the full node set.  Same id-space narrowing
+    note as :func:`_pagerank_distributed`."""
+    n = nodes.count()
+
+    def init_scores(b: pa.Table) -> pa.Table:
+        return _unlarge(
+            pa.table(
+                {
+                    "url": b.column("url"),
+                    "r": pa.array([scale // n] * b.num_rows, pa.int64()),
+                }
+            )
+        )
+
+    h_ds = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    a_ds = h_ds
+
+    def half_step(score_ds, flow_from: str, flow_to: str):
+        """One HITS half-step: mass flows from ``flow_from`` endpoints
+        (scored by score_ds) onto ``flow_to`` endpoints, then quotient
+        renormalization."""
+        renamed = score_ds.map_batches(
+            lambda b, _f=flow_from: b.rename_columns(
+                [_f if c == "url" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        flows = edges.join(
+            renamed, join_type="inner",
+            num_partitions=num_partitions, on=(flow_from,),
+        ).repartition(num_partitions).map_batches(
+            lambda b, _t=flow_to: pa.table(
+                {"url": b.column(_t), "v": b.column("r")}
+            ),
+            batch_format="pyarrow",
+        )
+        raw = sorted_agg(
+            flows, "url", {"v": ("sum", "v")}, auto_threshold=AUTO_THRESHOLD
+        ).materialize()
+        total = raw.sum("v") or 0
+        q = max(int(total) // scale, 1)
+        return gated_left_join(nodes, "url", raw, "url", ["v"]).map_batches(
+            lambda b, _q=q: _unlarge(
+                pa.table(
+                    {
+                        "url": b.column("url"),
+                        "r": pa.array(
+                            pc.fill_null(b.column("v"), 0)
+                            .cast(pa.int64())
+                            .to_numpy(zero_copy_only=False)
+                            // _q,
+                            pa.int64(),
+                        ),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    for _ in range(iterations):
+        a_ds = half_step(h_ds, "src_url", "dst_url")
+        h_ds = half_step(a_ds, "dst_url", "src_url")
+
+    sa = int(a_ds.sum("r") or 0)
+    sh = int(h_ds.sum("r") or 0)
+    hub = h_ds.map_batches(
+        lambda b: b.rename_columns(
+            ["hub_scaled" if c == "r" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    both = gated_left_join(
+        a_ds.map_batches(
+            lambda b: b.rename_columns(
+                ["auth_scaled" if c == "r" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        ),
+        "url",
+        hub,
+        "url",
+        ["hub_scaled"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = b.column("auth_scaled").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b.column("hub_scaled").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "auth_scaled": pa.array(a),
+                "hub_scaled": pa.array(h),
+                "authority": pa.array(
+                    a.astype(np.float64) / float(sa) if sa else np.zeros(len(a)),
+                    pa.float64(),
+                ),
+                "hub": pa.array(
+                    h.astype(np.float64) / float(sh) if sh else np.zeros(len(h)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return both.map_batches(finish, batch_format="pyarrow")

@@ -188,3 +188,52 @@ def test_pagerank_local_properties_random_graphs():
         assert 0 < 10**12 - total < (iters + 2) * (n + 2) * 4
         # node ids round-trip (every node present exactly once)
         assert len(order) == n
+
+
+def test_hits_paths_identical(ray_session):
+    """Gated numpy HITS vs Dataset-resident iteration: bit-equal."""
+    from search_engine_core_ray.stages.linkgraph import hits
+
+    pages = read_documents_as_linked_pages(SF_DIR)
+    small = hits(pages, iterations=2).take_all()
+    big = hits(pages, iterations=2, broadcast_limit=0).take_all()
+    key = lambda r: r["url"]
+    small, big = sorted(small, key=key), sorted(big, key=key)
+    assert len(small) == len(big) > 0
+    for a, b in zip(small, big):
+        assert a["url"] == b["url"]
+        assert a["auth_scaled"] == b["auth_scaled"]
+        assert a["hub_scaled"] == b["hub_scaled"]
+        assert a["authority"] == b["authority"]
+        assert a["hub"] == b["hub"]
+
+
+def test_hits_local_matches_float_reference():
+    """Quotient-normalized int64 HITS tracks textbook L1-normalized
+    float HITS on a small graph (both normalize to sum=1 at the end)."""
+    from search_engine_core_ray.stages.linkgraph import _hits_local
+
+    #  hub 'a' points at both others; 'c' is the strongest authority
+    nodes = np.asarray(["a", "b", "c"], dtype=object)
+    src = np.asarray(["a", "a", "b"], dtype=object)
+    dst = np.asarray(["b", "c", "c"], dtype=object)
+    t = _hits_local(nodes, src, dst, iterations=40, scale=10**12)
+    auth = dict(zip(t.column("url").to_pylist(), t.column("authority").to_pylist()))
+    hub = dict(zip(t.column("url").to_pylist(), t.column("hub").to_pylist()))
+
+    a = np.full(3, 1 / 3)
+    h = np.full(3, 1 / 3)
+    si = np.array([0, 0, 1])
+    di = np.array([1, 2, 2])
+    for _ in range(200):
+        ra = np.zeros(3)
+        np.add.at(ra, di, h[si])
+        a = ra / ra.sum()
+        rh = np.zeros(3)
+        np.add.at(rh, si, a[di])
+        h = rh / rh.sum()
+    for i, u in enumerate(["a", "b", "c"]):
+        assert abs(auth[u] - a[i]) < 1e-6, (u, auth[u], a[i])
+        assert abs(hub[u] - h[i]) < 1e-6, (u, hub[u], h[i])
+    assert auth["c"] > auth["b"] > auth["a"] == 0.0
+    assert hub["a"] > hub["b"] > hub["c"] == 0.0
