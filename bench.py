@@ -279,7 +279,7 @@ def main() -> None:
         "rep_signals", "prepare_training_data", "contamination_frac",
         "familiarity_buckets", "link_stats", "pagerank",
         "incremental_minhash_dedup",
-        "cooccurrence_pmi", "related_docs_topk", "gram_matrix",
+        "cooccurrence_pmi", "related_docs_topk", "gram_matrix", "hits",
         # authority_ranked_topk is deliberately NOT benched: it is the
         # composition of bm25_topk + pagerank (both timed above), so a
         # suite slot would double-count their cost; CORRECTNESS covers it

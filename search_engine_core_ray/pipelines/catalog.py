@@ -3308,6 +3308,69 @@ def q_hits(sf_dir: str):
     return hits(read_documents_as_linked_pages(sf_dir))
 
 
+@_q(
+    "cocitation",
+    f"""
+    WITH {_LINK_EDGE_CTES.strip()},
+    hubs AS (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS src_url,
+             'https://hub.example.com/topic/' || (doc_id % 7) AS dst_url
+      FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id,
+             'https://hub.example.com/topic/' || ((doc_id * 3) % 7)
+      FROM documents),
+    alle AS MATERIALIZED (
+      SELECT DISTINCT src_url, dst_url
+      FROM (SELECT * FROM e UNION ALL SELECT * FROM hubs))
+    SELECT a.dst_url AS x, b.dst_url AS y, count(*)::BIGINT AS cocitations
+    FROM alle a JOIN alle b ON a.src_url = b.src_url AND a.dst_url < b.dst_url
+    GROUP BY 1, 2
+    """,
+)
+def q_cocitation(sf_dir: str):
+    """Co-citation strength (Small 1973) over the link graph: distinct
+    citing sources per unordered target pair, via sorted_distinct +
+    src-partitioned self-join + sorted_agg count.  The organic fixture
+    edges co-cite every pair exactly once (pseudo-random targets), so
+    the entry injects two deterministic topic-hub citations per page
+    IN-QUERY (mirrored in SQL) — hub-hub pairs then reach counts ~N/7,
+    hub-organic pairs small counts, organic-organic 1: the count
+    statistic is informative, not constant."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import cocitation_counts, pages_to_edges
+
+    organic = pages_to_edges(read_documents_as_linked_pages(sf_dir))
+
+    def hub_edges(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["doc_id", "source"])).with_columns(
+            pl.format(
+                "https://{}.example.com/doc/{}",
+                pl.col("source"),
+                pl.col("doc_id"),
+            ).alias("src_url")
+        )
+        h1 = t.with_columns(
+            pl.format(
+                "https://hub.example.com/topic/{}", pl.col("doc_id") % 7
+            ).alias("dst_url")
+        )
+        h2 = t.with_columns(
+            pl.format(
+                "https://hub.example.com/topic/{}", (pl.col("doc_id") * 3) % 7
+            ).alias("dst_url")
+        )
+        out = pl.concat([h1, h2]).select(["src_url", "dst_url"])
+        return out.to_arrow().cast(
+            pa.schema([("src_url", pa.string()), ("dst_url", pa.string())])
+        )
+
+    hubs = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        hub_edges, batch_format="pyarrow"
+    )
+    return cocitation_counts(organic.union(hubs))
+
+
 @_q("pagerank", _pagerank_sql())
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (10 iterations, d=0.85) over pages

@@ -618,3 +618,52 @@ def _hits_distributed(
         )
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def cocitation_counts(edges, *, min_count: int = 1, num_partitions: int = 8):
+    """Co-citation strength (Small 1973): for every unordered target
+    pair (x, y), the number of DISTINCT sources whose pages cite both —
+    the classic related-pages signal that needs no text at all (its
+    mirror on sources is bibliographic coupling; swap the join axis).
+
+    Shape: edges are deduped to distinct (src, dst) via
+    ``sorted_distinct`` (multi-edges must not double-count a citing
+    page), then a src-partitioned distributed self-join emits each
+    co-cited pair once per citing source, and ``sorted_agg`` counts per
+    pair.  Exchange is bounded by sum_src out_degree^2 — the standard
+    co-citation bound; cap per-source fan-out upstream if a corpus has
+    super-hub pages (a 1M-out-degree page alone would contribute 10^12
+    pairs; the reference crawler's per-page link cap bounds this at
+    parse time).  Pure integer counts — no float anywhere.
+    """
+    ded = sorted_distinct(
+        edges, ["src_url", "dst_url"], auto_threshold=AUTO_THRESHOLD
+    ).materialize()
+    right = ded.map_batches(
+        lambda b: b.rename_columns(
+            ["dst_b" if c == "dst_url" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = ded.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("src_url",)
+    ).repartition(num_partitions)
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("dst_url"), b.column("dst_b")))
+        return pa.table({"x": t.column("dst_url"), "y": t.column("dst_b")})
+
+    counts = sorted_agg(
+        joined.map_batches(pair_rows, batch_format="pyarrow"),
+        ["x", "y"],
+        {"cocitations": ("count", "x")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    if min_count <= 1:
+        return counts
+    return counts.map_batches(
+        lambda b, _m=min_count: b.filter(
+            pc.greater_equal(b.column("cocitations"), _m)
+        ),
+        batch_format="pyarrow",
+    )

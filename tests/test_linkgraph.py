@@ -237,3 +237,14 @@ def test_hits_local_matches_float_reference():
         assert abs(hub[u] - h[i]) < 1e-6, (u, hub[u], h[i])
     assert auth["c"] > auth["b"] > auth["a"] == 0.0
     assert hub["a"] > hub["b"] > hub["c"] == 0.0
+
+
+def test_cocitation_count_variety(ray_session):
+    """The cocitation entry's count statistic is informative: hub-hub
+    pairs at ~N/7, small mixed counts, and singles all present."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["cocitation"](SF_DIR).to_pandas()
+    counts = set(df["cocitations"])
+    assert 1 in counts and 2 in counts and max(counts) > 50
+    assert (df["x"] < df["y"]).all()  # canonical unordered pairs
