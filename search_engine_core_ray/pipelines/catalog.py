@@ -3341,34 +3341,74 @@ def q_cocitation(sf_dir: str):
     from ..stages.linkgraph import cocitation_counts, pages_to_edges
 
     organic = pages_to_edges(read_documents_as_linked_pages(sf_dir))
-
-    def hub_edges(b: pa.Table) -> pa.Table:
-        t = pl.from_arrow(b.select(["doc_id", "source"])).with_columns(
-            pl.format(
-                "https://{}.example.com/doc/{}",
-                pl.col("source"),
-                pl.col("doc_id"),
-            ).alias("src_url")
-        )
-        h1 = t.with_columns(
-            pl.format(
-                "https://hub.example.com/topic/{}", pl.col("doc_id") % 7
-            ).alias("dst_url")
-        )
-        h2 = t.with_columns(
-            pl.format(
-                "https://hub.example.com/topic/{}", (pl.col("doc_id") * 3) % 7
-            ).alias("dst_url")
-        )
-        out = pl.concat([h1, h2]).select(["src_url", "dst_url"])
-        return out.to_arrow().cast(
-            pa.schema([("src_url", pa.string()), ("dst_url", pa.string())])
-        )
-
     hubs = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
-        hub_edges, batch_format="pyarrow"
+        _hub_edges, batch_format="pyarrow"
     )
     return cocitation_counts(organic.union(hubs))
+
+
+def _hub_edges(b: pa.Table) -> pa.Table:
+    """Deterministic topic-hub citations (two per page) — the in-query
+    dirt that makes the co-citation/coupling count statistics
+    informative on this corpus; mirrored verbatim in both oracles."""
+    t = pl.from_arrow(b.select(["doc_id", "source"])).with_columns(
+        pl.format(
+            "https://{}.example.com/doc/{}",
+            pl.col("source"),
+            pl.col("doc_id"),
+        ).alias("src_url")
+    )
+    h1 = t.with_columns(
+        pl.format(
+            "https://hub.example.com/topic/{}", pl.col("doc_id") % 7
+        ).alias("dst_url")
+    )
+    h2 = t.with_columns(
+        pl.format(
+            "https://hub.example.com/topic/{}", (pl.col("doc_id") * 3) % 7
+        ).alias("dst_url")
+    )
+    out = pl.concat([h1, h2]).select(["src_url", "dst_url"])
+    return out.to_arrow().cast(
+        pa.schema([("src_url", pa.string()), ("dst_url", pa.string())])
+    )
+
+
+@_q(
+    "coupling",
+    f"""
+    WITH {_LINK_EDGE_CTES.strip()},
+    hubs AS (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS src_url,
+             'https://hub.example.com/topic/' || (doc_id % 7) AS dst_url
+      FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id,
+             'https://hub.example.com/topic/' || ((doc_id * 3) % 7)
+      FROM documents),
+    alle AS MATERIALIZED (
+      SELECT DISTINCT src_url, dst_url
+      FROM (SELECT * FROM e UNION ALL SELECT * FROM hubs))
+    SELECT a.src_url AS x, b.src_url AS y, count(*)::BIGINT AS couplings
+    FROM alle a JOIN alle b ON a.dst_url = b.dst_url AND a.src_url < b.src_url
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_coupling(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963) — co-citation's mirror on
+    sources: distinct shared targets per source pair, same hub-injected
+    edge set, filtered to pairs sharing >= 2 targets (the informative
+    tier: same-residue pages share both topic hubs, occasionally plus
+    an organic target — counts 2 and 3 both occur)."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import coupling_counts, pages_to_edges
+
+    organic = pages_to_edges(read_documents_as_linked_pages(sf_dir))
+    hubs = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        _hub_edges, batch_format="pyarrow"
+    )
+    return coupling_counts(organic.union(hubs), min_count=2)
 
 
 @_q("pagerank", _pagerank_sql())

@@ -667,3 +667,27 @@ def cocitation_counts(edges, *, min_count: int = 1, num_partitions: int = 8):
         ),
         batch_format="pyarrow",
     )
+
+
+def coupling_counts(edges, *, min_count: int = 1, num_partitions: int = 8):
+    """Bibliographic coupling (Kessler 1963): for every unordered
+    SOURCE pair, the number of distinct targets both cite — exactly
+    co-citation on the transposed graph, so it reuses
+    :func:`cocitation_counts` on swapped endpoints.  Exchange bound is
+    the mirror: sum_dst in_degree^2 (cap super-authority fan-in
+    upstream the same way)."""
+    swapped = edges.map_batches(
+        lambda b: pa.table(
+            {"src_url": b.column("dst_url"), "dst_url": b.column("src_url")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = cocitation_counts(
+        swapped, min_count=min_count, num_partitions=num_partitions
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["couplings" if c == "cocitations" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
