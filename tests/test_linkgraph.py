@@ -248,3 +248,61 @@ def test_cocitation_count_variety(ray_session):
     counts = set(df["cocitations"])
     assert 1 in counts and 2 in counts and max(counts) > 50
     assert (df["x"] < df["y"]).all()  # canonical unordered pairs
+
+
+def test_hits_local_properties_random_graphs():
+    """Property test of the quotient-normalized HITS core on random
+    graphs (no Ray): vs a float L1-normalized reference, plus the exact
+    integer invariants the overflow analysis relies on — nonnegativity,
+    vector sums bounded by 2*scale, and authority/hub each summing to
+    exactly 1.0 when nonzero (one division of exact ints)."""
+    import numpy as np
+
+    from search_engine_core_ray.stages.linkgraph import _hits_local
+
+    scale = 10**12
+    rng = np.random.RandomState(4321)
+    for trial in range(8):
+        n = int(rng.randint(3, 40))
+        n_edges = int(rng.randint(0, 4 * n))
+        nodes = np.asarray([f"n{i:03d}" for i in range(n)], dtype=object)
+        src_i = rng.randint(0, n, n_edges)
+        dst_i = rng.randint(0, n, n_edges)
+        keep = src_i != dst_i
+        src_i, dst_i = src_i[keep], dst_i[keep]
+        iters = 30
+        t = _hits_local(
+            nodes, nodes[src_i], nodes[dst_i], iterations=iters, scale=scale
+        )
+        a_s = np.asarray(t.column("auth_scaled").to_pylist())
+        h_s = np.asarray(t.column("hub_scaled").to_pylist())
+        auth = np.asarray(t.column("authority").to_pylist())
+        hub = np.asarray(t.column("hub").to_pylist())
+        # integer invariants (the int64-safety bound)
+        assert (a_s >= 0).all() and (h_s >= 0).all()
+        assert int(a_s.sum()) < 2 * scale and int(h_s.sum()) < 2 * scale
+        if a_s.sum():
+            assert abs(auth.sum() - 1.0) < 1e-9
+        if h_s.sum():
+            assert abs(hub.sum() - 1.0) < 1e-9
+        if not len(src_i):
+            assert (a_s == 0).all() and (h_s == 0).all()
+            continue
+        # float L1-normalized reference: SAME update order and SAME
+        # iteration count (slow eigen-convergence on near-degenerate
+        # random graphs means only the matched trajectory is comparable)
+        a = np.full(n, 1.0 / n)
+        h = np.full(n, 1.0 / n)
+        idx = {u: i for i, u in enumerate(nodes)}
+        for _ in range(iters):
+            ra = np.zeros(n)
+            np.add.at(ra, dst_i, h[src_i])
+            a = ra / ra.sum() if ra.sum() else ra
+            rh = np.zeros(n)
+            np.add.at(rh, src_i, a[dst_i])
+            h = rh / rh.sum() if rh.sum() else rh
+        ref_a = np.asarray([a[idx[u]] for u in t.column("url").to_pylist()])
+        ref_h = np.asarray([h[idx[u]] for u in t.column("url").to_pylist()])
+        # per-step quantization is ~1/scale; 30 steps stay ~1e-9-ish
+        assert np.max(np.abs(auth - ref_a)) < 1e-6, trial
+        assert np.max(np.abs(hub - ref_h)) < 1e-6, trial
