@@ -820,7 +820,10 @@ def tfidf_related_docs(
         df_max = max(df_min, n_docs // 4)
     join_kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
 
-    tf = docs_ds.map_batches(content_postings, batch_format="pyarrow")
+    # materialize the NARROW tf table once: it feeds both the df pass
+    # and the weight attach — unmaterialized, the tokenizer would run
+    # twice (the double-scan wart the BM25 entries fixed in round 4)
+    tf = docs_ds.map_batches(content_postings, batch_format="pyarrow").materialize()
     df_tbl = sorted_agg(
         tf, "term", {"df": ("count", "doc_id")}, auto_threshold=AUTO_THRESHOLD
     )
