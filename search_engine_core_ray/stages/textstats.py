@@ -745,7 +745,7 @@ def cooccurrence_pmi(
         {"u": ("sum", "cnt")},
         auto_threshold=AUTO_THRESHOLD,
     ).materialize()
-    total_tokens = int(uni.sum("u"))
+    total_tokens = int(uni.sum("u") or 0)  # empty corpus -> 0, not TypeError
 
     join_kw = {} if broadcast_limit is None else {"broadcast_limit": broadcast_limit}
     with_ua = gated_left_join(pairs, "a", uni, "term", ["u"], **join_kw).map_batches(
