@@ -3240,6 +3240,35 @@ def q_link_stats(sf_dir: str):
     return link_stats(read_documents_as_linked_pages(sf_dir))
 
 
+@_q(
+    "anchor_terms",
+    f"""
+    WITH {_LINK_EDGE_CTES.strip()},
+    at AS (
+      SELECT 'https://' || src_source || '.example.com/doc/' || t AS dst_url,
+             'doc' AS term
+      FROM tgt WHERE t <> src
+      UNION ALL
+      SELECT 'https://' || src_source || '.example.com/doc/' || t AS dst_url,
+             CAST(t AS VARCHAR) AS term
+      FROM tgt WHERE t <> src AND t >= 10)
+    SELECT dst_url, term, count(*)::BIGINT AS cnt FROM at GROUP BY 1, 2
+    """,
+)
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text term counts per canonical link TARGET — the anchor
+    index field (Brin & Page 1998 §2; the reference stores only the
+    backlink count, SiteProfile.h:65).  HTML parse -> (href, anchor)
+    pairs -> frontier-canonical dst -> extractTerms over the anchor.
+    The fixture's anchors are 'Doc {{t}}', so the oracle rebuilds the
+    tokenization algebraically: 'doc' always, the target id only when
+    it is >= 2 chars (extractTerms drops 1-char runs)."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import anchor_terms
+
+    return anchor_terms(read_documents_as_linked_pages(sf_dir))
+
+
 def _hits_sql(iterations: int | None = None, scale: int = 10**12) -> str:
     """Programmatically unrolled fixed-point HITS oracle (quotient
     renormalization — see stages/linkgraph.py): per iteration six

@@ -80,6 +80,7 @@ class _PageExtractor(HTMLParser):
         self.base_url = base_url
         self.text_parts: list[str] = []
         self.links: list[str] = []
+        self.anchor_texts: list[str] = []  # 1:1 aligned with self.links
         self.title: str | None = None
         self.meta_description: str | None = None
         self._skip_depth = 0          # nesting depth inside script/style
@@ -87,6 +88,7 @@ class _PageExtractor(HTMLParser):
         self._head_title_seen = False
         self._title_run: list[str] | None = None  # accumulating first-title text
         self._pending: list[str] = []  # coalescing buffer: one text NODE
+        self._anchor_buf: list[str] | None = None  # open valid-href anchor text
 
     # -- tag events ------------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
@@ -97,11 +99,15 @@ class _PageExtractor(HTMLParser):
             self._stack.append(tag)
             return
         if tag == "a":
+            # HTML5 "a inside a" parse error: a new <a> start tag
+            # implicitly closes any anchor still open.
+            self._finish_anchor()
             href = next((v for k, v in attrs if k == "href" and v is not None), None)
             if href is not None:
                 url = normalize_link(sanitize_url(href), self.base_url)
                 if is_valid_url(url):
                     self.links.append(url)
+                    self._anchor_buf = []
         elif tag == "meta" and self.meta_description is None:
             a = dict(attrs)
             if a.get("name") == "description" and a.get("content") is not None:
@@ -121,6 +127,8 @@ class _PageExtractor(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self.handle_starttag(tag, attrs)
+        if tag == "a":  # self-closed anchor: empty text, close immediately
+            self._finish_anchor()
         if tag not in _VOID and self._stack and self._stack[-1] == tag:
             self._stack.pop()
 
@@ -129,10 +137,15 @@ class _PageExtractor(HTMLParser):
         self._flush_title_run(ended=True)
         if tag in _SKIP_SUBTREES and self._skip_depth > 0:
             self._skip_depth -= 1
-        # pop to the matching open tag, tolerating unclosed children
+        # pop to the matching open tag, tolerating unclosed children;
+        # popping an open <a> (its own end tag, or an outer close that
+        # swallows it) finalizes the anchor-text run
         if tag in self._stack:
             while self._stack:
-                if self._stack.pop() == tag:
+                popped = self._stack.pop()
+                if popped == "a":
+                    self._finish_anchor()
+                if popped == tag:
                     break
 
     # -- text events -----------------------------------------------------
@@ -144,6 +157,8 @@ class _PageExtractor(HTMLParser):
             data = unescape(data)
         if self._title_run is not None:
             self._title_run.append(data)
+        if self._anchor_buf is not None:
+            self._anchor_buf.append(data)
         # buffer: contiguous character tokens form ONE text node
         self._pending.append(data)
 
@@ -170,6 +185,14 @@ class _PageExtractor(HTMLParser):
     def unknown_decl(self, data: str) -> None:
         self._flush_text()
 
+    def _finish_anchor(self) -> None:
+        """Close the open valid-href anchor: record its text run (which
+        may be empty), keeping ``anchor_texts`` 1:1 with ``links``."""
+        if self._anchor_buf is None:
+            return
+        self.anchor_texts.append("".join(self._anchor_buf))
+        self._anchor_buf = None
+
     def _flush_title_run(self, ended: bool) -> None:
         """Finish the first-title text run at the first structural event."""
         if self._title_run is None or not ended:
@@ -192,23 +215,35 @@ class _PageExtractor(HTMLParser):
         super().close()
         self._flush_text()
         self._flush_title_run(ended=True)
+        self._finish_anchor()  # EOF inside an unclosed <a>
 
     def result(self) -> tuple[str | None, str | None, str, list[str]]:
         text = "".join(p + " " for p in self.text_parts)
         return self.title, self.meta_description, text, self.links
 
 
-def extract_page(html: str, base_url: str = "") -> dict:
-    """Extract one page; scalar building block and unit-test surface."""
+def extract_page(html: str, base_url: str = "", *, anchors: bool = False) -> dict:
+    """Extract one page; scalar building block and unit-test surface.
+
+    ``anchors=True`` additionally returns ``anchor_texts`` — the text
+    run inside each valid-href ``<a>``, 1:1 aligned with ``links``
+    (the anchor-text ranking signal; the reference stores only the
+    per-page backlink count, SiteProfile.h:65)."""
     p = _PageExtractor(base_url)
     try:
         p.feed(html)
         p.close()
     except Exception:
         # Poison-pill rows must not fail the block: emit empty fields.
-        return {"title": None, "meta_description": None, "text": "", "links": []}
+        out = {"title": None, "meta_description": None, "text": "", "links": []}
+        if anchors:
+            out["anchor_texts"] = []
+        return out
     title, meta, text, links = p.result()
-    return {"title": title, "meta_description": meta, "text": text, "links": links}
+    out = {"title": title, "meta_description": meta, "text": text, "links": links}
+    if anchors:
+        out["anchor_texts"] = p.anchor_texts
+    return out
 
 
 class HtmlExtract:
@@ -218,13 +253,24 @@ class HtmlExtract:
     ``list<string>``). One Gumbo-equivalent parse per page produces all
     four outputs (the reference parses the same HTML four times —
     ContentParser.cpp:18-51 — which we deliberately do not copy).
+
+    ``anchors=True`` (pass via ``fn_constructor_kwargs``) adds an
+    ``anchor_texts`` ``list<string>`` column aligned with ``links`` —
+    opt-in so every existing consumer's schema is unchanged.
     """
+
+    def __init__(self, anchors: bool = False):
+        self.anchors = anchors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # The pages input may carry a recorded ground-truth `text` column
         # (FIXTURES.md F1); the engine recomputes extraction itself —
         # replace any colliding columns.
-        drop = [c for c in ("title", "meta_description", "text", "links") if c in batch.column_names]
+        drop = [
+            c
+            for c in ("title", "meta_description", "text", "links", "anchor_texts")
+            if c in batch.column_names
+        ]
         if drop:
             batch = batch.drop_columns(drop)
         urls = batch.column("url").to_pylist()
@@ -233,17 +279,25 @@ class HtmlExtract:
         metas: list[str | None] = []
         texts: list[str] = []
         links: list[list[str]] = []
+        anchor_texts: list[list[str]] = []
         for url, html in zip(urls, htmls):
             if isinstance(html, bytes):
                 html = html.decode("utf-8", errors="replace")
-            r = extract_page(html or "", url or "")
+            r = extract_page(html or "", url or "", anchors=self.anchors)
             titles.append(r["title"])
             metas.append(r["meta_description"])
             texts.append(r["text"])
             links.append(r["links"])
-        return (
+            if self.anchors:
+                anchor_texts.append(r["anchor_texts"])
+        out = (
             batch.append_column("title", pa.array(titles, pa.string()))
             .append_column("meta_description", pa.array(metas, pa.string()))
             .append_column("text", pa.array(texts, pa.string()))
             .append_column("links", pa.array(links, pa.list_(pa.string())))
         )
+        if self.anchors:
+            out = out.append_column(
+                "anchor_texts", pa.array(anchor_texts, pa.list_(pa.string()))
+            )
+        return out

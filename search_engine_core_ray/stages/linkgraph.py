@@ -691,3 +691,75 @@ def coupling_counts(edges, *, min_count: int = 1, num_partitions: int = 8):
         ),
         batch_format="pyarrow",
     )
+
+
+def _anchor_pairs(batch: pa.Table) -> pa.Table:
+    """(links, anchor_texts) page rows -> per-batch partial
+    (dst_url, term, cnt): explode link/anchor pairs, canonicalize the
+    target, tokenize each anchor (extractTerms rule: lowercase ASCII
+    alnum runs >= 2 chars, SearchScorer.cpp:692-712) — all vectorized
+    polars except the URL canonicalization, same as _explode_links."""
+    from .textstats import TOKEN_RE
+
+    t = pl.from_arrow(batch.select(["links", "anchor_texts"]))
+    t = t.filter(pl.col("links").list.len() > 0).explode(
+        ["links", "anchor_texts"]
+    )
+    empty = pa.table(
+        {"dst_url": pa.array([], pa.string()), "term": pa.array([], pa.string()),
+         "cnt": pa.array([], pa.int64())}
+    )
+    if t.height == 0:
+        return empty
+    dst = [normalize_url(u) for u in t["links"].to_list()]
+    out = (
+        t.with_columns(
+            pl.Series("dst_url", dst, dtype=pl.String),
+            pl.col("anchor_texts").fill_null("").str.extract_all(TOKEN_RE).alias("tok"),
+        )
+        .select(["dst_url", "tok"])
+        .explode("tok")
+        .drop_nulls("tok")
+        .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+        .group_by(["dst_url", "term"])
+        .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        .select(["dst_url", "term", "cnt"])
+    )
+    if out.height == 0:
+        return empty
+    return _unlarge(out.to_arrow()).cast(empty.schema)
+
+
+def anchor_terms(pages, *, auto_threshold: int | None = AUTO_THRESHOLD):
+    """Anchor-text term aggregation: (dst_url, term, cnt) — how other
+    pages DESCRIBE each link target, counted per canonical target URL.
+
+    This is the classic anchor-text index signal (Brin & Page 1998 §2:
+    anchor words are associated with the page the link points TO); the
+    reference keeps only the per-page backlink count
+    (SiteProfile.inboundLinkCount, SiteProfile.h:65) — this operator is
+    its term-resolved generalization, feeding an anchor field the same
+    way title/description feed fielded BM25.
+
+    100-TB shape: the HTML parse is the same single-pass actor-pool
+    stage every other page consumer uses; the exchange rows are partial
+    (dst_url, term, cnt) counts — bounded by the edge count times the
+    few terms an anchor carries, combined map-side before the
+    corpus-proportional-key reduction through ``sorted_agg``.
+    """
+    ext = pages.map_batches(
+        HtmlExtract,
+        fn_constructor_kwargs={"anchors": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda b: b.select(["links", "anchor_texts"]), batch_format="pyarrow"
+    )
+    pairs = ext.map_batches(_anchor_pairs, batch_format="pyarrow")
+    return sorted_agg(
+        pairs,
+        ["dst_url", "term"],
+        {"cnt": ("sum", "cnt")},
+        auto_threshold=auto_threshold,
+    )

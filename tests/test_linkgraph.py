@@ -306,3 +306,59 @@ def test_hits_local_properties_random_graphs():
         # per-step quantization is ~1/scale; 30 steps stay ~1e-9-ish
         assert np.max(np.abs(auth - ref_a)) < 1e-6, trial
         assert np.max(np.abs(hub - ref_h)) < 1e-6, trial
+
+
+# ---------------------------------------------------------------- anchors
+
+
+def test_anchor_extraction_alignment_and_edge_cases():
+    from search_engine_core_ray.stages.extract import extract_page
+
+    h = (
+        '<html><body><p>hi</p>'
+        '<a href="https://x.com/a">First <b>Link</b></a>'
+        '<a href="https://x.com/b"></a>'      # empty anchor
+        '<a>no href</a>'                       # no link row, no anchor row
+        '<div><a href="https://x.com/c">unclosed'  # EOF inside <a>
+    )
+    r = extract_page(h, "https://x.com/", anchors=True)
+    assert r["links"] == ["https://x.com/a", "https://x.com/b", "https://x.com/c"]
+    assert r["anchor_texts"] == ["First Link", "", "unclosed"]
+
+    # HTML5 "a inside a": the inner start tag closes the outer anchor
+    r2 = extract_page(
+        '<a href="https://x.com/1">one <a href="https://x.com/2">two</a></a>',
+        anchors=True,
+    )
+    assert r2["links"] == ["https://x.com/1", "https://x.com/2"]
+    assert r2["anchor_texts"] == ["one ", "two"]
+
+    # an outer close that swallows the <a> finalizes it (text after the
+    # div is NOT anchor text)
+    r3 = extract_page('<div><a href="https://x.com/z">zed</div>after', anchors=True)
+    assert r3["anchor_texts"] == ["zed"]
+
+    # default path: schema unchanged (no anchor_texts key)
+    assert "anchor_texts" not in extract_page(h, "https://x.com/")
+
+
+def test_anchor_terms_non_vacuous(ray_session):
+    """The fixture must exercise real aggregation: multi-term targets,
+    cnt variety (several sources citing the same target), and the
+    1-char-id token drop."""
+    import polars as pl
+
+    from search_engine_core_ray.stages.linkgraph import anchor_terms
+
+    out = anchor_terms(read_documents_as_linked_pages(SF_DIR)).to_pandas()
+    t = pl.from_pandas(out)
+    assert (t["term"] == "doc").sum() > 100          # the shared anchor word
+    per_dst = t.group_by("dst_url").len()
+    assert per_dst["len"].max() == 2                 # 'doc' + the id token
+    assert per_dst["len"].min() >= 1                 # id < 10 drops to 1 term
+    assert t["cnt"].max() > 1                        # real aggregation happened
+    # cnt variety: at sf0.001 in-degree is mostly 1, sometimes 2+ —
+    # at least two distinct counts proves the reduction merged sources
+    assert t.filter(pl.col("term") == "doc")["cnt"].n_unique() >= 2
+    # 1-char ids never appear as terms
+    assert not any(len(x) < 2 for x in t["term"].to_list())
