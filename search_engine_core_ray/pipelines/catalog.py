@@ -2555,7 +2555,66 @@ def q_suggest_topk(sf_dir: str):
     )
 
 
-@_q("distributed_search")  # rows-only: scatter-gather over bucket actors
+# Fuzzy probes: one d<=1 common-vocab typo, one d==2 typo, one that also
+# matches exactly, against a tag{0..96}-widened lexicon (the raw synth
+# vocab is ~30 words — memory-note non-vacuity rule) so distance ties
+# exercise the df-desc and term-asc tiebreaks for real.
+FUZZY_QUERY_TERMS = ("soft", "streem", "qery", "tag7")
+
+
+@_q(
+    "fuzzy_term_match",
+    f"""
+    WITH lexsrc AS (
+      SELECT doc_id, lower(text) || ' tag' || (doc_id % 97) AS text
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '[a-z0-9]{{2,}}')) AS term
+      FROM lexsrc),
+    lex AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM tok GROUP BY 1),
+    q(query_term) AS (VALUES {", ".join(f"('{t}')" for t in FUZZY_QUERY_TERMS)}),
+    cand AS (
+      SELECT q.query_term, l.term,
+             levenshtein(q.query_term, l.term)::BIGINT AS dist, l.df
+      FROM q CROSS JOIN lex l
+      WHERE levenshtein(q.query_term, l.term) <= 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_term ORDER BY dist, df DESC, term) AS rank
+      FROM cand)
+    SELECT query_term, term, dist, df, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_fuzzy_term_match(sf_dir: str):
+    """Typo-tolerant lexicon lookup (the RediSearch %term% capability
+    behind the reference's storage backend): top-10 lexicon terms
+    within edit distance 2 per query term, ranked (dist, df desc,
+    term).  Lexicon = corpus term df widened with deterministic
+    tag{{doc_id%%97}} tokens (in-query dirt injection, mirrored in the
+    oracle) so the ranking has distance AND df variety."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.fuzzy import fuzzy_match_terms
+    from ..stages import textstats as _ts
+
+    def inject(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["doc_id", "text"]))
+        t = t.with_columns(
+            (
+                pl.col("text").fill_null("")
+                + pl.lit(" tag")
+                + (pl.col("doc_id") % 97).cast(pl.String)
+            ).alias("text")
+        )
+        return t.to_arrow()
+
+    docs = _docs(sf_dir).map_batches(inject, batch_format="pyarrow")
+    partial = docs.map_batches(_ts.partial_term_df, batch_format="pyarrow")
+    lexicon = partial.groupby("term").aggregate(Sum("pdf", alias_name="df"))
+    return fuzzy_match_terms(lexicon, FUZZY_QUERY_TERMS, max_dist=2, k=10)
 def q_distributed_search(sf_dir: str):
     """Doc-partitioned serving demo: same fixture queries as
     build_and_search but answered by per-bucket actors with global-df
