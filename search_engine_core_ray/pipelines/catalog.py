@@ -2615,6 +2615,248 @@ def q_fuzzy_term_match(sf_dir: str):
     partial = docs.map_batches(_ts.partial_term_df, batch_format="pyarrow")
     lexicon = partial.groupby("term").aggregate(Sum("pdf", alias_name="df"))
     return fuzzy_match_terms(lexicon, FUZZY_QUERY_TERMS, max_dist=2, k=10)
+
+
+# Evaluation queries: two-term queries mixing a rare positive-idf term
+# (dup) with common negative-idf terms, so the BM25 run genuinely
+# diverges from the qrels ordering and the metrics spread.
+EVAL_QUERIES: tuple[tuple[str, tuple[str, str]], ...] = (
+    ("dup vector", ("dup", "vector")),
+    ("sort merge", ("sort", "merge")),
+    ("spark join", ("spark", "join")),
+)
+
+
+def _ranking_eval_sql() -> str:
+    from ..functions.ranking_eval import sql_dcg_weight_values
+
+    qvals = ", ".join(
+        f"('{label}', '{t}')" for label, terms in EVAL_QUERIES for t in terms
+    )
+    return f"""
+    WITH qterms(query, term) AS (VALUES {qvals}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             CAST(sum(strlen(text)) AS DOUBLE)/count(*) AS avgdl
+      FROM documents),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    qd AS (
+      SELECT qt.query, tf.doc_id,
+             round(sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (strlen(d.text) / stats.avgdl)))
+             ), 4) AS score,
+             LEAST(GREATEST(sum(tf.tf) - 1, 0), 2)::BIGINT AS rel
+      FROM qterms qt
+      JOIN tf ON tf.term = qt.term
+      JOIN df ON df.term = qt.term
+      JOIN documents d ON d.doc_id = tf.doc_id, stats
+      GROUP BY qt.query, tf.doc_id),
+    run_bm25 AS (
+      SELECT 'bm25' AS run_name, query, doc_id, rel,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM qd QUALIFY rank <= 10),
+    first10 AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10),
+    run_null AS (
+      SELECT 'by_id' AS run_name, q.query, f.doc_id,
+             COALESCE(r.rel, 0)::BIGINT AS rel,
+             row_number() OVER (PARTITION BY q.query ORDER BY f.doc_id) AS rank
+      FROM (SELECT DISTINCT query FROM qterms) q
+      CROSS JOIN first10 f
+      LEFT JOIN qd r ON r.query = q.query AND r.doc_id = f.doc_id),
+    runs AS (SELECT * FROM run_bm25 UNION ALL SELECT * FROM run_null),
+    w(rank, w) AS (VALUES {sql_dcg_weight_values()}),
+    dcg AS (
+      SELECT run_name, query,
+             sum(((1 << rel) - 1) * w.w)::BIGINT AS dcg,
+             min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits
+      FROM runs JOIN w USING (rank) GROUP BY 1, 2),
+    ideal AS (
+      SELECT query, rel,
+             row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS rank
+      FROM qd WHERE rel > 0 QUALIFY rank <= 10),
+    idcg AS (
+      SELECT query, sum(((1 << rel) - 1) * w.w)::BIGINT AS idcg
+      FROM ideal JOIN w USING (rank) GROUP BY 1),
+    nrel AS (SELECT query, count(*)::BIGINT AS n_rel FROM qd WHERE rel > 0 GROUP BY 1)
+    SELECT d.run_name, d.query,
+           CASE WHEN COALESCE(i.idcg, 0) > 0
+                THEN CAST(d.dcg AS DOUBLE) / i.idcg ELSE 0.0 END AS ndcg10,
+           CASE WHEN d.first_rel IS NOT NULL
+                THEN 1.0 / d.first_rel ELSE 0.0 END AS mrr10,
+           CASE WHEN COALESCE(n.n_rel, 0) > 0
+                THEN CAST(d.hits AS DOUBLE) / n.n_rel ELSE 0.0 END AS recall10,
+           COALESCE(n.n_rel, 0)::BIGINT AS n_rel
+    FROM dcg d LEFT JOIN idcg i USING (query) LEFT JOIN nrel n USING (query)
+    """
+
+
+@_q("ranking_eval", _ranking_eval_sql())
+def q_ranking_eval(sf_dir: str):
+    """Offline ranking evaluation (TREC-style): NDCG@10 / MRR@10 /
+    recall@10 per (run, query) for two runs — the reference-formula
+    BM25 ranking and a doc_id-ordered null baseline — against
+    synthetic graded qrels rel = clamp(tf_total - 1, 0, 2).  All three
+    metrics are single divisions of exactly-reconstructed integers
+    (integer DCG micro-weights, functions/ranking_eval.py), so Ray and
+    DuckDB agree bitwise.
+
+    100-TB shape: the (query, doc) score+grade rows are MAP-SIDE only
+    (each doc scores itself against the broadcast df/avgdl — the same
+    two-pass BM25 shape as bm25_topk); the run fold is grouped_topk
+    over BOUNDED groups (queries); driver materializations are bounded
+    by queries x k and queries x grades, never corpus size."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.ranking_eval import NDCG_K, query_metrics
+    from ..stages.shuffle import grouped_topk
+
+    docs = _docs(sf_dir)
+    all_terms = sorted({t for _, terms in EVAL_QUERIES for t in terms})
+
+    # pass 1: N, total bytes, per-term df (O(1)/O(terms) aggregates)
+    def stat_partial(t: pa.Table) -> pa.Table:
+        nb = pc.sum(pc.binary_length(pc.fill_null(t.column("text"), ""))).as_py() or 0
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "bytes": pa.array([int(nb)], pa.int64())})
+
+    n = total_bytes = 0
+    for b in docs.map_batches(stat_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        total_bytes += int(pc.sum(b.column("bytes")).as_py() or 0)
+    avgdl = total_bytes / n
+
+    def tf_narrow(b: pa.Table) -> pa.Table:
+        p = ts.content_postings(b)
+        p = p.filter(pc.is_in(p.column("term"), value_set=pa.array(all_terms)))
+        return _attach_lens(p, b, [("text", "doc_len")])
+
+    tf_ds = docs.map_batches(tf_narrow, batch_format="pyarrow").materialize()
+    df_tbl = (
+        tf_ds.map_batches(
+            lambda t: pa.table({"term": t.column("term"),
+                                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(_Sum("one", alias_name="df"))
+        .to_pandas()
+    )
+    dfs = dict(zip(df_tbl["term"], df_tbl["df"]))
+
+    # pass 2 (map-side): per (query, doc) rounded score + graded rel
+    qt = pl.DataFrame(
+        {"query": [label for label, terms in EVAL_QUERIES for _ in terms],
+         "term": [t for _, terms in EVAL_QUERIES for t in terms]}
+    )
+
+    def qd_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"query": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "rel": pa.array([], pa.int64())})
+        tf = b.column("tf").to_numpy().astype(np.float64)
+        dl = b.column("doc_len").to_numpy().astype(np.float64)
+        df_arr = _map_terms(b.column("term"), dfs, default=0.0)
+        idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5))
+        s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        t = pl.from_arrow(
+            pa.table({"term": b.column("term"),
+                      "doc_id": b.column("doc_id"),
+                      "s": pa.array(s, pa.float64()),
+                      "tf": b.column("tf")})
+        )
+        out = (
+            t.join(qt, on="term")
+            .group_by(["query", "doc_id"])
+            .agg(pl.col("s").sum().alias("score"),
+                 pl.col("tf").sum().cast(pl.Int64).alias("tf_total"))
+            .with_columns(
+                (pl.col("tf_total") - 1).clip(0, 2).alias("rel")
+            )
+            .select(["query", "doc_id", "score", "rel"])
+        )
+        res = out.to_arrow().cast(
+            pa.schema([("query", pa.string()), ("doc_id", pa.int64()),
+                       ("score", pa.float64()), ("rel", pa.int64())])
+        )
+        return _round_col(res, "score", 4)
+
+    qd = tf_ds.map_batches(qd_rows, batch_format="pyarrow").materialize()
+
+    # bm25 run: top-10 per query with rel riding along (queries x k rows)
+    neg = qd.map_batches(
+        lambda t: t.append_column("neg_score", pc.negate(t.column("score"))),
+        batch_format="pyarrow",
+    )
+    run_rows = grouped_topk(
+        neg, "query", "neg_score", NDCG_K,
+        descending=False, tiebreak_cols=["doc_id"], emit_rank="rank",
+    ).to_pandas()
+
+    # null run: the 10 lowest doc_ids (their rel looked up from qd)
+    first10 = sorted(
+        r["doc_id"] for r in docs.select_columns(["doc_id"]).sort("doc_id").limit(10).take_all()
+    )
+    f10set = pa.array(first10, pa.int64())
+    null_rel = qd.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=f10set)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    rel_lut = {(q, d): int(r) for q, d, r in
+               zip(null_rel["query"], null_rel["doc_id"], null_rel["rel"])}
+
+    # grade histogram per query (queries x grades rows)
+    hist = (
+        qd.map_batches(
+            lambda t: t.filter(pc.greater(t.column("rel"), 0)).select(["query", "rel"])
+            .append_column("one", pa.array(
+                np.ones(len(t.filter(pc.greater(t.column("rel"), 0))), np.int64))),
+            batch_format="pyarrow",
+        )
+        .groupby(["query", "rel"])
+        .aggregate(_Sum("one", alias_name="cnt"))
+        .to_pandas()
+    )
+    gc: dict[str, dict[int, int]] = {}
+    for _, row in hist.iterrows():
+        gc.setdefault(row["query"], {})[int(row["rel"])] = int(row["cnt"])
+
+    out = {"run_name": [], "query": [], "ndcg10": [], "mrr10": [],
+           "recall10": [], "n_rel": []}
+    labels = [label for label, _ in EVAL_QUERIES]
+    for label in labels:
+        g = run_rows[run_rows["query"] == label]
+        bm25_run = list(zip(g["rank"].astype(int), g["rel"].astype(int)))
+        null_run = [(i + 1, rel_lut.get((label, d), 0))
+                    for i, d in enumerate(first10)]
+        for run_name, run in (("bm25", bm25_run), ("by_id", null_run)):
+            m = query_metrics(run, gc.get(label, {}), NDCG_K)
+            out["run_name"].append(run_name)
+            out["query"].append(label)
+            out["ndcg10"].append(m["ndcg"])
+            out["mrr10"].append(m["mrr"])
+            out["recall10"].append(m["recall"])
+            out["n_rel"].append(m["n_rel"])
+    return pa.table(
+        {"run_name": pa.array(out["run_name"], pa.string()),
+         "query": pa.array(out["query"], pa.string()),
+         "ndcg10": pa.array(out["ndcg10"], pa.float64()),
+         "mrr10": pa.array(out["mrr10"], pa.float64()),
+         "recall10": pa.array(out["recall10"], pa.float64()),
+         "n_rel": pa.array(out["n_rel"], pa.int64())}
+    )
 def q_distributed_search(sf_dir: str):
     """Doc-partitioned serving demo: same fixture queries as
     build_and_search but answered by per-bucket actors with global-df
