@@ -2617,6 +2617,48 @@ def q_fuzzy_term_match(sf_dir: str):
     return fuzzy_match_terms(lexicon, FUZZY_QUERY_TERMS, max_dist=2, k=10)
 
 
+@_q(
+    "heavy_hitters_topk",
+    """
+    WITH lexsrc AS (
+      SELECT doc_id, lower(text) || ' tag' || (doc_id % 97) AS text
+      FROM documents),
+    tok AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z0-9]{2,}')) AS term
+      FROM lexsrc),
+    cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank
+      FROM cnt)
+    SELECT term, cnt, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def q_heavy_hitters_topk(sf_dir: str):
+    """Top-20 most frequent terms via the mergeable Misra-Gries fold
+    (stages/sketches.py) run in its EXACT configuration — capacity
+    1024 >= the widened lexicon's distinct-term count, so no compress
+    fires and the DuckDB exact top-k is a true oracle (the ivf_ann_det
+    twin discipline; the approximate small-m path is property-tested
+    against the N/(m+1) bound in tests/test_sketches.py).  Lexicon
+    widened with tag{doc_id%%97} (memory-note non-vacuity rule)."""
+    from ..stages.sketches import heavy_hitters
+
+    def inject(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["doc_id", "text"]))
+        t = t.with_columns(
+            (
+                pl.col("text").fill_null("")
+                + pl.lit(" tag")
+                + (pl.col("doc_id") % 97).cast(pl.String)
+            ).alias("text")
+        )
+        return t.to_arrow()
+
+    docs = _docs(sf_dir).map_batches(inject, batch_format="pyarrow")
+    return heavy_hitters(docs, m=1024, k=20)
+
+
 # Evaluation queries: two-term queries mixing a rare positive-idf term
 # (dup) with common negative-idf terms, so the BM25 run genuinely
 # diverges from the qrels ordering and the metrics spread.
