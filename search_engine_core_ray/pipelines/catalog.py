@@ -2618,6 +2618,47 @@ def q_fuzzy_term_match(sf_dir: str):
 
 
 @_q(
+    "crawl_schedule",
+    """
+    WITH pages AS (
+      SELECT source || '.example.com' AS domain,
+             'https://' || source || '.example.com/doc/' || doc_id AS url
+      FROM documents)
+    SELECT domain, url,
+           row_number() OVER (PARTITION BY domain ORDER BY url) AS round
+    FROM pages
+    """,
+)
+def q_crawl_schedule(sf_dir: str):
+    """Politeness scheduling: assign every frontier URL its per-domain
+    fetch ROUND (one fetch per domain per round — the URLFrontier
+    round-robin dequeue semantics, src/crawler/URLFrontier.cpp:83-169,
+    batched).  round = row_number() over (domain, url) computed by the
+    distributed keyed_row_number window primitive (stages/shuffle.py):
+    one range exchange + O(blocks) driver rows, corpus-proportional
+    domain counts welcome."""
+    from ..stages.shuffle import keyed_row_number
+
+    def pages(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["doc_id", "source"]))
+        t = t.select(
+            (pl.col("source") + pl.lit(".example.com")).alias("domain"),
+            (
+                pl.lit("https://")
+                + pl.col("source")
+                + pl.lit(".example.com/doc/")
+                + pl.col("doc_id").cast(pl.String)
+            ).alias("url"),
+        )
+        return t.to_arrow()
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        pages, batch_format="pyarrow"
+    )
+    return keyed_row_number(ds, "domain", ["url"], out_col="round")
+
+
+@_q(
     "heavy_hitters_topk",
     """
     WITH lexsrc AS (

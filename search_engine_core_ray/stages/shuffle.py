@@ -348,3 +348,91 @@ def exact_int_quantiles(ds, col: str, pcts: list[int]):
             {"pct": pa.array(out_p, pa.int64()), "value": pa.array(out_v, pa.int64())}
         )
     )
+
+
+def keyed_row_number(ds, key: str, order: list[str], out_col: str = "rn"):
+    """Distributed ``row_number() OVER (PARTITION BY key ORDER BY
+    order)`` for CORPUS-PROPORTIONAL key counts — the window primitive
+    behind per-domain crawl scheduling, per-host sampling quotas, etc.
+
+    ``order`` must make (key, *order) a TOTAL order (include a unique
+    tiebreak column): ties that straddle a block boundary would
+    otherwise be numbered by physical placement.
+
+    Shape (the sequence_pack prefix-scan pattern, O(blocks) driver
+    rows): sort by (key, *order) and materialize (pins block ranges);
+    ONE whole-block pass emits per-block (first/last key, first/last
+    key row counts) — two keys per block no matter how many rows;
+    the driver walks blocks in sort order accumulating the running
+    count of the boundary-straddling key (a key chained across many
+    blocks accumulates, a key contained in one block needs no offset
+    at all); a second whole-block pass over the SAME pinned blocks
+    adds the broadcast base to the within-block vectorized cum_count.
+    """
+    import ray
+
+    sort_cols = [key] + list(order)
+    srt = ds.sort(sort_cols).materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"first_sk": pa.array([], pa.string()),
+                 "first_key": pa.array([], pa.string()),
+                 "last_key": pa.array([], pa.string()),
+                 "first_cnt": pa.array([], pa.int64()),
+                 "last_cnt": pa.array([], pa.int64())}
+            )
+        t = pl.from_arrow(b.select(sort_cols))
+        fk = t[key][0]
+        lk = t[key][-1]
+        first_sk = "\x1f".join(str(t[c][0]) for c in sort_cols)
+        return pa.table(
+            {"first_sk": pa.array([first_sk], pa.string()),
+             "first_key": pa.array([str(fk)], pa.string()),
+             "last_key": pa.array([str(lk)], pa.string()),
+             "first_cnt": pa.array([int((t[key] == fk).sum())], pa.int64()),
+             "last_cnt": pa.array([int((t[key] == lk).sum())], pa.int64())}
+        )
+
+    # O(blocks) rows through the driver, by design
+    metas = srt.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    metas.sort(key=lambda r: r["first_sk"].split("\x1f"))
+    bases: dict[str, int] = {}
+    running_key: str | None = None
+    running_cnt = 0
+    for blk in metas:
+        base = running_cnt if blk["first_key"] == running_key else 0
+        if blk["first_sk"] in bases:
+            raise ValueError(
+                "keyed_row_number: duplicate block head sort key — "
+                "`order` does not make (key, *order) a total order"
+            )
+        bases[blk["first_sk"]] = base
+        if blk["last_key"] == blk["first_key"]:
+            running_key = blk["first_key"]
+            running_cnt = base + blk["first_cnt"]
+        else:
+            running_key = blk["last_key"]
+            running_cnt = blk["last_cnt"]
+    bases_ref = ray.put(bases)
+
+    def add_rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        base_map = ray.get(bases_ref)
+        t = pl.from_arrow(b)
+        first_sk = "\x1f".join(str(t[c][0]) for c in sort_cols)
+        base = base_map[first_sk]  # KeyError = fail loudly
+        fk = t[key][0]
+        t = t.with_columns(
+            (
+                pl.col(key).cum_count().over(key).cast(pl.Int64)
+                + pl.when(pl.col(key) == fk).then(base).otherwise(0)
+            ).alias(out_col)
+        )
+        return _unlarge(t.to_arrow())
+
+    return srt.map_batches(add_rn, batch_format="pyarrow", batch_size=None)

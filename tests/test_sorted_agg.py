@@ -251,3 +251,51 @@ def test_exact_int_quantiles_empty(ray_session):
 
     ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
     assert exact_int_quantiles(ds, "x", [50]).take_all() == []
+
+
+# ------------------------------------------------------- keyed_row_number
+
+
+def test_keyed_row_number_matches_window_oracle(ray_session):
+    import random
+
+    import polars as pl
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import keyed_row_number
+
+    rng = random.Random(3)
+    n = 5000
+    t = pa.table(
+        {"domain": [f"d{rng.randint(0, 6)}" for _ in range(n)],   # hot keys
+         "url": [f"u{i:05d}" for i in rng.sample(range(100000), n)]}
+    )
+    out = keyed_row_number(
+        ray.data.from_arrow(t).repartition(13), "domain", ["url"], "rn"
+    ).to_pandas()
+    ref = (
+        pl.from_arrow(t)
+        .sort(["domain", "url"])
+        .with_columns(pl.col("url").cum_count().over("domain").cast(pl.Int64).alias("rn"))
+        .to_pandas()
+    )
+    cols = ["domain", "url"]
+    assert out.sort_values(cols, ignore_index=True).equals(
+        ref.sort_values(cols, ignore_index=True)
+    )
+
+
+def test_keyed_row_number_single_key_chain(ray_session):
+    # ONE key spanning every block: the driver chain accumulation is
+    # the whole answer
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import keyed_row_number
+
+    t = pa.table({"k": ["x"] * 1000, "o": [f"{i:04d}" for i in range(1000)]})
+    out = keyed_row_number(
+        ray.data.from_arrow(t).repartition(9), "k", ["o"], "rn"
+    ).to_pandas().sort_values("o", ignore_index=True)
+    assert out["rn"].tolist() == list(range(1, 1001))
