@@ -2700,6 +2700,161 @@ def q_heavy_hitters_topk(sf_dir: str):
     return heavy_hitters(docs, m=1024, k=20)
 
 
+def _hll_sql() -> str:
+    from ..functions.hll import (
+        ALPHA_NUM,
+        HLL_M,
+        HLL_P,
+        sql_pow2_values,
+        sql_rank_case,
+    )
+
+    wdiv = 1 << (64 - HLL_P)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS term
+      FROM documents),
+    vals AS (
+      SELECT 'term' AS field, term AS v FROM tok
+      UNION ALL
+      SELECT 'url', 'https://' || source || '.example.com/doc/' || doc_id
+      FROM documents
+      UNION ALL
+      SELECT 'doc_term', term || ':' || CAST(doc_id AS VARCHAR) FROM tok),
+    h AS (SELECT field, md5_number_lower(v) AS h FROM vals),
+    ir AS (SELECT field, CAST(h // {wdiv} AS BIGINT) AS idx,
+                  {sql_rank_case(f"(h % {wdiv})")} AS rank
+           FROM h),
+    regs AS (SELECT field, idx, max(rank) AS r FROM ir GROUP BY 1, 2),
+    fields AS (SELECT DISTINCT field FROM vals),
+    allregs AS (
+      SELECT f.field, g.i AS idx, COALESCE(r.r, 0) AS r
+      FROM fields f
+      CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS i) g
+      LEFT JOIN regs r ON r.field = f.field AND r.idx = g.i),
+    pow2(r, c) AS (VALUES {sql_pow2_values()}),
+    s AS (SELECT ar.field,
+                 sum(CAST(p.c AS HUGEINT)) AS s_int,
+                 sum(CASE WHEN ar.r = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+          FROM allregs ar JOIN pow2 p ON p.r = ar.r GROUP BY 1),
+    raw AS (SELECT field, v_zero,
+                   CAST({ALPHA_NUM} AS DOUBLE) / CAST(s_int AS DOUBLE) AS raw
+            FROM s),
+    ex AS (SELECT field, count(DISTINCT v)::BIGINT AS n_exact FROM vals GROUP BY 1)
+    SELECT r.field, r.v_zero,
+           CASE WHEN r.raw <= {2.5 * HLL_M} AND r.v_zero > 0
+                THEN round({HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / r.v_zero), 4)
+                ELSE round(r.raw, 4) END AS est,
+           e.n_exact
+    FROM raw r JOIN ex e USING (field)
+    """
+
+
+@_q("hll_distinct", _hll_sql())
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct counts (functions/hll.py) over three value
+    streams — terms (tiny cardinality: linear-counting branch), page
+    urls (corpus rows) and (doc, term) pairs (the raw-HLL branch even
+    at sf0.001) — alongside the exact distinct count computed the
+    scale-honest way (sorted_distinct + bounded per-field count).  The
+    4096-register fold is a bounded groupby; everything downstream of
+    the hash is exact integer arithmetic shared literally with the
+    oracle (see the module docstring)."""
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..functions.hll import estimate_from_registers, register_partial
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_distinct
+    from ..stages.textstats import TOKEN_RE
+
+    def vals_kernel(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["doc_id", "text", "source"]))
+        toks = (
+            t.select(
+                pl.col("doc_id"),
+                pl.col("text").fill_null("").str.extract_all(TOKEN_RE).alias("tok"),
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+        )
+        parts = [
+            pl.DataFrame({"field": ["term"] * toks.height, "v": toks["term"]}),
+            pl.DataFrame(
+                {"field": ["url"] * t.height,
+                 "v": (pl.Series("s", ["https://"] * t.height)
+                       + t["source"] + ".example.com/doc/"
+                       + t["doc_id"].cast(pl.String))}
+            ),
+            pl.DataFrame(
+                {"field": ["doc_term"] * toks.height,
+                 "v": toks["term"] + ":" + toks["doc_id"].cast(pl.String)}
+            ),
+        ]
+        out = pl.concat(parts)
+        return out.to_arrow().cast(
+            pa.schema([("field", pa.string()), ("v", pa.string())])
+        )
+
+    vals = _read(sf_dir, "documents", columns=["doc_id", "text", "source"]).map_batches(
+        vals_kernel, batch_format="pyarrow"
+    ).materialize()  # feeds both the register fold and the exact count
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b)
+        outs = []
+        for (field,), g in t.group_by(["field"]):
+            p = pl.from_arrow(register_partial(g["v"].to_list()))
+            outs.append(p.with_columns(pl.lit(field).alias("field")))
+        if not outs:
+            return pa.table({"field": pa.array([], pa.string()),
+                             "idx": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        return pl.concat(outs).select(["field", "idx", "rank"]).to_arrow().cast(
+            pa.schema([("field", pa.string()), ("idx", pa.int64()),
+                       ("rank", pa.int64())])
+        )
+
+    regs = (
+        vals.map_batches(partial, batch_format="pyarrow")
+        .groupby(["field", "idx"])
+        .aggregate(_Max("rank", alias_name="r"))
+        .take_all()  # <= 3 * 4096 rows: register-domain-bounded
+    )
+    by_field: dict[str, list[tuple[int, int]]] = {}
+    for row in regs:
+        by_field.setdefault(row["field"], []).append((row["idx"], row["r"]))
+
+    # exact distinct, the scale-honest way (range exchange + tiny count)
+    distinct = sorted_distinct(vals, ["field", "v"], auto_threshold=AUTO_THRESHOLD)
+    ex = (
+        distinct.map_batches(
+            lambda b: pa.table(
+                {"field": b.column("field"),
+                 "one": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("field")
+        .aggregate(_Sum("one", alias_name="n_exact"))
+        .to_pandas()
+    )
+    exact = dict(zip(ex["field"], ex["n_exact"]))
+
+    rows = {"field": [], "v_zero": [], "est": [], "n_exact": []}
+    for field in sorted(by_field):
+        m = estimate_from_registers(by_field[field])
+        rows["field"].append(field)
+        rows["v_zero"].append(m["v_zero"])
+        rows["est"].append(m["est"])
+        rows["n_exact"].append(int(exact[field]))
+    return pa.table(
+        {"field": pa.array(rows["field"], pa.string()),
+         "v_zero": pa.array(rows["v_zero"], pa.int64()),
+         "est": pa.array(rows["est"], pa.float64()),
+         "n_exact": pa.array(rows["n_exact"], pa.int64())}
+    )
+
+
 # Evaluation queries: two-term queries mixing a rare positive-idf term
 # (dup) with common negative-idf terms, so the BM25 run genuinely
 # diverges from the qrels ordering and the metrics spread.
