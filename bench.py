@@ -281,7 +281,7 @@ def main() -> None:
         "incremental_minhash_dedup",
         "cooccurrence_pmi", "related_docs_topk", "gram_matrix", "hits",
         "anchor_terms", "fuzzy_term_match", "ranking_eval",
-        "heavy_hitters_topk", "crawl_schedule",
+        "heavy_hitters_topk", "crawl_schedule", "hll_distinct",
         # authority_ranked_topk is deliberately NOT benched: it is the
         # composition of bm25_topk + pagerank (both timed above), so a
         # suite slot would double-count their cost; CORRECTNESS covers it

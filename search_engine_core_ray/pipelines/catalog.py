@@ -2700,6 +2700,22 @@ def q_heavy_hitters_topk(sf_dir: str):
     return heavy_hitters(docs, m=1024, k=20)
 
 
+@_q("image_near_dupes")  # golden-file oracle (binary PNG decode)
+def q_image_near_dupes(sf_dir: str):
+    """Perceptual image near-dup pairs: stdlib PNG decode -> exact
+    integer dHash -> pigeonhole chunk banding -> popcount verify
+    (stages/imagedup.py), over a seeded corpus with planted recrop+
+    brightness twins and hard negatives.  The pigeonhole machinery is
+    LOSSLESS for hamming <= max_hamming, so the committed golden (an
+    independent brute-force all-pairs reference) is an exact oracle."""
+    import ray.data
+
+    from ..stages.imagedup import image_near_dupes, synth_image_pairs_table
+
+    ds = ray.data.from_arrow(synth_image_pairs_table(24, seed=7)).repartition(4)
+    return image_near_dupes(ds, max_hamming=8)
+
+
 def _hll_sql() -> str:
     from ..functions.hll import (
         ALPHA_NUM,

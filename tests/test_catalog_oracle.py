@@ -99,6 +99,9 @@ def test_entry_smoke(ray_session):
 GOLDEN_KEYS = {
     "media_features": ["media_id"],
     "media_frame_samples": ["media_id", "frame_idx"],
+    # golden = INDEPENDENT brute-force all-pairs hamming reference;
+    # the banding machinery is lossless <= max_hamming, so exact
+    "image_near_dupes": ["a", "b"],
 }
 
 
