@@ -187,22 +187,26 @@ def hamming_pairs(
         )
 
     if mode == "broadcast":
-        return uniq.map_batches(verify, batch_format="pyarrow")
+        return uniq.map_batches(verify, batch_format="pyarrow").repartition(
+            num_partitions
+        )
 
-    att_a = sigs.map_batches(
+    att_a = side.map_batches(
         lambda b: pa.table({"a": b.column(id_col), "ha": b.column(sig_col)}),
         batch_format="pyarrow",
     )
-    att_b = sigs.map_batches(
+    att_b = side.map_batches(
         lambda b: pa.table({"b": b.column(id_col), "hb": b.column(sig_col)}),
         batch_format="pyarrow",
     )
     attached = (
         uniq.join(att_a, join_type="inner", num_partitions=num_partitions, on=("a",))
+        .repartition(num_partitions)  # merge schema-less empty partitions
         .join(att_b, join_type="inner", num_partitions=num_partitions, on=("b",))
-        .repartition(num_partitions)
     )
-    return attached.map_batches(verify, batch_format="pyarrow")
+    return attached.map_batches(verify, batch_format="pyarrow").repartition(
+        num_partitions
+    )
 
 
 def image_near_dupes(media, max_hamming: int = 6, num_partitions: int = 8, **gate_kwargs):
