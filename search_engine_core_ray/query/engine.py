@@ -935,6 +935,39 @@ class SearchEngine:
 
         return [t for _, t in heapq.nsmallest(limit, gen())]
 
+    def fuzzy_terms(
+        self, term: str, max_dist: int = 2, limit: int = 10
+    ) -> list[tuple[str, int, int]]:
+        """Typo-tolerant term lookup over the index's term dictionaries
+        — the serving-side twin of the batch operator
+        functions/fuzzy.fuzzy_match_terms (the RediSearch %term%
+        capability).  Returns [(term, dist, df)] ranked by
+        (dist asc, df desc, term asc), at most ``limit`` rows.
+
+        Every term lives in exactly one shard (shard_of_term), so the
+        scan unions the per-shard sorted dictionaries; a length-band
+        prefilter (|len(t)-len(q)| <= max_dist) gates the capped-band
+        DP, the same discipline as the batch kernel.  Cost is
+        vocabulary-bounded, never corpus-bounded."""
+        from ..functions.fuzzy import levenshtein
+
+        if not term or limit <= 0:
+            return []
+        q = _lower(term)
+        ql = len(q)
+
+        def gen():
+            for shard in range(self.num_shards):
+                reader = self._reader(shard)
+                for t in reader.terms_sorted:
+                    if abs(len(t) - ql) > max_dist:
+                        continue
+                    d = levenshtein(q, t, cap=max_dist)
+                    if d <= max_dist:
+                        yield (d, -reader.df(t), t)
+
+        return [(t, d, -ndf) for d, ndf, t in heapq.nsmallest(limit, gen())]
+
     # ---- block-max WAND fast path --------------------------------------
     def search_topk_wand(
         self, query: str, k: int = 10, df_override: dict | None = None

@@ -428,3 +428,38 @@ def test_hot_term_splits_across_buckets(ray_session, tmp_path_factory):
     # and the engine reassembles the full df
     eng = SearchEngine(idx)
     assert eng._postings("hotterm")[4] == n
+
+
+def test_fuzzy_terms_served_from_index(built):
+    """Typo-tolerant lookup over the index term dictionary: exact term
+    at distance 0, known typos recovered, ranking law, and the
+    brute-force oracle over the full dictionary."""
+    from search_engine_core_ray.functions.fuzzy import levenshtein
+
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    # the indexed corpus contains 'machine' (see suggest test): an
+    # exact probe puts it first at distance 0
+    got = engine.fuzzy_terms("machine", max_dist=2, limit=10)
+    assert got and got[0][0] == "machine" and got[0][1] == 0
+    # a 1-typo probe recovers it
+    typo = engine.fuzzy_terms("machlne", max_dist=2, limit=10)
+    assert "machine" in [t for t, _, _ in typo]
+    # ranking law: (dist asc, df desc, term asc)
+    keys = [(d, -df, t) for t, d, df in typo]
+    assert keys == sorted(keys)
+    # brute-force oracle over the union of shard dictionaries
+    all_terms = {
+        t: engine._reader(s).df(t)
+        for s in range(engine.num_shards)
+        for t in engine._reader(s).terms_sorted
+    }
+    want = sorted(
+        (levenshtein("machlne", t), -df, t)
+        for t, df in all_terms.items()
+        if levenshtein("machlne", t) <= 2
+    )[:10]
+    assert [(t, d, -ndf) for d, ndf, t in want] == typo
+    # degenerate probes
+    assert engine.fuzzy_terms("", limit=5) == []
+    assert engine.fuzzy_terms("machine", limit=0) == []
