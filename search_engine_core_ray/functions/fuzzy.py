@@ -100,20 +100,114 @@ def make_fuzzy_kernel(query_terms: tuple[str, ...] | list[str], max_dist: int = 
     return kernel
 
 
+def term_deletes(term: str, max_dist: int) -> set[str]:
+    """All strings reachable from ``term`` by deleting up to
+    ``max_dist`` characters (the term itself included) — the SymSpell
+    deletion neighborhood (Garbe's symmetric-delete algorithm).
+    Correctness note: lev(a, b) = s subs + i ins + d dels <= k implies
+    the aligned common part is reachable from a by deleting s+d <= k
+    chars and from b by deleting s+i <= k chars, so two terms within
+    edit distance k ALWAYS share a deletion variant at depth k."""
+    frontier = {term}
+    out = {term}
+    for _ in range(max_dist):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                v = t[:i] + t[i + 1 :]
+                if v not in out:
+                    nxt.add(v)
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def make_symspell_kernel(
+    query_terms: tuple[str, ...] | list[str], max_dist: int = 2
+):
+    """``map_batches`` kernel over (term, df) lexicon batches using the
+    SymSpell deletion index INSIDE the batch: explode each lexicon
+    term's deletion neighborhood, hash-join it against the (tiny,
+    closure-broadcast) query deletion table, verify survivors with the
+    exact DP.  Per-batch cost is candidates-only — no per-(query, term)
+    scan — which is the shape that matters when the query side is a
+    dictionary of thousands of misspellings, not four probes."""
+    import polars as pl
+
+    qrows = [
+        {"dkey": d, "query_term": q}
+        for q in query_terms
+        for d in term_deletes(q, max_dist)
+    ]
+    qdel = pl.DataFrame(qrows, schema={"dkey": pl.String, "query_term": pl.String})
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch)
+        if t.height == 0:
+            return pa.table(
+                {"query_term": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "dist": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        expl = (
+            t.with_columns(
+                pl.col("term")
+                .map_elements(
+                    lambda s: list(term_deletes(s, max_dist)),
+                    return_dtype=pl.List(pl.String),
+                )
+                .alias("dkey")
+            )
+            .explode("dkey")
+            .join(qdel, on="dkey")
+            .unique(subset=["query_term", "term"])
+        )
+        oq, ot, od, odf = [], [], [], []
+        for q, term, df in zip(
+            expl["query_term"].to_list(), expl["term"].to_list(),
+            expl["df"].to_list(),
+        ):
+            d = levenshtein(q, term, cap=max_dist)
+            if d <= max_dist:
+                oq.append(q)
+                ot.append(term)
+                od.append(d)
+                odf.append(int(df))
+        return pa.table(
+            {"query_term": pa.array(oq, pa.string()),
+             "term": pa.array(ot, pa.string()),
+             "dist": pa.array(od, pa.int64()),
+             "df": pa.array(odf, pa.int64())}
+        )
+
+    return kernel
+
+
 def fuzzy_match_terms(
     lexicon,
     query_terms: tuple[str, ...] | list[str],
     max_dist: int = 2,
     k: int = 10,
+    method: str = "symspell",
 ):
     """lexicon Dataset (term, df) -> top-k fuzzy matches per query term:
     (query_term, term, dist, df, rank), rank 1-based by
-    (dist asc, df desc, term asc)."""
+    (dist asc, df desc, term asc).
+
+    ``method="scan"`` compares every in-band lexicon term against every
+    query (fine for a handful of probes); ``method="symspell"``
+    (default) goes through the deletion-neighborhood join, the path
+    that scales with the candidate count instead of queries x vocab.
+    Both produce identical rows (conformance-tested)."""
     import pyarrow.compute as pc
 
-    cand = lexicon.map_batches(
-        make_fuzzy_kernel(query_terms, max_dist), batch_format="pyarrow"
+    kern = (
+        make_symspell_kernel(query_terms, max_dist)
+        if method == "symspell"
+        else make_fuzzy_kernel(query_terms, max_dist)
     )
+    cand = lexicon.map_batches(kern, batch_format="pyarrow")
     # grouped_topk tiebreaks are ascending-only: feed it -df
     cand = cand.map_batches(
         lambda b: b.append_column("neg_df", pc.negate(b.column("df"))),

@@ -52,3 +52,45 @@ def test_fuzzy_term_match_ranking_non_vacuous(ray_session):
         assert keys == sorted(keys)
     # the tag widening gives a query with a FULL top-10 (ties broken)
     assert out.group_by("query_term").len()["len"].max() == 10
+
+
+def test_symspell_deletion_property():
+    # two terms within edit distance k share a depth-k deletion variant
+    from search_engine_core_ray.functions.fuzzy import levenshtein, term_deletes
+
+    rng = random.Random(99)
+    alpha = "abcd"
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+        k = levenshtein(a, b)
+        if k <= 2:
+            assert term_deletes(a, k) & term_deletes(b, k), (a, b, k)
+
+
+def test_scan_and_symspell_paths_identical(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.functions.fuzzy import fuzzy_match_terms
+
+    rng = random.Random(17)
+    vocab = list({f"w{rng.randint(0, 400):03d}" for _ in range(300)}) + [
+        "sort", "sword", "short", "snort", "tag7", "tag77",
+    ]
+    lex = pa.table(
+        {"term": vocab,
+         "df": [rng.randint(1, 500) for _ in vocab]}
+    )
+    queries = ("sort", "tag7", "wq12", "w0x1")
+    outs = []
+    for method in ("scan", "symspell"):
+        ds = ray.data.from_arrow(lex).repartition(4)
+        out = fuzzy_match_terms(ds, queries, max_dist=2, k=10, method=method)
+        outs.append(
+            out.to_pandas().sort_values(
+                ["query_term", "rank"], ignore_index=True
+            )
+        )
+    assert outs[0].equals(outs[1])
+    assert len(outs[0]) > 4  # non-vacuous: real matches found
