@@ -2700,6 +2700,21 @@ def q_heavy_hitters_topk(sf_dir: str):
     return heavy_hitters(docs, m=1024, k=20)
 
 
+@_q("audio_near_dupes")  # golden-file oracle (binary WAV decode)
+def q_audio_near_dupes(sf_dir: str):
+    """Audio near-dup pairs: stdlib WAV decode -> exact integer
+    envelope hash (gain-invariant by construction) -> the shared
+    pigeonhole pair machinery (stages/imagedup.py), over a seeded
+    corpus with planted gain+dither twins and re-randomized negatives.
+    Golden = independent brute-force all-pairs reference."""
+    import ray.data
+
+    from ..stages.imagedup import audio_near_dupes, synth_audio_pairs_table
+
+    ds = ray.data.from_arrow(synth_audio_pairs_table(24, seed=13)).repartition(4)
+    return audio_near_dupes(ds, max_hamming=6)
+
+
 @_q("image_near_dupes")  # golden-file oracle (binary PNG decode)
 def q_image_near_dupes(sf_dir: str):
     """Perceptual image near-dup pairs: stdlib PNG decode -> exact

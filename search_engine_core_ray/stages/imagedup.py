@@ -1,4 +1,5 @@
-"""Image perceptual near-duplicate detection: dHash + pigeonhole pairs.
+"""Perceptual near-duplicate detection for binary media columns:
+image dHash and audio envelope hash + shared pigeonhole pairing.
 
 The multimodal column story (schema, decode actors, batch sizing) lives
 in stages/multimodal.py; this module adds the DEDUP operator a training
@@ -255,6 +256,112 @@ def synth_image_pairs_table(n_base: int = 24, seed: int = 7) -> pa.Table:
             neg = np.kron(neg_tiles, np.ones((8, 10, 1), dtype=np.uint8))[:h, :w, :]
             ids.append(3 * i + 2)
             payloads.append(encode_png(neg))
+    return pa.table(
+        {"media_id": pa.array(ids, pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_FP_WINDOWS = 65  # 64 adjacent-energy comparisons -> 64 bits
+
+
+def audio_fp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: mono-mix int64 absolute-energy over
+    65 equal windows, bit = window louder than its predecessor —
+    the dHash idea on the time axis.  Exact integer arithmetic, and
+    (like dHash) invariant to any monotone amplitude map (gain
+    changes), sensitive to structural/timing changes."""
+    if samples.ndim == 2:
+        mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+    else:
+        mono = samples.astype(np.int64)
+    n = len(mono)
+    w = AUDIO_FP_WINDOWS
+    energy = np.empty(w, dtype=np.int64)
+    a = np.abs(mono)
+    for i in range(w):
+        lo = i * n // w
+        hi = max(lo + 1, (i + 1) * n // w)
+        energy[i] = int(a[lo:hi].sum()) // (hi - lo)
+    bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out)
+
+
+class AudioFingerprint:
+    """Actor-pool ``map_batches`` stage: WAV payload -> (media_id,
+    afp int64)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_wav
+
+        ids = batch.column("media_id").to_pylist()
+        fps = []
+        for p in batch.column("payload").to_pylist():
+            samples, _rate = decode_wav(p)
+            fps.append(np.int64(np.uint64(audio_fp64(samples))))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "afp": pa.array(np.asarray(fps, np.int64), pa.int64())}
+        )
+
+
+def audio_near_dupes(media, max_hamming: int = 6, num_partitions: int = 8, **gate_kwargs):
+    """media(media_id, payload WAV) -> (a, b, hamming) near-dup pairs
+    at envelope-hash hamming <= max_hamming — same pigeonhole pair
+    machinery as the image path."""
+    sigs = media.map_batches(
+        AudioFingerprint, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+    ).materialize()
+    return hamming_pairs(
+        sigs, "media_id", "afp", max_hamming,
+        num_partitions=num_partitions, **gate_kwargs,
+    )
+
+
+def synth_audio_pairs_table(n_base: int = 24, seed: int = 13) -> pa.Table:
+    """Deterministic WAV corpus with planted near-duplicates: each base
+    clip (random piecewise-amplitude sine mix — real envelope
+    structure) gets a gain-scaled + slightly-trimmed twin; every third
+    base also gets an unrelated re-randomized clip."""
+    from ..functions.codecs import encode_wav
+
+    rng = np.random.RandomState(seed)
+    ids, payloads = [], []
+    rate = 8000
+
+    def clip() -> np.ndarray:
+        dur = int(rng.randint(60, 200)) * rate // 1000
+        t = np.arange(dur)
+        freq = float(rng.randint(100, 1200))
+        sig = np.sin(2 * np.pi * freq * t / rate)
+        # piecewise random amplitude: the envelope the hash sees
+        env = np.repeat(rng.uniform(0.1, 1.0, size=16), dur // 16 + 1)[:dur]
+        return (sig * env * 20000).astype(np.int16).reshape(-1, 1)
+
+    for i in range(n_base):
+        base = clip()
+        ids.append(3 * i)
+        payloads.append(encode_wav(base, rate))
+        # twin: 0.8x gain + low-amplitude dither.  The envelope hash is
+        # invariant to gain (monotone map), so the dither is what can
+        # flip bits — and only where adjacent windows are near-ties.
+        # (A time TRIM is deliberately NOT a twin here: shifting window
+        # boundaries under a piecewise envelope legitimately moves the
+        # hash far — envelope hashing is gain-robust, not shift-robust.)
+        dither = rng.randint(-60, 61, size=base.shape)
+        twin = np.clip(
+            base.astype(np.int64) * 8 // 10 + dither, -32768, 32767
+        ).astype(np.int16)
+        ids.append(3 * i + 1)
+        payloads.append(encode_wav(twin, rate))
+        if i % 3 == 0:
+            ids.append(3 * i + 2)
+            payloads.append(encode_wav(clip(), rate))
     return pa.table(
         {"media_id": pa.array(ids, pa.int64()),
          "payload": pa.array(payloads, pa.binary())}

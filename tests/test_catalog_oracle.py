@@ -102,6 +102,7 @@ GOLDEN_KEYS = {
     # golden = INDEPENDENT brute-force all-pairs hamming reference;
     # the banding machinery is lossless <= max_hamming, so exact
     "image_near_dupes": ["a", "b"],
+    "audio_near_dupes": ["a", "b"],
 }
 
 

@@ -92,3 +92,38 @@ def test_image_near_dupes_end_to_end(ray_session):
     twins = {(3 * i, 3 * i + 1) for i in range(12)}
     assert twins <= pairs  # every planted twin recovered
     assert (out["hamming"] <= 8).all()
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_audio_fp_gain_invariance_and_structure_sensitivity():
+    from search_engine_core_ray.functions.codecs import decode_wav
+    from search_engine_core_ray.stages.imagedup import (
+        audio_fp64,
+        synth_audio_pairs_table,
+    )
+
+    t = synth_audio_pairs_table(6, seed=13)
+    p0 = t.column("payload").to_pylist()[0]
+    samples, _ = decode_wav(p0)
+    h0 = audio_fp64(samples)
+    # pure gain change: hamming 0 (monotone invariance)
+    assert audio_fp64((samples.astype(np.int64) // 2).astype(np.int16)) == h0
+    # structural change (reversed in time): far away
+    assert _ham(h0, audio_fp64(samples[::-1])) > 10
+
+
+def test_audio_near_dupes_end_to_end(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.imagedup import (
+        audio_near_dupes,
+        synth_audio_pairs_table,
+    )
+
+    ds = ray.data.from_arrow(synth_audio_pairs_table(24, seed=13)).repartition(4)
+    out = audio_near_dupes(ds, max_hamming=6).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    twins = {(3 * i, 3 * i + 1) for i in range(24)}
+    assert pairs == twins  # all twins, zero false positives (seed 13)
