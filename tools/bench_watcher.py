@@ -42,6 +42,13 @@ def main() -> None:
                     timeout=1800,
                 )
                 line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+                if res.returncode != 0 or not line.startswith("{"):
+                    log(
+                        f"bench_watcher: bench FAILED rc={res.returncode}; "
+                        f"stderr tail: {res.stderr[-400:]!r}"
+                    )
+                    time.sleep(240)
+                    continue
                 with open(OUT, "w") as f:
                     f.write(line + "\n")
                 post = probe()
