@@ -3592,10 +3592,8 @@ def q_dup_ngram_fraction(sf_dir: str):
     return dup_ngram_stats(_docs(sf_dir), n=8)
 
 
-@_q(
-    "prepare_training_data",
-    rf"""
-    WITH norm AS (
+_PREP_CTES = rf"""
+    norm AS (
       SELECT doc_id,
              trim(regexp_replace(nfc_normalize(text), '{sc._WS_RE}', ' ', 'g'), ' ')
                AS text
@@ -3635,6 +3633,13 @@ def q_dup_ngram_fraction(sf_dir: str):
       SELECT doc_id, n_tok, start,
              unnest(range(start // {SEQ_LEN}, (start + n_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
       FROM o)
+"""
+
+
+@_q(
+    "prepare_training_data",
+    f"""
+    WITH {_PREP_CTES.strip()}
     SELECT doc_id, seq_id::BIGINT AS seq_id,
            (GREATEST(start, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN})::BIGINT AS seq_off,
            (GREATEST(start, seq_id * {SEQ_LEN}) - start)::BIGINT AS doc_off,
@@ -3676,6 +3681,68 @@ def q_prepare_training_data(sf_dir: str):
         gated, join_type="inner", num_partitions=8, on=("doc_id",)
     ).repartition(8)
     return pack_sequences(sdocs, seq_len=SEQ_LEN)
+
+
+@_q(
+    "training_data_card",
+    f"""
+    WITH {{_PREP_CTES}},
+    card AS (
+      SELECT 'input' AS stage, count(*)::BIGINT AS n FROM documents
+      UNION ALL SELECT 'quality_gated', count(*)::BIGINT FROM gate
+      UNION ALL SELECT 'dedup_survivors', count(*)::BIGINT FROM sdocs
+      UNION ALL SELECT 'packed_sequences', count(DISTINCT seq_id)::BIGINT FROM s
+      UNION ALL SELECT 'packed_tokens', sum(n_tok)::BIGINT FROM n)
+    SELECT stage, n FROM card
+    """.replace("{_PREP_CTES}", _PREP_CTES.strip()),
+)
+def q_training_data_card(sf_dir: str):
+    """The data card for the composed flagship: per-stage retention
+    counts (input -> quality gate -> dedup survivors -> packed
+    sequences/tokens) — the observability row a 100-TB pipeline run
+    reports next to its output.  Every count is an O(1) driver
+    aggregate over the SAME staged datasets prepare_training_data
+    runs (shared oracle CTEs by construction); packed_sequences uses
+    the span map's contiguous-coverage property (distinct seq_id ==
+    max+1) and packed_tokens is the span-length sum, which partitions
+    the token stream exactly."""
+    from ..stages.packing import pack_sequences
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    docs = _docs(sf_dir)
+    n_input = docs.count()
+    scrubbed = sc.pii_redact(sc.normalize_text(docs)).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    gated = scrubbed.map_batches(
+        ts.gopher_gate, batch_format="pyarrow"
+    ).materialize()
+    n_gated = gated.count()
+    surv = sorted_agg(
+        gated.map_batches(
+            lambda b: pa.table(
+                {"text": b.column("text"), "doc_id": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "text",
+        {"doc_id": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    sdocs = surv.join(
+        gated, join_type="inner", num_partitions=8, on=("doc_id",)
+    ).repartition(8).materialize()
+    n_surv = sdocs.count()
+    packed = pack_sequences(sdocs, seq_len=SEQ_LEN).materialize()
+    n_seqs = int(packed.max("seq_id")) + 1 if packed.count() else 0
+    n_tokens = int(packed.sum("len")) if packed.count() else 0
+    stages = ["input", "quality_gated", "dedup_survivors",
+              "packed_sequences", "packed_tokens"]
+    ns = [n_input, n_gated, n_surv, n_seqs, n_tokens]
+    return pa.table(
+        {"stage": pa.array(stages, pa.string()),
+         "n": pa.array(ns, pa.int64())}
+    )
 
 
 # ======================================================================
