@@ -2731,6 +2731,76 @@ def q_image_near_dupes(sf_dir: str):
     return image_near_dupes(ds, max_hamming=8)
 
 
+@_q(
+    "robots_decisions",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             source,
+             substr(source, 4) AS k,
+             'https://' || source || '.example.com/doc/' || doc_id AS url,
+             '/doc/' || doc_id AS path
+      FROM documents)
+    SELECT url,
+           CASE WHEN starts_with(path, '/doc/' || k || '7') THEN 1
+                WHEN starts_with(path, '/doc/' || k) THEN 0
+                ELSE 1 END::BIGINT AS allowed,
+           ((CAST(k AS BIGINT) % 4 + 1) * 1000)::BIGINT AS crawl_delay_ms
+    FROM pages
+    """,
+)
+def q_robots_decisions(sf_dir: str):
+    """robots.txt allow/deny decisions + crawl delays over the page
+    corpus with the REAL reference-semantics parser and matcher
+    (functions/robots.py, RobotsTxtParser.cpp): per-domain robots.txt
+    TEXT is synthesized deterministically (Allow /doc/{k}7, Disallow
+    /doc/{k}, Crawl-delay k%4+1 s), parsed into compiled rule groups
+    once on the driver, broadcast via ray.put, and evaluated inside
+    map_batches — the SURVEY §2.3 broadcast-dict filter shape.  The
+    oracle replays the rule ALGEBRA (allow-before-disallow prefix
+    semantics) without the parser, so parser+matcher are checked end
+    to end — including the allow-override firing on /doc/{k}7{...}
+    paths (doc 177 at sf0.001)."""
+    import ray
+
+    from ..functions.robots import get_crawl_delay_ms, is_allowed, parse_robots_txt
+
+    rules = {}
+    for k in range(20):
+        domain = f"src{k}.example.com"
+        txt = (
+            "# synthetic robots fixture\n"
+            "User-agent: *\n"
+            f"Allow: /doc/{k}7\n"
+            f"Disallow: /doc/{k}\n"
+            f"Crawl-delay: {k % 4 + 1}\n"
+        )
+        rules[domain] = parse_robots_txt(txt)
+    rules_ref = ray.put(rules)
+
+    def decide(b: pa.Table) -> pa.Table:
+        r = ray.get(rules_ref)
+        t = pl.from_arrow(b.select(["doc_id", "source"]))
+        urls = [
+            f"https://{s}.example.com/doc/{d}"
+            for s, d in zip(t["source"].to_list(), t["doc_id"].to_list())
+        ]
+        allowed = [int(is_allowed(r, u)) for u in urls]
+        delays = [
+            get_crawl_delay_ms(r, f"{s}.example.com")
+            for s in t["source"].to_list()
+        ]
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "allowed": pa.array(allowed, pa.int64()),
+             "crawl_delay_ms": pa.array(delays, pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source"]).map_batches(
+        decide, batch_format="pyarrow"
+    )
+
+
 def _hll_sql() -> str:
     from ..functions.hll import (
         ALPHA_NUM,

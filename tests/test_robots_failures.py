@@ -157,3 +157,23 @@ def test_retry_delay_custom_config():
     assert retry_delay_ms(1, cfg) == 500
     assert retry_delay_ms(2, cfg) == 1500
     assert retry_delay_ms(4, cfg) == 10000
+
+
+def test_robots_decisions_entry_non_vacuous(ray_session):
+    """The synthesized robots fixture must exercise all three outcomes:
+    plain allow, prefix deny, and the allow-override beating a matching
+    disallow (allow-before-disallow semantics)."""
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+
+    out = QUERIES["robots_decisions"]("/root/testdata/sf0.001").to_pandas()
+    out = out.set_index("url")
+    assert set(out["allowed"].unique()) == {0, 1}
+    # doc 17 (src17): path /doc/17 matches Disallow /doc/17 -> denied
+    assert out.loc["https://src17.example.com/doc/17", "allowed"] == 0
+    # doc 177 (src17): matches BOTH Allow /doc/177 and Disallow /doc/17
+    # -> allow wins (checked before disallow)
+    assert out.loc["https://src17.example.com/doc/177", "allowed"] == 1
+    # doc 21 (src1): path /doc/21 does NOT start with /doc/1 -> allowed
+    assert out.loc["https://src1.example.com/doc/21", "allowed"] == 1
+    # crawl delays vary by domain (k%4+1 seconds)
+    assert set(out["crawl_delay_ms"].unique()) == {1000, 2000, 3000, 4000}
