@@ -2801,6 +2801,90 @@ def q_robots_decisions(sf_dir: str):
     )
 
 
+# fetch-outcome fixture: one failure scenario per doc, cycling a code
+# list that covers every classifier branch (permanent 4xx, rate limit,
+# retryable 5xx/408, unknown), with retry_count cycling 0..4 across the
+# max_retries=3 boundary.
+RETRY_FIXTURE_CODES = (404, 429, 500, 503, 408, 410, 521, 999, 403, 451, 418, 502)
+
+
+@_q(
+    "retry_policy",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_extract({list(RETRY_FIXTURE_CODES)}, CAST(doc_id % 12 AS INT) + 1)
+               AS http_code,
+             (doc_id % 5)::BIGINT AS retry_count
+      FROM documents),
+    c AS (
+      SELECT doc_id, http_code, retry_count,
+             CASE WHEN http_code = 429 THEN 'rate_limited'
+                  WHEN http_code IN (400,401,403,404,405,406,407,409,410,411,
+                                     412,413,414,415,416,417,418,421,422,423,
+                                     424,426,428,431,451) THEN 'permanent'
+                  WHEN http_code IN (408,500,502,503,504,520,521,522,523,524)
+                       OR (http_code >= 500 AND http_code < 600)
+                    THEN 'temporary'
+                  ELSE 'unknown' END AS ftype
+      FROM f)
+    SELECT doc_id, http_code::BIGINT AS http_code, retry_count, ftype,
+           CASE WHEN ftype = 'permanent' THEN 0
+                WHEN retry_count >= 3 THEN 0
+                WHEN ftype IN ('temporary', 'rate_limited') THEN 1
+                WHEN retry_count < 1 THEN 1
+                ELSE 0 END::BIGINT AS retry,
+           LEAST(CAST((CASE WHEN ftype = 'rate_limited' THEN 60000
+                            ELSE 1000 END) * power(2.0, retry_count - 1)
+                      AS BIGINT), 30000)::BIGINT AS delay_ms
+    FROM c
+    """,
+)
+def q_retry_policy(sf_dir: str):
+    """Failure classification + retry/backoff policy
+    (FailureClassifier.cpp semantics, functions/failures.py) evaluated
+    over a deterministic fetch-outcome fixture covering every branch:
+    classify -> should_retry (max 3, UNKNOWN below max/2) -> capped
+    exponential backoff (rate-limited 60 s base).  The oracle replays
+    the constants algebraically; the Ray side runs the REAL ported
+    functions map-side (the poison-pill / fetch-stage policy path)."""
+    from ..functions.failures import (
+        FailureType,
+        classify_failure,
+        retry_delay_ms,
+        should_retry,
+    )
+
+    codes = RETRY_FIXTURE_CODES
+
+    def decide(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        rows = {"doc_id": [], "http_code": [], "retry_count": [],
+                "ftype": [], "retry": [], "delay_ms": []}
+        for d in ids:
+            code = codes[d % 12]
+            rc = d % 5
+            ft = classify_failure(http_code=code)
+            rows["doc_id"].append(d)
+            rows["http_code"].append(code)
+            rows["retry_count"].append(rc)
+            rows["ftype"].append(ft.value)
+            rows["retry"].append(int(should_retry(ft, rc)))
+            rows["delay_ms"].append(retry_delay_ms(rc, failure_type=ft))
+        return pa.table(
+            {"doc_id": pa.array(rows["doc_id"], pa.int64()),
+             "http_code": pa.array(rows["http_code"], pa.int64()),
+             "retry_count": pa.array(rows["retry_count"], pa.int64()),
+             "ftype": pa.array(rows["ftype"], pa.string()),
+             "retry": pa.array(rows["retry"], pa.int64()),
+             "delay_ms": pa.array(rows["delay_ms"], pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        decide, batch_format="pyarrow"
+    )
+
+
 def _hll_sql() -> str:
     from ..functions.hll import (
         ALPHA_NUM,

@@ -177,3 +177,26 @@ def test_robots_decisions_entry_non_vacuous(ray_session):
     assert out.loc["https://src1.example.com/doc/21", "allowed"] == 1
     # crawl delays vary by domain (k%4+1 seconds)
     assert set(out["crawl_delay_ms"].unique()) == {1000, 2000, 3000, 4000}
+
+
+def test_retry_policy_entry_covers_every_branch(ray_session):
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+
+    out = QUERIES["retry_policy"]("/root/testdata/sf0.001").to_pandas()
+    assert set(out["ftype"].unique()) == {
+        "permanent", "temporary", "rate_limited", "unknown"
+    }
+    # permanent never retries; temp/RL retry below max; the boundary
+    # retry_count >= 3 kills retries of every type
+    assert (out.loc[out["ftype"] == "permanent", "retry"] == 0).all()
+    assert (out.loc[out["retry_count"] >= 3, "retry"] == 0).all()
+    tmp = out[(out["ftype"] == "temporary") & (out["retry_count"] < 3)]
+    assert (tmp["retry"] == 1).all() and len(tmp) > 0
+    # unknown only below max/2
+    unk = out[out["ftype"] == "unknown"]
+    assert ((unk["retry"] == 1) == (unk["retry_count"] < 1)).all()
+    # backoff doubles then caps; rate-limited pinned at the 30 s cap
+    assert set(out.loc[out["ftype"] != "rate_limited", "delay_ms"]) == {
+        500, 1000, 2000, 4000, 8000
+    }
+    assert set(out.loc[out["ftype"] == "rate_limited", "delay_ms"]) == {30000}
