@@ -282,6 +282,10 @@ def main() -> None:
         "cooccurrence_pmi", "related_docs_topk", "gram_matrix", "hits",
         "anchor_terms", "fuzzy_term_match", "ranking_eval",
         "heavy_hitters_topk", "crawl_schedule", "hll_distinct",
+        "robots_decisions", "retry_policy",
+        "image_near_dupes", "audio_near_dupes",
+        # training_data_card is deliberately NOT benched: it re-runs the
+        # prepare_training_data stages (timed above) for its counts
         # authority_ranked_topk is deliberately NOT benched: it is the
         # composition of bm25_topk + pagerank (both timed above), so a
         # suite slot would double-count their cost; CORRECTNESS covers it
