@@ -318,15 +318,180 @@ def minhash_near_dupes(
        (sorted-array intersect per pair — no per-pair map_groups call
        overhead).
     """
-    from .imagedup import hamming_pairs
+    import pyarrow.compute as _pc
 
-    sigs = docs_ds.map_batches(
-        lambda b, _t=token_hash: simhash64(b, _t), batch_format="pyarrow"
-    ).materialize()  # feeds both the chunk explode and the verify attach
-    return hamming_pairs(
-        sigs, "doc_id", "simhash", max_hamming,
-        num_partitions=num_partitions, **gate_kwargs,
+    bands = docs_ds.map_batches(
+        lambda b: minhash_bands(b, k, token_hash), batch_format="pyarrow"
+    ).materialize()  # signatures feed BOTH sides of the self-join
+
+    # intra-bucket candidate pairs via a SELF-JOIN on the band keys —
+    # Acero's vectorized hash join replaces the old per-bucket Python
+    # map_groups (corpus-proportional bucket count made that call
+    # overhead the dominant cost of the whole operator)
+    def _side(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "band": b.column("band"),
+                    "band_hash": b.column("band_hash"),
+                    name: b.column("doc_id"),
+                }
+            )
+
+        return fn
+
+    pairs_ds = (
+        bands.map_batches(_side("a"), batch_format="pyarrow")
+        .join(
+            bands.map_batches(_side("b"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("band", "band_hash"),
+        )
+        # merge the join's schema-less empty partitions before any map
+        .repartition(num_partitions)
+        .map_batches(
+            lambda b: b.filter(
+                _pc.less(b.column("a"), b.column("b"))
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+        )
     )
+
+    from .shuffle import AUTO_THRESHOLD, sorted_distinct
+
+    # distinct candidate pairs: pair count is dup-volume-proportional,
+    # so the dedup runs through sorted_distinct (vectorized per-block
+    # group_by) instead of a per-pair Python map_groups call.
+    # materialize() pins the candidate pairs in the OBJECT STORE
+    # (distributed blocks, not the driver) so the emptiness probe below
+    # doesn't recompute the banding pipeline; an empty dataset has no
+    # schema and would break the join's key-field resolution
+    uniq = sorted_distinct(
+        pairs_ds, ["a", "b"], auto_threshold=AUTO_THRESHOLD
+    ).materialize()
+    if uniq.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
+
+    # attach each pair's shingle sets.  The candidate-INVOLVED doc set
+    # is dup-volume-proportional — a small fraction of the corpus — so
+    # never exchange the whole shingle table through two hash joins
+    # just to decorate the pairs (measured 15 s of the operator's 20 s
+    # at sf0.1 for 257 pairs):
+    #   1. semi-join the shingle table down to involved docs
+    #      (broadcast is_in probe under BROADCAST_ROW_LIMIT ids — a
+    #      pure streaming filter, zero exchanges — left_semi hash join
+    #      above it);
+    #   2. under the byte limit, broadcast the REDUCED shingle table
+    #      and attach+verify map-side (zero further exchanges); above
+    #      it, run the two pair-attach joins against the reduced table.
+    from ..functions.joins import gated_lookup, semi_or_anti_join
+
+    sh_ds = docs_ds.map_batches(
+        lambda b: doc_shingles(b, k, token_hash), batch_format="pyarrow"
+    )
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+        )
+        return pa.table({"doc_id": _pc.unique(both)})
+
+    ids_ds = uniq.map_batches(pair_ids, batch_format="pyarrow")
+    sh_needed = semi_or_anti_join(sh_ds, "doc_id", ids_ds, "doc_id")
+    mode, side = gated_lookup(
+        sh_needed, "doc_id", ["sh"], byte_limit=attach_byte_limit
+    )
+
+    def as_side(side_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    side_name: batch.column("doc_id"),
+                    f"sh_{side_name}": batch.column("sh"),
+                }
+            )
+
+        return fn
+
+    if mode == "broadcast":
+        import ray as _ray
+
+        def attach(b: pa.Table) -> pa.Table:
+            lut = pl.from_arrow(_ray.get(side))
+            return (
+                pl.from_arrow(b)
+                .join(
+                    lut.rename({"doc_id": "a", "sh": "sh_a"}), on="a", how="left"
+                )
+                .join(
+                    lut.rename({"doc_id": "b", "sh": "sh_b"}), on="b", how="left"
+                )
+                .to_arrow()
+            )
+
+        joined = uniq.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = uniq.join(
+            sh_needed.map_batches(as_side("a"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("a",),
+            # the first join emits SCHEMA-LESS blocks for empty hash
+            # partitions; as the LEFT side of the second join they break
+            # Acero key resolution ("no match for FieldRef.Name(b)") —
+            # a partition-layout-dependent flake. Merge them away first.
+        ).repartition(num_partitions).join(
+            sh_needed.map_batches(as_side("b"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("b",),
+        )
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        sa_col = batch.column("sh_a").combine_chunks() if isinstance(
+            batch.column("sh_a"), pa.ChunkedArray
+        ) else batch.column("sh_a")
+        sb_col = batch.column("sh_b").combine_chunks() if isinstance(
+            batch.column("sh_b"), pa.ChunkedArray
+        ) else batch.column("sh_b")
+        jac = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            sa = np.frombuffer(sa_col[i].as_py() or b"", dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i].as_py() or b"", dtype=np.uint64)
+            if len(sa) and len(sb):
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = jac >= threshold
+        out = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    verified = joined.map_batches(verify_batch, batch_format="pyarrow")
+    # Dataset.join emits SCHEMA-LESS empty blocks for empty hash
+    # partitions; they bypass downstream map UDFs and break later joins
+    # (Acero: "no match for key field"). A repartition of the (small)
+    # verified pair set merges them away and normalizes block schemas
+    # for every consumer.
+    return verified.repartition(num_partitions)
 
 
 def incremental_minhash_dedup(
@@ -704,128 +869,15 @@ def simhash_near_dupes(
     signature side of the attach is 16 bytes/doc, gated-broadcast
     under BROADCAST_ROW_LIMIT and a pair of hash joins above it.
     """
-    import pyarrow.compute as _pc
-
-    import ray.data
-
-    from ..functions.joins import gated_lookup
-    from .shuffle import AUTO_THRESHOLD, sorted_distinct
-
-    n_chunks = max_hamming + 1
-    base = 64 // n_chunks
-    widths = [base + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    from .imagedup import hamming_pairs
 
     sigs = docs_ds.map_batches(
         lambda b, _t=token_hash: simhash64(b, _t), batch_format="pyarrow"
     ).materialize()  # feeds both the chunk explode and the verify attach
-
-    def chunk_rows(b: pa.Table) -> pa.Table:
-        u = np.asarray(b.column("simhash").to_pylist(), dtype=np.int64).view(
-            np.uint64
-        )
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        outs = []
-        for c, (off, w) in enumerate(zip(offsets, widths)):
-            v = ((u >> np.uint64(off)) & np.uint64((1 << w) - 1)).astype(np.int64)
-            outs.append(
-                pa.table(
-                    {
-                        "doc_id": pa.array(ids, pa.int64()),
-                        "c": pa.array(np.full(len(ids), c, np.int64)),
-                        "v": pa.array(v, pa.int64()),
-                    }
-                )
-            )
-        return pa.concat_tables(outs)
-
-    chunks = sigs.map_batches(chunk_rows, batch_format="pyarrow")
-
-    def _side(name):
-        def fn(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {"c": b.column("c"), "v": b.column("v"), name: b.column("doc_id")}
-            )
-
-        return fn
-
-    pairs = (
-        chunks.map_batches(_side("a"), batch_format="pyarrow")
-        .join(
-            chunks.map_batches(_side("b"), batch_format="pyarrow"),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("c", "v"),
-        )
-        .repartition(num_partitions)  # merge schema-less empty partitions
-        .map_batches(
-            lambda b: b.filter(_pc.less(b.column("a"), b.column("b"))).select(
-                ["a", "b"]
-            ),
-            batch_format="pyarrow",
-        )
+    return hamming_pairs(
+        sigs, "doc_id", "simhash", max_hamming,
+        num_partitions=num_partitions, **gate_kwargs,
     )
-    uniq = sorted_distinct(pairs, ["a", "b"], auto_threshold=AUTO_THRESHOLD).materialize()
-    if uniq.count() == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        )
-
-    mode, side = gated_lookup(sigs, "doc_id", ["simhash"], **gate_kwargs)
-
-    def verify(b: pa.Table) -> pa.Table:
-        if mode == "broadcast":
-            import ray as _ray
-
-            lut = pl.from_arrow(_ray.get(side))
-            t = (
-                pl.from_arrow(b)
-                .join(lut.rename({"doc_id": "a", "simhash": "ha"}), on="a")
-                .join(lut.rename({"doc_id": "b", "simhash": "hb"}), on="b")
-                .to_arrow()
-            )
-        else:
-            t = b  # already attached by the joins below
-        ua = np.asarray(t.column("ha").to_pylist(), dtype=np.int64).view(np.uint64)
-        ub = np.asarray(t.column("hb").to_pylist(), dtype=np.int64).view(np.uint64)
-        x = ua ^ ub
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
-            axis=1
-        ).astype(np.int64)
-        keep = ham <= max_hamming
-        return pa.table(
-            {
-                "a": t.column("a").filter(pa.array(keep)),
-                "b": t.column("b").filter(pa.array(keep)),
-                "hamming": pa.array(ham[keep], pa.int64()),
-            }
-        )
-
-    if mode == "broadcast":
-        verified = uniq.map_batches(verify, batch_format="pyarrow")
-    else:
-
-        def as_side(side_name, out):
-            def fn(batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {side_name: batch.column("doc_id"), out: batch.column("simhash")}
-                )
-
-            return fn
-
-        attached = uniq.join(
-            side.map_batches(as_side("a", "ha"), batch_format="pyarrow"),
-            join_type="inner", num_partitions=num_partitions, on=("a",),
-        ).repartition(num_partitions).join(
-            side.map_batches(as_side("b", "hb"), batch_format="pyarrow"),
-            join_type="inner", num_partitions=num_partitions, on=("b",),
-        )
-        verified = attached.map_batches(verify, batch_format="pyarrow")
-    return verified.repartition(num_partitions)
-
 
 # ---- duplicated-line removal (C4 / RefinedWeb boilerplate scrub) --------
 
