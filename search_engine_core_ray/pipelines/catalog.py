@@ -1481,9 +1481,7 @@ def q_gram_matrix(sf_dir: str):
     return gram_matrix(_read(sf_dir, "embeddings"), scale=1_000_000)
 
 
-@_q(
-    "cooccurrence_pmi",
-    """
+_PMI_SQL = """
     WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest(tl) AS tok,
              unnest(generate_series(1, len(tl)))::BIGINT AS pos
@@ -1508,7 +1506,12 @@ def q_gram_matrix(sf_dir: str):
                     / CAST(ua.u * ub.u AS DOUBLE)), 6) AS pmi
     FROM pairs p, tot, uni ua, uni ub
     WHERE ua.tok = p.a AND ub.tok = p.b AND p.c_ab >= 3
-    """,
+    """
+
+
+@_q(
+    "cooccurrence_pmi",
+    _PMI_SQL,
 )
 def q_cooccurrence_pmi(sf_dir: str):
     """Skip-gram co-occurrence + PMI (window 2, min_count 3) — the
@@ -1521,6 +1524,79 @@ def q_cooccurrence_pmi(sf_dir: str):
     from ..stages.textstats import cooccurrence_pmi
 
     return cooccurrence_pmi(_docs(sf_dir), window=2, min_count=3)
+
+
+# query-expansion probes: one rare term (dup) and two mid-band terms
+RELATED_TERM_PROBES = ("dup", "vector", "join")
+
+
+@_q(
+    "related_terms",
+    f"""
+    WITH pmi_tbl AS MATERIALIZED ({_PMI_SQL.strip()}),
+    probes(p) AS (VALUES {", ".join(f"('{t}')" for t in RELATED_TERM_PROBES)}),
+    cand AS (
+      SELECT probes.p AS probe,
+             CASE WHEN t.a = probes.p THEN t.b ELSE t.a END AS neighbor,
+             t.c_ab, t.pmi
+      FROM pmi_tbl t JOIN probes ON t.a = probes.p OR t.b = probes.p
+      WHERE t.a <> t.b),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY probe ORDER BY pmi DESC, neighbor) AS rank
+      FROM cand)
+    SELECT probe, neighbor, c_ab, pmi, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q_related_terms(sf_dir: str):
+    """Query expansion: top-10 PMI co-occurrence neighbors per probe
+    term (the classic pseudo-relevance expansion signal; PMI table =
+    the already-SQL-checked cooccurrence_pmi operator, self-pairs
+    excluded).  Rank key is the 6-digit-rounded PMI (stable across
+    engines) with the neighbor term as tiebreak; the fold is
+    grouped_topk over the BOUNDED probe set."""
+    import pyarrow.compute as _pc2
+
+    from ..stages.shuffle import grouped_topk
+    from ..stages.textstats import cooccurrence_pmi
+
+    pmi = cooccurrence_pmi(_docs(sf_dir), window=2, min_count=3)
+    probe_set = pa.array(RELATED_TERM_PROBES)
+
+    def explode_probes(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b)
+        t = t.filter(pl.col("a") != pl.col("b"))
+        outs = []
+        for p in RELATED_TERM_PROBES:
+            g = t.filter((pl.col("a") == p) | (pl.col("b") == p))
+            if g.height == 0:
+                continue
+            outs.append(
+                g.with_columns(
+                    pl.lit(p).alias("probe"),
+                    pl.when(pl.col("a") == p)
+                    .then(pl.col("b"))
+                    .otherwise(pl.col("a"))
+                    .alias("neighbor"),
+                ).select(["probe", "neighbor", "c_ab", "pmi"])
+            )
+        if not outs:
+            return pa.table(
+                {"probe": pa.array([], pa.string()),
+                 "neighbor": pa.array([], pa.string()),
+                 "c_ab": pa.array([], pa.int64()),
+                 "pmi": pa.array([], pa.float64())}
+            )
+        return pl.concat(outs).to_arrow().cast(
+            pa.schema([("probe", pa.string()), ("neighbor", pa.string()),
+                       ("c_ab", pa.int64()), ("pmi", pa.float64())])
+        )
+
+    cand = pmi.map_batches(explode_probes, batch_format="pyarrow")
+    return grouped_topk(
+        cand, "probe", "pmi", 10,
+        descending=True, tiebreak_cols=["neighbor"], emit_rank="rank",
+    )
 
 
 @_q(
