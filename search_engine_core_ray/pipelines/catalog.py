@@ -1555,13 +1555,10 @@ def q_related_terms(sf_dir: str):
     excluded).  Rank key is the 6-digit-rounded PMI (stable across
     engines) with the neighbor term as tiebreak; the fold is
     grouped_topk over the BOUNDED probe set."""
-    import pyarrow.compute as _pc2
-
     from ..stages.shuffle import grouped_topk
     from ..stages.textstats import cooccurrence_pmi
 
     pmi = cooccurrence_pmi(_docs(sf_dir), window=2, min_count=3)
-    probe_set = pa.array(RELATED_TERM_PROBES)
 
     def explode_probes(b: pa.Table) -> pa.Table:
         t = pl.from_arrow(b)
@@ -2631,6 +2628,24 @@ def q_suggest_topk(sf_dir: str):
     )
 
 
+# tag{doc_id%97} lexicon widening (memory-note non-vacuity rule: the
+# raw synth vocabulary is a ~30-word salad).  _WIDEN_SQL is the DuckDB
+# twin — change BOTH together or the fuzzy/heavy-hitter gates break.
+_WIDEN_SQL = "lower(text) || ' tag' || (doc_id % 97)"
+
+
+def _widen_tags(b: pa.Table) -> pa.Table:
+    t = pl.from_arrow(b.select(["doc_id", "text"]))
+    t = t.with_columns(
+        (
+            pl.col("text").fill_null("")
+            + pl.lit(" tag")
+            + (pl.col("doc_id") % 97).cast(pl.String)
+        ).alias("text")
+    )
+    return t.to_arrow()
+
+
 # Fuzzy probes: one d<=1 common-vocab typo, one d==2 typo, one that also
 # matches exactly, against a tag{0..96}-widened lexicon (the raw synth
 # vocab is ~30 words — memory-note non-vacuity rule) so distance ties
@@ -2642,7 +2657,7 @@ FUZZY_QUERY_TERMS = ("soft", "streem", "qery", "tag7")
     "fuzzy_term_match",
     f"""
     WITH lexsrc AS (
-      SELECT doc_id, lower(text) || ' tag' || (doc_id % 97) AS text
+      SELECT doc_id, {_WIDEN_SQL} AS text
       FROM documents),
     tok AS (
       SELECT doc_id,
@@ -2670,24 +2685,12 @@ def q_fuzzy_term_match(sf_dir: str):
     term).  Lexicon = corpus term df widened with deterministic
     tag{{doc_id%%97}} tokens (in-query dirt injection, mirrored in the
     oracle) so the ranking has distance AND df variety."""
-    import ray.data
     from ray.data.aggregate import Sum
 
     from ..functions.fuzzy import fuzzy_match_terms
     from ..stages import textstats as _ts
 
-    def inject(b: pa.Table) -> pa.Table:
-        t = pl.from_arrow(b.select(["doc_id", "text"]))
-        t = t.with_columns(
-            (
-                pl.col("text").fill_null("")
-                + pl.lit(" tag")
-                + (pl.col("doc_id") % 97).cast(pl.String)
-            ).alias("text")
-        )
-        return t.to_arrow()
-
-    docs = _docs(sf_dir).map_batches(inject, batch_format="pyarrow")
+    docs = _docs(sf_dir).map_batches(_widen_tags, batch_format="pyarrow")
     partial = docs.map_batches(_ts.partial_term_df, batch_format="pyarrow")
     lexicon = partial.groupby("term").aggregate(Sum("pdf", alias_name="df"))
     return fuzzy_match_terms(lexicon, FUZZY_QUERY_TERMS, max_dist=2, k=10)
@@ -2736,12 +2739,12 @@ def q_crawl_schedule(sf_dir: str):
 
 @_q(
     "heavy_hitters_topk",
-    """
+    f"""
     WITH lexsrc AS (
-      SELECT doc_id, lower(text) || ' tag' || (doc_id % 97) AS text
+      SELECT doc_id, {_WIDEN_SQL} AS text
       FROM documents),
     tok AS (
-      SELECT unnest(regexp_extract_all(text, '[a-z0-9]{2,}')) AS term
+      SELECT unnest(regexp_extract_all(text, '[a-z0-9]{{2,}}')) AS term
       FROM lexsrc),
     cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
     ranked AS (
@@ -2761,18 +2764,7 @@ def q_heavy_hitters_topk(sf_dir: str):
     widened with tag{doc_id%%97} (memory-note non-vacuity rule)."""
     from ..stages.sketches import heavy_hitters
 
-    def inject(b: pa.Table) -> pa.Table:
-        t = pl.from_arrow(b.select(["doc_id", "text"]))
-        t = t.with_columns(
-            (
-                pl.col("text").fill_null("")
-                + pl.lit(" tag")
-                + (pl.col("doc_id") % 97).cast(pl.String)
-            ).alias("text")
-        )
-        return t.to_arrow()
-
-    docs = _docs(sf_dir).map_batches(inject, batch_format="pyarrow")
+    docs = _docs(sf_dir).map_batches(_widen_tags, batch_format="pyarrow")
     return heavy_hitters(docs, m=1024, k=20)
 
 
@@ -3172,12 +3164,23 @@ def _ranking_eval_sql() -> str:
       LEFT JOIN qd r ON r.query = q.query AND r.doc_id = f.doc_id),
     runs AS (SELECT * FROM run_bm25 UNION ALL SELECT * FROM run_null),
     w(rank, w) AS (VALUES {sql_dcg_weight_values()}),
+    -- metrics domain = (run x query) CROSS, so a query whose terms
+    -- match ZERO documents still yields a bm25 row of zeros exactly
+    -- like the Ray side (which loops over EVAL_QUERIES unconditionally)
+    dom AS (
+      SELECT rn.run_name, q.query
+      FROM (SELECT DISTINCT query FROM qterms) q
+      CROSS JOIN (VALUES ('bm25'), ('by_id')) rn(run_name)),
     dcg AS (
-      SELECT run_name, query,
-             sum(((1 << rel) - 1) * w.w)::BIGINT AS dcg,
-             min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
-             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits
-      FROM runs JOIN w USING (rank) GROUP BY 1, 2),
+      SELECT d.run_name, d.query,
+             COALESCE(sum(((1 << r.rel) - 1) * r.w), 0)::BIGINT AS dcg,
+             min(CASE WHEN r.rel > 0 THEN r.rank END) AS first_rel,
+             COALESCE(sum(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS hits
+      FROM dom d
+      LEFT JOIN (SELECT runs.*, w.w FROM runs JOIN w USING (rank)) r
+        ON r.run_name = d.run_name AND r.query = d.query
+      GROUP BY 1, 2),
     ideal AS (
       SELECT query, rel,
              row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS rank

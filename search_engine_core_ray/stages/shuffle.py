@@ -375,44 +375,45 @@ def keyed_row_number(ds, key: str, order: list[str], out_col: str = "rn"):
     srt = ds.sort(sort_cols).materialize()
 
     def block_meta(b: pa.Table) -> pa.Table:
+        # first-row sort VALUES ride along TYPED (first_<col> columns):
+        # the driver must order blocks and key the base map by the real
+        # values — stringified keys would sort '10' before '2' for int
+        # order columns and silently misnumber chained keys
         if b.num_rows == 0:
-            return pa.table(
-                {"first_sk": pa.array([], pa.string()),
-                 "first_key": pa.array([], pa.string()),
-                 "last_key": pa.array([], pa.string()),
-                 "first_cnt": pa.array([], pa.int64()),
-                 "last_cnt": pa.array([], pa.int64())}
-            )
+            cols = {f"first_{c}": b.column(c).slice(0, 0) for c in sort_cols}
+            cols["last_key"] = b.column(key).slice(0, 0)
+            cols["first_cnt"] = pa.array([], pa.int64())
+            cols["last_cnt"] = pa.array([], pa.int64())
+            return pa.table(cols)
         t = pl.from_arrow(b.select(sort_cols))
         fk = t[key][0]
         lk = t[key][-1]
-        first_sk = "\x1f".join(str(t[c][0]) for c in sort_cols)
-        return pa.table(
-            {"first_sk": pa.array([first_sk], pa.string()),
-             "first_key": pa.array([str(fk)], pa.string()),
-             "last_key": pa.array([str(lk)], pa.string()),
-             "first_cnt": pa.array([int((t[key] == fk).sum())], pa.int64()),
-             "last_cnt": pa.array([int((t[key] == lk).sum())], pa.int64())}
-        )
+        cols = {f"first_{c}": b.column(c).slice(0, 1) for c in sort_cols}
+        cols["last_key"] = b.column(key).slice(b.num_rows - 1, 1)
+        cols["first_cnt"] = pa.array([int((t[key] == fk).sum())], pa.int64())
+        cols["last_cnt"] = pa.array([int((t[key] == lk).sum())], pa.int64())
+        return pa.table(cols)
 
     # O(blocks) rows through the driver, by design
     metas = srt.map_batches(
         block_meta, batch_format="pyarrow", batch_size=None
     ).take_all()
-    metas.sort(key=lambda r: r["first_sk"].split("\x1f"))
-    bases: dict[str, int] = {}
-    running_key: str | None = None
+    metas.sort(key=lambda r: tuple(r[f"first_{c}"] for c in sort_cols))
+    bases: dict[tuple, int] = {}
+    running_key: object = object()  # sentinel: matches no real key
     running_cnt = 0
     for blk in metas:
-        base = running_cnt if blk["first_key"] == running_key else 0
-        if blk["first_sk"] in bases:
+        head = tuple(blk[f"first_{c}"] for c in sort_cols)
+        first_key = blk[f"first_{key}"]
+        base = running_cnt if first_key == running_key else 0
+        if head in bases:
             raise ValueError(
                 "keyed_row_number: duplicate block head sort key — "
                 "`order` does not make (key, *order) a total order"
             )
-        bases[blk["first_sk"]] = base
-        if blk["last_key"] == blk["first_key"]:
-            running_key = blk["first_key"]
+        bases[head] = base
+        if blk["last_key"] == first_key:
+            running_key = first_key
             running_cnt = base + blk["first_cnt"]
         else:
             running_key = blk["last_key"]
@@ -423,9 +424,9 @@ def keyed_row_number(ds, key: str, order: list[str], out_col: str = "rn"):
         if b.num_rows == 0:
             return b
         base_map = ray.get(bases_ref)
+        head = tuple(b.column(c)[0].as_py() for c in sort_cols)
+        base = base_map[head]  # KeyError = fail loudly
         t = pl.from_arrow(b)
-        first_sk = "\x1f".join(str(t[c][0]) for c in sort_cols)
-        base = base_map[first_sk]  # KeyError = fail loudly
         fk = t[key][0]
         t = t.with_columns(
             (

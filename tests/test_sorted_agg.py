@@ -299,3 +299,34 @@ def test_keyed_row_number_single_key_chain(ray_session):
         ray.data.from_arrow(t).repartition(9), "k", ["o"], "rn"
     ).to_pandas().sort_values("o", ignore_index=True)
     assert out["rn"].tolist() == list(range(1, 1001))
+
+
+def test_keyed_row_number_integer_order_column(ray_session):
+    # regression: block metadata must order by TYPED values — a
+    # stringified sort would place 10 before 2 and misnumber chains
+    import polars as pl
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import keyed_row_number
+
+    n = 3000
+    t = pa.table(
+        {"host": [f"h{i % 3}" for i in range(n)],
+         "priority": list(range(n))}  # int order column spanning blocks
+    )
+    out = keyed_row_number(
+        ray.data.from_arrow(t).repartition(11), "host", ["priority"], "rn"
+    ).to_pandas()
+    ref = (
+        pl.from_arrow(t)
+        .sort(["host", "priority"])
+        .with_columns(
+            pl.col("priority").cum_count().over("host").cast(pl.Int64).alias("rn")
+        )
+        .to_pandas()
+    )
+    cols = ["host", "priority"]
+    assert out.sort_values(cols, ignore_index=True).equals(
+        ref.sort_values(cols, ignore_index=True)
+    )

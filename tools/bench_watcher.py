@@ -32,38 +32,50 @@ def main() -> None:
         log(f"bench_watcher: probe {c:.3f} (need >= {PROBE_MIN})")
         if c >= PROBE_MIN:
             open(MARKER, "w").write("bench_watcher")
+            failed = False
             try:
                 t0 = time.time()
-                res = subprocess.run(
-                    [sys.executable, "bench.py"],
-                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    capture_output=True,
-                    text=True,
-                    timeout=1800,
-                )
-                line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
-                if res.returncode != 0 or not line.startswith("{"):
-                    log(
-                        f"bench_watcher: bench FAILED rc={res.returncode}; "
-                        f"stderr tail: {res.stderr[-400:]!r}"
-                    )
-                    time.sleep(240)
-                    continue
-                with open(OUT, "w") as f:
-                    f.write(line + "\n")
-                post = probe()
-                log(
-                    f"bench_watcher: done in {time.time()-t0:.0f}s, post-probe "
-                    f"{post:.3f}; wrote {OUT}"
-                )
                 try:
-                    d = json.loads(line)
-                    log(f"bench_watcher: docs/s={d.get('docs_per_sec_synth')} "
-                        f"p99={d.get('query_p99_ms')}ms pool={d.get('pool_qps')}qps")
-                except Exception:
-                    pass
+                    res = subprocess.run(
+                        [sys.executable, "bench.py"],
+                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        capture_output=True,
+                        text=True,
+                        timeout=1800,
+                    )
+                except subprocess.TimeoutExpired:
+                    log("bench_watcher: bench TIMED OUT after 1800 s; retrying")
+                    failed = True
+                    res = None
+                if res is not None:
+                    line = (
+                        res.stdout.strip().splitlines()[-1]
+                        if res.stdout.strip() else ""
+                    )
+                    if res.returncode != 0 or not line.startswith("{"):
+                        log(
+                            f"bench_watcher: bench FAILED rc={res.returncode}; "
+                            f"stderr tail: {res.stderr[-400:]!r}"
+                        )
+                        failed = True
             finally:
-                os.remove(MARKER)
+                os.remove(MARKER)  # never hold the marker while sleeping
+            if failed:
+                time.sleep(240)
+                continue
+            with open(OUT, "w") as f:
+                f.write(line + "\n")
+            post = probe()
+            log(
+                f"bench_watcher: done in {time.time()-t0:.0f}s, post-probe "
+                f"{post:.3f}; wrote {OUT}"
+            )
+            try:
+                d = json.loads(line)
+                log(f"bench_watcher: docs/s={d.get('docs_per_sec_synth')} "
+                    f"p99={d.get('query_p99_ms')}ms pool={d.get('pool_qps')}qps")
+            except Exception:
+                pass
             return
         time.sleep(240)
     log("bench_watcher: no clean window found, giving up")
