@@ -3794,6 +3794,56 @@ def q_contamination_frac(sf_dir: str):
 
 
 @_q(
+    "bloom_contaminated",
+    f"""
+    WITH bt AS ({{bw}}),
+    btk AS (SELECT regexp_extract_all(lower(t), '[a-z0-9]{{2,}}') AS tk FROM bt),
+    bposn AS (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM btk),
+    bw AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS w FROM bposn),
+    bbits AS (
+      SELECT DISTINCT CAST(((h % 4294967296) + t.i * (h // 4294967296))
+                           % 65536 AS BIGINT) AS p
+      FROM (SELECT md5_number_lower(w) AS h FROM bw) z,
+           (VALUES (0), (1), (2), (3)) t(i)),
+    dtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{{2,}}') AS tk
+            FROM documents),
+    dposn AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM dtk),
+    dwin AS (SELECT doc_id, i AS wi,
+                    md5_number_lower(array_to_string(tk[i:i+2], ' ')) AS h
+             FROM dposn),
+    dflag AS (
+      SELECT doc_id, wi,
+             min(CASE WHEN CAST(((h % 4294967296) + t.i * (h // 4294967296))
+                               % 65536 AS BIGINT)
+                           IN (SELECT p FROM bbits) THEN 1 ELSE 0 END) AS fl
+      FROM dwin, (VALUES (0), (1), (2), (3)) t(i)
+      GROUP BY doc_id, wi),
+    per AS (SELECT doc_id, count(*)::BIGINT AS n_win,
+                   sum(fl)::BIGINT AS flagged_win
+            FROM dflag GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(p.n_win, 0)::BIGINT AS n_win,
+           COALESCE(p.flagged_win, 0)::BIGINT AS flagged_win,
+           CASE WHEN COALESCE(p.n_win, 0) > 0
+                THEN CAST(p.flagged_win AS DOUBLE) / p.n_win ELSE 0.0 END
+             AS flagged_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """.replace("{bw}", _CONTAM_BW_SQL),
+)
+def q_bloom_contaminated(sf_dir: str):
+    """Bloom-filter decontamination (stages/sketches.py) — the SCALE
+    path of contamination_frac for huge benchmark sides: a 64 Kbit
+    Kirsch-Mitzenmacher double-hashed filter broadcast once (m/8 bytes
+    however large the benchmark), windows flagged when all k=4 bit
+    positions are set.  The SQL oracle replays the exact bit algebra —
+    deterministic false positives included — on md5_number_lower
+    window hashes."""
+    from ..stages.sketches import bloom_contaminated
+
+    return bloom_contaminated(_docs(sf_dir), list(CONTAM_BENCH), n=3)
+
+
+@_q(
     "dup_ngram_fraction",
     """
     WITH tok AS (

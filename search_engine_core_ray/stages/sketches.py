@@ -155,3 +155,124 @@ def mg_reference_merge(streams: list[list[str]], m: int) -> dict[str, int]:
             pl.concat([acc, s]).group_by("term").agg(pl.col("cnt").sum()), m
         )
     return dict(zip(acc["term"].to_list(), acc["cnt"].to_list()))
+
+
+# --------------------------------------------------------------- Bloom
+
+BLOOM_M_BITS = 1 << 16   # 64 Kbit filter for the fixture scale
+BLOOM_K = 4              # Kirsch-Mitzenmacher double hashing
+
+
+def bloom_positions(h: np.ndarray, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """uint64 hashes -> (n, k) int64 bit positions via double hashing
+    pos_i = (h_lo32 + i * h_hi32) mod m — pure integer arithmetic,
+    identical in DuckDB UBIGINT algebra (the SQL twin in the catalog)."""
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = (h >> np.uint64(32)).astype(np.int64)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m_bits
+
+
+def bloom_build(values: list[str], m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Benchmark strings -> Bloom bit array (np.bool_, m_bits long).
+    Hash = md5_number_lower so the SQL oracle replays the exact bit
+    set — including the filter's deterministic false positives."""
+    from ..functions.hll import md5_lower64_array
+
+    bits = np.zeros(m_bits, dtype=np.bool_)
+    if values:
+        pos = bloom_positions(md5_lower64_array(values), m_bits, k)
+        bits[pos.ravel()] = True
+    return bits
+
+
+def bloom_contaminated(docs_ds, benchmark_texts: list[str], n: int = 3,
+                       m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """Bloom-filter decontamination: per document, how many of its
+    token n-gram windows the benchmark Bloom filter FLAGS (a superset
+    of true containment: false positives at the classic
+    (1 - e^(-k d / m))^k rate, deterministic given the bit set).
+
+    This is the scale path of ``scrub.contamination_frac``: that
+    operator broadcasts the exact benchmark window-hash SET (right for
+    MB-scale benchmarks); when the "benchmark" side is itself huge —
+    a whole eval-suite union, or another corpus — the Bloom filter
+    caps the broadcast at m/8 bytes regardless of benchmark size, and
+    membership stays O(k) per window.  Returns (doc_id, n_win,
+    flagged_win, flagged_frac); map-only, filter broadcast once.
+
+    The md5 window hash keeps the ENTIRE bit algebra DuckDB-replayable
+    (the simhash twin discipline); a production deployment would swap
+    the vectorized polars hash for the window hashing and keep
+    everything else."""
+    import ray
+
+    import pyarrow as _pa
+
+    from ..functions.hll import md5_lower64_array
+
+    # benchmark windows -> bit array, built once on the driver
+    bw = _ngram_windows_pl(
+        pl.DataFrame({"doc_id": list(range(len(benchmark_texts))),
+                      "text": pl.Series(benchmark_texts, dtype=pl.String)}),
+        n,
+    )
+    bits = bloom_build(sorted(set(bw["w"].to_list())), m_bits, k)
+    bits_ref = ray.put(bits)
+
+    def score(batch: _pa.Table) -> _pa.Table:
+        b = ray.get(bits_ref)
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        wins = _ngram_windows_pl(df, n)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        n_docs = len(df)
+        rid = wins["rid"].to_numpy().astype(np.int64)
+        n_win = np.bincount(rid, minlength=n_docs).astype(np.int64)
+        if wins.height:
+            # hash DISTINCT windows once, map back by inverse index
+            wlist = wins["w"].to_list()
+            uniq, inv = np.unique(np.asarray(wlist, dtype=object),
+                                  return_inverse=True)
+            pos = bloom_positions(md5_lower64_array(list(uniq)), m_bits, k)
+            flagged_u = b[pos].all(axis=1)
+            hit = flagged_u[inv].astype(np.int64)
+        else:
+            hit = np.zeros(0, dtype=np.int64)
+        fl = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(fl, rid, hit)
+        frac = np.where(n_win > 0, fl / np.maximum(n_win, 1), 0.0)
+        return _pa.table(
+            {"doc_id": _pa.array(ids, _pa.int64()),
+             "n_win": _pa.array(n_win, _pa.int64()),
+             "flagged_win": _pa.array(fl, _pa.int64()),
+             "flagged_frac": _pa.array(frac, _pa.float64())}
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def _ngram_windows_pl(df: pl.DataFrame, n: int) -> pl.DataFrame:
+    """(doc rows with text) -> (rid, w) token n-gram window strings —
+    the same window rule the contamination operators use
+    (lowercase alnum>=2 tokens, space-joined)."""
+    ex = (
+        df.with_columns(
+            tk=pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]{2,}")
+        )
+        .with_row_index("rid")
+        .select("rid", "tk")
+        .explode("tk")
+        .filter(pl.col("tk").is_not_null())
+    )
+    return (
+        ex.with_columns(
+            w=pl.concat_str(
+                [pl.col("tk").shift(-j).over("rid") for j in range(n)],
+                separator=" ",
+            )
+        )
+        .filter(pl.col("w").is_not_null())
+        .select("rid", "w")
+    )

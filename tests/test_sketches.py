@@ -111,3 +111,48 @@ def test_heavy_hitters_dataset_small_m_bound(ray_session):
     guaranteed = [t for t, c in truth.items() if c > bound]
     assert guaranteed
     assert set(guaranteed) <= set(out["term"])
+
+
+# --------------------------------------------------------------- Bloom
+
+
+def test_bloom_flags_superset_of_exact_and_fp_rate():
+    import numpy as np
+
+    from search_engine_core_ray.functions.hll import md5_lower64_array
+    from search_engine_core_ray.stages.sketches import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_build,
+        bloom_positions,
+    )
+
+    bench = [f"w{i} w{i+1} w{i+2}" for i in range(0, 3000, 3)]
+    bits = bloom_build(bench, BLOOM_M_BITS, BLOOM_K)
+    # every inserted value is flagged (no false negatives, ever)
+    pos = bloom_positions(md5_lower64_array(bench), BLOOM_M_BITS, BLOOM_K)
+    assert bits[pos].all(axis=1).all()
+    # false-positive rate on disjoint probes tracks (1 - e^-kd/m)^k
+    probes = [f"q{i} q{i+1} q{i+2}" for i in range(20000)]
+    ppos = bloom_positions(md5_lower64_array(probes), BLOOM_M_BITS, BLOOM_K)
+    fp = bits[ppos].all(axis=1).mean()
+    d = len(set(bench))
+    expected = (1 - np.exp(-BLOOM_K * d / BLOOM_M_BITS)) ** BLOOM_K
+    assert fp <= max(4 * expected, 0.01), (fp, expected)
+
+
+def test_bloom_entry_superset_of_exact_contamination(ray_session):
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+
+    bloom = (
+        QUERIES["bloom_contaminated"]("/root/testdata/sf0.001")
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    exact = (
+        QUERIES["contamination_frac"]("/root/testdata/sf0.001")
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert (bloom["n_win"] == exact["n_win"]).all()
+    # Bloom can only over-flag, never miss
+    assert (bloom["flagged_win"] >= exact["contam_win"]).all()
+    assert bloom["flagged_win"].sum() > 0  # non-vacuous
