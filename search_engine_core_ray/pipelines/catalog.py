@@ -3843,6 +3843,90 @@ def q_bloom_contaminated(sf_dir: str):
     return bloom_contaminated(_docs(sf_dir), list(CONTAM_BENCH), n=3)
 
 
+# CM probes: two common terms, one rare, one absent (its nonzero
+# estimate exposes the sketch's overestimate-only collision behavior)
+CM_PROBES = ("query", "dup", "vector", "zzznotaterm")
+
+
+@_q(
+    "cm_term_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS term
+      FROM documents),
+    tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    cells AS (
+      SELECT t.i AS row,
+             CAST(((h % 4294967296) + t.i * (h // 4294967296)) % 2048
+                  AS BIGINT) AS col,
+             sum(cnt)::BIGINT AS cnt
+      FROM (SELECT md5_number_lower(term) AS h, cnt FROM tc) z,
+           (VALUES (0), (1), (2), (3)) t(i)
+      GROUP BY 1, 2),
+    probes(term) AS (VALUES {", ".join(f"('{t}')" for t in CM_PROBES)}),
+    ppos AS (
+      SELECT p.term, t.i AS row,
+             CAST(((md5_number_lower(p.term) % 4294967296)
+                   + t.i * (md5_number_lower(p.term) // 4294967296)) % 2048
+                  AS BIGINT) AS col
+      FROM probes p, (VALUES (0), (1), (2), (3)) t(i)),
+    est AS (
+      SELECT pp.term, min(COALESCE(c.cnt, 0))::BIGINT AS est
+      FROM ppos pp LEFT JOIN cells c ON c.row = pp.row AND c.col = pp.col
+      GROUP BY 1),
+    tr AS (SELECT p.term, COALESCE(tc.cnt, 0)::BIGINT AS true_cnt
+           FROM probes p LEFT JOIN tc ON tc.term = p.term)
+    SELECT e.term, e.est, t.true_cnt FROM est e JOIN tr t USING (term)
+    """,
+)
+def q_cm_term_counts(sf_dir: str):
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005)
+    for a probe term set, next to the exact counts — the
+    point-frequency sketch completing the family (Misra-Gries top-k,
+    HLL distinct, Bloom membership).  4x2048 cells, cell partials
+    bounded per block, one bounded groupby reduce, driver collect =
+    the cell DOMAIN.  The estimate is an overestimate by construction
+    (asserted in pytest); the oracle replays the identical double-hash
+    cell algebra on md5_number_lower."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.sketches import cm_estimate
+
+    est = cm_estimate(_docs(sf_dir), list(CM_PROBES))
+    # exact counts for the probe set: filtered map-side partials ->
+    # tiny groupby (O(probes) keys)
+    def probe_counts(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["text"]))
+        counts = (
+            t.with_columns(
+                pl.col("text").fill_null("")
+                .str.extract_all("[A-Za-z0-9]{2,}").alias("tok")
+            )
+            .select("tok")
+            .explode("tok")
+            .drop_nulls("tok")
+            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+            .filter(pl.col("term").is_in(list(CM_PROBES)))
+            .group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return counts.to_arrow().cast(
+            pa.schema([("term", pa.string()), ("cnt", pa.int64())])
+        )
+
+    true_tbl = (
+        _docs(sf_dir).map_batches(probe_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(_Sum("cnt", alias_name="true_cnt"))
+        .to_pandas()
+    )
+    true_map = dict(zip(true_tbl["term"], true_tbl["true_cnt"]))
+    return est.append_column(
+        "true_cnt",
+        pa.array([int(true_map.get(t, 0)) for t in CM_PROBES], pa.int64()),
+    )
+
+
 @_q(
     "dup_ngram_fraction",
     """

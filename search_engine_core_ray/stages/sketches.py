@@ -276,3 +276,89 @@ def _ngram_windows_pl(df: pl.DataFrame, n: int) -> pl.DataFrame:
         .filter(pl.col("w").is_not_null())
         .select("rid", "w")
     )
+
+
+# ----------------------------------------------------------- Count-Min
+
+CM_DEPTH = 4        # rows (independent hash functions)
+CM_WIDTH = 2048     # cells per row
+
+
+def cm_positions(h: np.ndarray, width: int = CM_WIDTH, depth: int = CM_DEPTH) -> np.ndarray:
+    """uint64 hashes -> (n, depth) int64 column positions, the same
+    Kirsch-Mitzenmacher double hashing the Bloom filter uses."""
+    return bloom_positions(h, m_bits=width, k=depth)
+
+
+def cm_partial_kernel(width: int = CM_WIDTH, depth: int = CM_DEPTH,
+                      text_col: str = "text"):
+    """map_batches kernel: document batch -> its Count-Min cell partial
+    (row, col, cnt) — at most depth*width rows however big the batch.
+    Mergeable by plain cell-wise sum (the sketch is a linear map of the
+    frequency vector)."""
+    from ..functions.hll import md5_lower64_array
+    from .textstats import TOKEN_RE
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch.select([text_col]))
+        counts = (
+            t.with_columns(
+                pl.col(text_col).fill_null("").str.extract_all(TOKEN_RE).alias("tok")
+            )
+            .select("tok")
+            .explode("tok")
+            .drop_nulls("tok")
+            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+            .group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        cells = np.zeros((depth, width), dtype=np.int64)
+        if counts.height:
+            pos = cm_positions(
+                md5_lower64_array(counts["term"].to_list()), width, depth
+            )
+            c = counts["cnt"].to_numpy()
+            for i in range(depth):
+                np.add.at(cells[i], pos[:, i], c)
+        rows, cols = np.nonzero(cells)
+        return pa.table(
+            {"row": pa.array(rows.astype(np.int64), pa.int64()),
+             "col": pa.array(cols.astype(np.int64), pa.int64()),
+             "cnt": pa.array(cells[rows, cols], pa.int64())}
+        )
+
+    return kernel
+
+
+def cm_estimate(docs, probe_terms: list[str], width: int = CM_WIDTH,
+                depth: int = CM_DEPTH, text_col: str = "text"):
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005)
+    for ``probe_terms`` over the corpus token stream: (term, est)
+    with est = min over rows of the term's cell — an OVERESTIMATE
+    (never under), within eps*N w.h.p. for width = e/eps.
+
+    Scale shape: cell partials are depth*width-bounded per block, the
+    reduce is one bounded groupby(row, col), and the driver collect is
+    the cell DOMAIN (depth*width rows) — never corpus-proportional.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hll import md5_lower64_array
+
+    cells_rows = (
+        docs.map_batches(cm_partial_kernel(width, depth, text_col),
+                         batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # <= depth*width rows: cell-domain-bounded
+    )
+    cells = np.zeros((depth, width), dtype=np.int64)
+    for r in cells_rows:
+        cells[r["row"], r["col"]] = r["cnt"]
+    pos = cm_positions(md5_lower64_array(list(probe_terms)), width, depth)
+    est = [int(min(cells[i, pos[j, i]] for i in range(depth)))
+           for j in range(len(probe_terms))]
+    return pa.table(
+        {"term": pa.array(list(probe_terms), pa.string()),
+         "est": pa.array(est, pa.int64())}
+    )

@@ -156,3 +156,37 @@ def test_bloom_entry_superset_of_exact_contamination(ray_session):
     # Bloom can only over-flag, never miss
     assert (bloom["flagged_win"] >= exact["contam_win"]).all()
     assert bloom["flagged_win"].sum() > 0  # non-vacuous
+
+
+# ----------------------------------------------------------- Count-Min
+
+
+def test_cm_overestimate_guarantee(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.sketches import cm_estimate
+
+    rng = random.Random(31)
+    streams = _zipf_streams(rng, n_streams=5, n_per=800, vocab=400)
+    truth = Counter(t for s in streams for t in s)
+    docs = pa.table({"text": [" ".join(s) for s in streams]})
+    probes = [t for t, _ in truth.most_common(5)] + ["w399", "absent1", "absent2"]
+    out = cm_estimate(
+        ray.data.from_arrow(docs).repartition(3), probes
+    ).to_pandas().set_index("term")
+    n_total = sum(truth.values())
+    for t in probes:
+        est = int(out.loc[t, "est"])
+        assert est >= truth.get(t, 0), t          # never underestimates
+        # e/width error bound at 3 sigma-ish slack
+        assert est - truth.get(t, 0) <= max(10, 8 * n_total / 2048), t
+
+
+def test_cm_entry_probe_mix(ray_session):
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+
+    out = QUERIES["cm_term_counts"]("/root/testdata/sf0.001").to_pandas()
+    out = out.set_index("term")
+    assert (out["est"] >= out["true_cnt"]).all()
+    assert out.loc["zzznotaterm", "true_cnt"] == 0
+    assert out.loc["query", "true_cnt"] > 300  # real common-term count
