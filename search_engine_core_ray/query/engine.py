@@ -727,6 +727,7 @@ class SearchEngine:
         query: str,
         df_override: dict | None = None,
         df_tc_override: dict | None = None,
+        fuzzy: bool = False,
     ) -> tuple:
         """Retrieve + score WITHOUT normalization/sort/pagination —
         the partial a doc-partitioned bucket actor returns to the
@@ -739,6 +740,8 @@ class SearchEngine:
             self._df_tc_override = df_tc_override
         try:
             ast = parse_query(query)
+            if fuzzy:
+                ast = self.fuzzy_rewrite(ast)
             terms = scoring_terms(ast, self.text_analyzer)
             phrases = exact_phrases(ast)
             cands = self._eval(ast)  # positions
@@ -764,7 +767,12 @@ class SearchEngine:
                 self._df_tc_override = {}
 
     def search(
-        self, query: str, limit: int = 10, offset: int = 0, highlight: bool = False
+        self,
+        query: str,
+        limit: int = 10,
+        offset: int = 0,
+        highlight: bool = False,
+        fuzzy: bool = False,
     ) -> dict:
         """Fidelity path: full candidate scoring, reference-identical.
         ``highlight=True`` mirrors searchSimple's always-on HIGHLIGHT
@@ -772,11 +780,14 @@ class SearchEngine:
         ``<b>`` tags around matched terms (RediSearch returns the
         fields pre-tagged and parseSearchResult truncates the TAGGED
         content), plus the SearchResult.highlights{} field->text map
-        (RedisSearchStorage.h:43)."""
-        cands, scores, pure_filter = self.search_raw(query)
+        (RedisSearchStorage.h:43).  ``fuzzy=True`` applies the
+        zero-match typo rewrite (see fuzzy_rewrite) before scoring."""
+        cands, scores, pure_filter = self.search_raw(query, fuzzy=fuzzy)
         hl = None
         if highlight:
             ast = parse_query(query)
+            if fuzzy:
+                ast = self.fuzzy_rewrite(ast)
             hl = scoring_terms(ast, self.text_analyzer)
         return self.finish_search(
             cands, scores, pure_filter, limit, offset, highlight_terms=hl
@@ -967,6 +978,46 @@ class SearchEngine:
                         yield (d, -reader.df(t), t)
 
         return [(t, d, -ndf) for d, ndf, t in heapq.nsmallest(limit, gen())]
+
+    def fuzzy_rewrite(self, ast, max_dist: int = 2, limit: int = 3):
+        """Typo tolerance as an AST rewrite — the %term% capability of
+        the reference's RediSearch backend, applied only where needed:
+        every non-exact Term NONE of whose analyzed tokens exist in the
+        index is replaced by the Or of its nearest indexed terms
+        (``fuzzy_terms`` ranking, top ``limit``).  Queries whose terms
+        all match are returned untouched, so reference parity holds for
+        them; phrases and filters are never rewritten.  Inserted
+        candidates come from the index dictionary (already analyzer
+        space) — assumes an idempotent analyzer, true of the built-in
+        ones."""
+        from .parser import And, Or, Term
+        from .plan import analyze
+
+        def walk(node):
+            if isinstance(node, Term):
+                if node.exact:
+                    return node
+                toks = analyze(node.value, self.text_analyzer)
+                if any(self.local_dfs([t]).get(t, 0) > 0 for t in toks):
+                    return node
+                cands = [
+                    c
+                    for c, _d, _df in self.fuzzy_terms(
+                        node.value, max_dist, limit + 1
+                    )
+                    if c != node.value
+                ][:limit]
+                if not cands:
+                    return node
+                if len(cands) == 1:
+                    return Term(cands[0])
+                return Or([Term(c) for c in cands])
+            if isinstance(node, (And, Or)):
+                node.children = [walk(c) for c in node.children]
+                return node
+            return node  # Filter
+
+        return walk(ast)
 
     # ---- block-max WAND fast path --------------------------------------
     def search_topk_wand(

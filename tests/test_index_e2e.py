@@ -463,3 +463,40 @@ def test_fuzzy_terms_served_from_index(built):
     # degenerate probes
     assert engine.fuzzy_terms("", limit=5) == []
     assert engine.fuzzy_terms("machine", limit=0) == []
+
+
+def test_fuzzy_search_rewrite(built):
+    """fuzzy=True rescues zero-match typo queries via the AST rewrite;
+    well-spelled queries are untouched (reference parity preserved)."""
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    clean = engine.search("machine", limit=5)
+    # parity: fuzzy has no effect when every term matches
+    assert engine.search("machine", limit=5, fuzzy=True) == clean
+    # a typo finds nothing plain, recovers under fuzzy
+    assert engine.search("machlne", limit=5)["total"] == 0
+    fz = engine.search("machlne", limit=5, fuzzy=True)
+    assert fz["total"] > 0
+    assert {r["doc_id"] for r in fz["results"]} & {
+        r["doc_id"] for r in clean["results"]
+    }
+    # composed query: the typo side is rewritten, the good term stays
+    # (NOTE: no >=|python| claim — a rewritten-in common term can carry
+    # NEGATIVE reference idf and push some python-only docs under
+    # min_score, which is faithful no-idf-floor BM25 behavior)
+    both = engine.search("machlne OR python", limit=10, fuzzy=True)
+    assert both["total"] > 0
+    py_docs = {r["doc_id"] for r in engine.search("python", limit=10)["results"]}
+    assert {r["doc_id"] for r in both["results"]} & (
+        py_docs | {r["doc_id"] for r in clean["results"]}
+    )
+    # phrases and filters are never rewritten
+    assert (
+        engine.search('"machlne learning"', limit=5, fuzzy=True)["total"] == 0
+    )
+    # highlight marks the SUBSTITUTED terms
+    hl = engine.search("machlne", limit=3, fuzzy=True, highlight=True)
+    assert any(
+        "<b>" in (r.get("title") or "") + (r.get("snippet") or "")
+        for r in hl["results"]
+    )
