@@ -2869,6 +2869,51 @@ def q_robots_decisions(sf_dir: str):
     )
 
 
+@_q(
+    "domain_doclen_quantiles",
+    """
+    WITH lens AS MATERIALIZED (
+      SELECT source || '.example.com' AS domain,
+             len(regexp_extract_all(lower(text), '[a-z0-9]{2,}'))::BIGINT AS v
+      FROM documents),
+    tot AS (SELECT domain, count(*)::BIGINT AS n FROM lens GROUP BY 1),
+    cum AS (
+      SELECT domain, v, SUM(cnt) OVER (PARTITION BY domain ORDER BY v) AS cum
+      FROM (SELECT domain, v, count(*)::BIGINT AS cnt FROM lens GROUP BY 1, 2)),
+    qs AS (SELECT unnest([25, 50, 75, 95])::BIGINT AS pct)
+    SELECT c.domain, qs.pct, MIN(c.v) AS value
+    FROM qs, tot t, cum c
+    WHERE c.domain = t.domain AND c.cum >= (qs.pct * t.n + 99) // 100
+    GROUP BY 1, 2
+    """,
+)
+def q_domain_doclen_quantiles(sf_dir: str):
+    """Per-domain exact token-length percentiles — the per-key form of
+    doclen_quantiles via the keyed_exact_int_quantiles primitive
+    (stages/shuffle.py): one composite (domain, v) sorted_agg histogram
+    exchange, per-key selection inside map_groups on value-domain-
+    bounded groups; same pure-int rank rule as the global entry, so
+    the window-cumsum oracle is bit-exact."""
+    from ..stages.shuffle import keyed_exact_int_quantiles
+    from ..stages.textstats import TOKEN_RE
+
+    def lens(b: pa.Table) -> pa.Table:
+        t = pl.from_arrow(b.select(["source", "text"]))
+        out = t.select(
+            (pl.col("source") + pl.lit(".example.com")).alias("domain"),
+            pl.col("text").fill_null("").str.count_matches(TOKEN_RE)
+            .cast(pl.Int64).alias("n_tok"),
+        )
+        return out.to_arrow().cast(
+            pa.schema([("domain", pa.string()), ("n_tok", pa.int64())])
+        )
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+        lens, batch_format="pyarrow"
+    )
+    return keyed_exact_int_quantiles(ds, "domain", "n_tok", [25, 50, 75, 95])
+
+
 # fetch-outcome fixture: one failure scenario per doc, cycling a code
 # list that covers every classifier branch (permanent 4xx, rate limit,
 # retryable 5xx/408, unknown), with retry_count cycling 0..4 across the

@@ -437,3 +437,64 @@ def keyed_row_number(ds, key: str, order: list[str], out_col: str = "rn"):
         return _unlarge(t.to_arrow())
 
     return srt.map_batches(add_rn, batch_format="pyarrow", batch_size=None)
+
+
+def keyed_exact_int_quantiles(ds, key: str, col: str, pcts: list[int]):
+    """Per-KEY exact integer percentiles — ``exact_int_quantiles``
+    generalized over a corpus-proportional key column.  Returns a
+    Dataset of (key, pct int64, value int64) with the same rank rule
+    (value(p) = min v with cum_count >= ceil(p*n_key/100), pure-int
+    ceil), so the DuckDB window-cumsum oracle is bit-exact.
+
+    Shape: per-batch (key, v) partial histograms -> ONE sorted_agg over
+    the composite (key, v) — exchange rows bounded by keys x distinct
+    values, never raw row count; per-key totals ride the same exchange
+    (summing the histogram per key); the selection runs inside
+    groupby(key).map_groups where each group is VALUE-DOMAIN-bounded
+    (the exact_int_quantiles contract, per key)."""
+    import ray.data
+
+    empty = pa.table(
+        {key: pa.array([], pa.string()), "v": pa.array([], pa.int64()),
+         "cnt": pa.array([], pa.int64())}
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        part = (
+            pl.from_arrow(b.select([key, col]))
+            .rename({col: "v"})
+            .group_by([key, "v"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        return _unlarge(part.with_columns(pl.col("v").cast(pl.Int64)).to_arrow())
+
+    merged = sorted_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        [key, "v"],
+        {"cnt": ("sum", "cnt")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    pcts_arr = sorted(int(p) for p in pcts)
+
+    def select(g: pa.Table) -> pa.Table:
+        t = pl.from_arrow(g).sort("v")
+        v = t["v"].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        kval = t[key][0]
+        out_p, out_v = [], []
+        for p in pcts_arr:
+            rank = (p * n + 99) // 100  # exact-int ceil(p*n/100)
+            i = int(np.searchsorted(cum, rank))
+            out_p.append(p)
+            out_v.append(int(v[min(i, len(v) - 1)]))
+        return pa.table(
+            {key: pa.array([kval] * len(out_p), pa.string()),
+             "pct": pa.array(out_p, pa.int64()),
+             "value": pa.array(out_v, pa.int64())}
+        )
+
+    return merged.groupby(key).map_groups(select, batch_format="pyarrow")

@@ -330,3 +330,32 @@ def test_keyed_row_number_integer_order_column(ray_session):
     assert out.sort_values(cols, ignore_index=True).equals(
         ref.sort_values(cols, ignore_index=True)
     )
+
+
+def test_keyed_exact_int_quantiles_vs_polars(ray_session):
+    import random
+
+    import polars as pl
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import keyed_exact_int_quantiles
+
+    rng = random.Random(8)
+    n = 4000
+    t = pa.table(
+        {"k": [f"k{rng.randint(0, 5)}" for _ in range(n)],
+         "v": [rng.randint(0, 300) for _ in range(n)]}
+    )
+    pcts = [25, 50, 75, 95, 99]
+    out = keyed_exact_int_quantiles(
+        ray.data.from_arrow(t).repartition(7), "k", "v", pcts
+    ).to_pandas().set_index(["k", "pct"]).sort_index()
+    df = pl.from_arrow(t)
+    for (kv,), g in df.group_by(["k"]):
+        vals = sorted(g["v"].to_list())
+        nn = len(vals)
+        for p in pcts:
+            rank = (p * nn + 99) // 100
+            want = vals[max(rank - 1, 0)]
+            assert out.loc[(kv, p), "value"] == want, (kv, p)
