@@ -284,6 +284,7 @@ def main() -> None:
         "heavy_hitters_topk", "crawl_schedule", "hll_distinct",
         "robots_decisions", "retry_policy",
         "bloom_contaminated", "cm_term_counts", "related_terms",
+        "domain_doclen_quantiles",
         "image_near_dupes", "audio_near_dupes",
         # training_data_card is deliberately NOT benched: it re-runs the
         # prepare_training_data stages (timed above) for its counts
