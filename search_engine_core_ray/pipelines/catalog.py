@@ -2895,13 +2895,17 @@ def q_domain_doclen_quantiles(sf_dir: str):
     bounded groups; same pure-int rank rule as the global entry, so
     the window-cumsum oracle is bit-exact."""
     from ..stages.shuffle import keyed_exact_int_quantiles
-    from ..stages.textstats import TOKEN_RE
 
     def lens(b: pa.Table) -> pa.Table:
         t = pl.from_arrow(b.select(["source", "text"]))
         out = t.select(
             (pl.col("source") + pl.lit(".example.com")).alias("domain"),
-            pl.col("text").fill_null("").str.count_matches(TOKEN_RE)
+            # lowercase BEFORE counting [a-z0-9]{2,} — the oracle's
+            # lower() can map non-ASCII chars into ASCII alnum (e.g.
+            # Kelvin sign), so count-after-lower is the only form that
+            # matches it bit-exactly (same as the global entry)
+            pl.col("text").fill_null("").str.to_lowercase()
+            .str.count_matches("[a-z0-9]{2,}")
             .cast(pl.Int64).alias("n_tok"),
         )
         return out.to_arrow().cast(
@@ -3941,19 +3945,8 @@ def q_cm_term_counts(sf_dir: str):
     # exact counts for the probe set: filtered map-side partials ->
     # tiny groupby (O(probes) keys)
     def probe_counts(b: pa.Table) -> pa.Table:
-        t = pl.from_arrow(b.select(["text"]))
-        counts = (
-            t.with_columns(
-                pl.col("text").fill_null("")
-                .str.extract_all("[A-Za-z0-9]{2,}").alias("tok")
-            )
-            .select("tok")
-            .explode("tok")
-            .drop_nulls("tok")
-            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
-            .filter(pl.col("term").is_in(list(CM_PROBES)))
-            .group_by("term")
-            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        counts = ts.term_count_frame(
+            pl.from_arrow(b.select(["text"])), filter_terms=list(CM_PROBES)
         )
         return counts.to_arrow().cast(
             pa.schema([("term", pa.string()), ("cnt", pa.int64())])

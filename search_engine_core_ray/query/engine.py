@@ -728,20 +728,24 @@ class SearchEngine:
         df_override: dict | None = None,
         df_tc_override: dict | None = None,
         fuzzy: bool = False,
+        ast=None,
     ) -> tuple:
         """Retrieve + score WITHOUT normalization/sort/pagination —
         the partial a doc-partitioned bucket actor returns to the
         coordinator. -> (cands int64, raw scores float64, pure_filter).
         Pure-filter results carry quality scores; term/phrase results
-        are raw (pre-min-score-filter) totals."""
+        are raw (pre-min-score-filter) totals.  ``ast`` short-circuits
+        the parse (callers that already parsed/rewrote, e.g. the fuzzy
+        path, pass it to avoid a second dictionary scan)."""
         if df_override is not None:
             self._df_override = df_override
         if df_tc_override is not None:
             self._df_tc_override = df_tc_override
         try:
-            ast = parse_query(query)
-            if fuzzy:
-                ast = self.fuzzy_rewrite(ast)
+            if ast is None:
+                ast = parse_query(query)
+                if fuzzy:
+                    ast = self.fuzzy_rewrite(ast)
             terms = scoring_terms(ast, self.text_analyzer)
             phrases = exact_phrases(ast)
             cands = self._eval(ast)  # positions
@@ -781,13 +785,17 @@ class SearchEngine:
         fields pre-tagged and parseSearchResult truncates the TAGGED
         content), plus the SearchResult.highlights{} field->text map
         (RedisSearchStorage.h:43).  ``fuzzy=True`` applies the
-        zero-match typo rewrite (see fuzzy_rewrite) before scoring."""
-        cands, scores, pure_filter = self.search_raw(query, fuzzy=fuzzy)
+        zero-match typo rewrite (see fuzzy_rewrite) before scoring —
+        computed ONCE here and shared with the highlight pass (the
+        rewrite's dictionary scan is the expensive part)."""
+        ast = None
+        if fuzzy:
+            ast = self.fuzzy_rewrite(parse_query(query))
+        cands, scores, pure_filter = self.search_raw(query, ast=ast)
         hl = None
         if highlight:
-            ast = parse_query(query)
-            if fuzzy:
-                ast = self.fuzzy_rewrite(ast)
+            if ast is None:
+                ast = parse_query(query)
             hl = scoring_terms(ast, self.text_analyzer)
         return self.finish_search(
             cands, scores, pure_filter, limit, offset, highlight_terms=hl
@@ -998,6 +1006,10 @@ class SearchEngine:
                 if node.exact:
                     return node
                 toks = analyze(node.value, self.text_analyzer)
+                if not toks:
+                    # analysis yields nothing (e.g. a 1-char word the
+                    # tokenizer drops): NOT a typo — never substitute
+                    return node
                 if any(self.local_dfs([t]).get(t, 0) > 0 for t in toks):
                     return node
                 cands = [

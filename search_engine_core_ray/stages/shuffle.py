@@ -454,14 +454,16 @@ def keyed_exact_int_quantiles(ds, key: str, col: str, pcts: list[int]):
     (the exact_int_quantiles contract, per key)."""
     import ray.data
 
-    empty = pa.table(
-        {key: pa.array([], pa.string()), "v": pa.array([], pa.int64()),
-         "cnt": pa.array([], pa.int64())}
-    )
-
     def hist(b: pa.Table) -> pa.Table:
+        # key dtype is whatever the input carries (string, int, ...);
+        # derive the empty-batch schema from the batch itself so blocks
+        # never disagree
         if b.num_rows == 0:
-            return empty
+            return pa.table(
+                {key: b.column(key).slice(0, 0),
+                 "v": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
         part = (
             pl.from_arrow(b.select([key, col]))
             .rename({col: "v"})
@@ -484,15 +486,16 @@ def keyed_exact_int_quantiles(ds, key: str, col: str, pcts: list[int]):
         cnt = t["cnt"].to_numpy()
         cum = np.cumsum(cnt)
         n = int(cum[-1])
-        kval = t[key][0]
         out_p, out_v = [], []
         for p in pcts_arr:
             rank = (p * n + 99) // 100  # exact-int ceil(p*n/100)
             i = int(np.searchsorted(cum, rank))
             out_p.append(p)
             out_v.append(int(v[min(i, len(v) - 1)]))
+        # key column keeps the INPUT dtype (take row 0, repeat)
+        kcol = g.column(key).take(pa.array([0] * len(out_p), pa.int64()))
         return pa.table(
-            {key: pa.array([kval] * len(out_p), pa.string()),
+            {key: kcol,
              "pct": pa.array(out_p, pa.int64()),
              "value": pa.array(out_v, pa.int64())}
         )

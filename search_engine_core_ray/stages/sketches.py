@@ -62,17 +62,10 @@ def mg_summary_kernel(m: int, text_col: str = "text", token_re: str | None = Non
     tre = token_re or TOKEN_RE
 
     def kernel(batch: pa.Table) -> pa.Table:
-        t = pl.from_arrow(batch.select([text_col]))
-        counts = (
-            t.with_columns(
-                pl.col(text_col).fill_null("").str.extract_all(tre).alias("tok")
-            )
-            .select("tok")
-            .explode("tok")
-            .drop_nulls("tok")
-            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
-            .group_by("term")
-            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        from .textstats import term_count_frame
+
+        counts = term_count_frame(
+            pl.from_arrow(batch.select([text_col])), text_col, token_re=tre
         )
         return _unlarge(_compress(counts, m).to_arrow()).cast(_SUMMARY_SCHEMA)
 
@@ -297,21 +290,10 @@ def cm_partial_kernel(width: int = CM_WIDTH, depth: int = CM_DEPTH,
     Mergeable by plain cell-wise sum (the sketch is a linear map of the
     frequency vector)."""
     from ..functions.hll import md5_lower64_array
-    from .textstats import TOKEN_RE
+    from .textstats import term_count_frame
 
     def kernel(batch: pa.Table) -> pa.Table:
-        t = pl.from_arrow(batch.select([text_col]))
-        counts = (
-            t.with_columns(
-                pl.col(text_col).fill_null("").str.extract_all(TOKEN_RE).alias("tok")
-            )
-            .select("tok")
-            .explode("tok")
-            .drop_nulls("tok")
-            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
-            .group_by("term")
-            .agg(pl.len().cast(pl.Int64).alias("cnt"))
-        )
+        counts = term_count_frame(pl.from_arrow(batch.select([text_col])), text_col)
         cells = np.zeros((depth, width), dtype=np.int64)
         if counts.height:
             pos = cm_positions(

@@ -32,6 +32,31 @@ def round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
 
 
+def term_count_frame(
+    t: "pl.DataFrame",
+    text_col: str = "text",
+    filter_terms: list[str] | None = None,
+    token_re: str | None = None,
+) -> "pl.DataFrame":
+    """The ONE tokenize->explode->lowercase->count block (term, cnt)
+    every corpus-wide term statistic shares (sketches, probe counts,
+    heavy hitters) — change the token-stream definition here, nowhere
+    else, or the Ray and SQL sides of multiple entries drift apart."""
+    out = (
+        t.with_columns(
+            pl.col(text_col).fill_null("")
+            .str.extract_all(token_re or TOKEN_RE).alias("tok")
+        )
+        .select("tok")
+        .explode("tok")
+        .drop_nulls("tok")
+        .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+    )
+    if filter_terms is not None:
+        out = out.filter(pl.col("term").is_in(filter_terms))
+    return out.group_by("term").agg(pl.len().cast(pl.Int64).alias("cnt"))
+
+
 def content_postings(batch: pa.Table) -> pa.Table:
     """documents(doc_id, text) -> (term, doc_id, tf) content-only postings."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))

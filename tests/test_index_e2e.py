@@ -500,3 +500,13 @@ def test_fuzzy_search_rewrite(built):
         "<b>" in (r.get("title") or "") + (r.get("snippet") or "")
         for r in hl["results"]
     )
+
+
+def test_fuzzy_never_rewrites_tokenless_terms(built):
+    """A 1-char word analyzes to zero tokens — that is NOT a typo and
+    must never be substituted with arbitrary dictionary neighbors."""
+    index_dir, _, _ = built
+    engine = SearchEngine(index_dir)
+    assert engine.search("a machine", limit=5, fuzzy=True) == engine.search(
+        "a machine", limit=5
+    )

@@ -359,3 +359,24 @@ def test_keyed_exact_int_quantiles_vs_polars(ray_session):
             rank = (p * nn + 99) // 100
             want = vals[max(rank - 1, 0)]
             assert out.loc[(kv, p), "value"] == want, (kv, p)
+
+
+def test_keyed_exact_int_quantiles_integer_key(ray_session):
+    # the primitive must carry the key dtype through (not assume string)
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_core_ray.stages.shuffle import keyed_exact_int_quantiles
+
+    rng = random.Random(12)
+    t = pa.table(
+        {"kid": [rng.randint(0, 4) for _ in range(2000)],
+         "v": [rng.randint(0, 99) for _ in range(2000)]}
+    )
+    out = keyed_exact_int_quantiles(
+        ray.data.from_arrow(t).repartition(5), "kid", "v", [50]
+    ).to_pandas()
+    assert out["kid"].dtype.kind in "il" and len(out) == 5
+    assert ((out["value"] >= 0) & (out["value"] <= 99)).all()
