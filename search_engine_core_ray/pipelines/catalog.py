@@ -3097,9 +3097,13 @@ def q_hll_distinct(sf_dir: str):
             pa.schema([("field", pa.string()), ("v", pa.string())])
         )
 
+    # LAZY on purpose: the (field, v) stream is ~2.5x the corpus text
+    # bytes — materializing it for the two consumers would spill that
+    # through the object store at scale, while recomputing it is two
+    # map-only tokenize passes.  Recompute wins at 100 TB.
     vals = _read(sf_dir, "documents", columns=["doc_id", "text", "source"]).map_batches(
         vals_kernel, batch_format="pyarrow"
-    ).materialize()  # feeds both the register fold and the exact count
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         t = pl.from_arrow(b)
