@@ -1,4 +1,7 @@
-from .codec import varbyte_encode, varbyte_decode, delta_encode_sorted, delta_decode
+from .codec import (
+    varbyte_encode, varbyte_decode, delta_encode_sorted, delta_decode,
+    pfor_encode, pfor_decode,
+)
 from .stats import CorpusStats, compute_corpus_stats
 
 __all__ = [
@@ -6,6 +9,8 @@ __all__ = [
     "varbyte_decode",
     "delta_encode_sorted",
     "delta_decode",
+    "pfor_encode",
+    "pfor_decode",
     "CorpusStats",
     "compute_corpus_stats",
 ]

@@ -79,11 +79,17 @@ def effective_lineage(
     num_shards: int = 32,
     bucket_bits: int = DEFAULT_BUCKET_BITS,
     analyzer: str = "default",
+    codec: str = "vbyte",
 ) -> str:
     """Stage markers must invalidate when BUILD PARAMETERS change, not
     only when the input does — otherwise a re-run with different
-    sharding/analyzer silently reuses segments laid out the old way."""
-    return f"{lineage}|shards={num_shards}|bits={bucket_bits}|analyzer={analyzer}"
+    sharding/analyzer silently reuses segments laid out the old way.
+    The codec suffix is appended only when non-default so pre-existing
+    vbyte stage markers stay valid across upgrades."""
+    s = f"{lineage}|shards={num_shards}|bits={bucket_bits}|analyzer={analyzer}"
+    if codec != "vbyte":
+        s += f"|codec={codec}"
+    return s
 
 
 class WriteDocstorePass:
@@ -181,7 +187,9 @@ class BuildResult:
     metrics: dict
 
 
-def _commit_segment(group: pa.Table, segments_dir: str, lineage: str = "") -> pa.Table:
+def _commit_segment(
+    group: pa.Table, segments_dir: str, lineage: str = "", codec: str = "vbyte"
+) -> pa.Table:
     """Merge one (shard, bucket) group's runs and commit its segment
     file atomically (tmp + rename) with a sidecar meta json carrying
     the partition's lineage + metrics (north_rule: per-partition
@@ -213,7 +221,7 @@ def _commit_segment(group: pa.Table, segments_dir: str, lineage: str = "") -> pa
                 "bytes": pa.array([int(prev["bytes"])], pa.int64()),
             }
         )
-    merged = merge_bucket_runs(group)
+    merged = merge_bucket_runs(group, codec=codec)
     if merged.num_rows == 0:
         return empty
     os.makedirs(shard_dir, exist_ok=True)
@@ -285,7 +293,9 @@ def _split_runs_block(table: pa.Table, num_shards: int, n_buckets: int):
     return out
 
 
-def _reduce_commit_group(segments_dir: str, lineage: str, *parts: pa.Table) -> dict:
+def _reduce_commit_group(
+    segments_dir: str, lineage: str, codec: str, *parts: pa.Table
+) -> dict:
     """Plain-task reduce: one (shard, bucket) group's run slices from
     every split task -> merged + committed segment; returns the
     per-partition metrics row as a dict."""
@@ -293,7 +303,7 @@ def _reduce_commit_group(segments_dir: str, lineage: str, *parts: pa.Table) -> d
     if not tables:
         return {}
     group = pa.concat_tables(tables)
-    m = _commit_segment(group, segments_dir, lineage)
+    m = _commit_segment(group, segments_dir, lineage, codec)
     if m.num_rows == 0:
         return {}
     return {
@@ -306,7 +316,8 @@ def _reduce_commit_group(segments_dir: str, lineage: str, *parts: pa.Table) -> d
 
 
 def _shuffle_commit_segments(
-    runs_mat, segments_dir: str, lineage: str, num_shards: int, bucket_bits: int
+    runs_mat, segments_dir: str, lineage: str, num_shards: int, bucket_bits: int,
+    codec: str = "vbyte",
 ) -> dict[int, dict]:
     """Hand-rolled (shard, bucket) exchange over the MATERIALIZED runs:
     one plain split task per block (zero-copy per-group slices into the
@@ -333,7 +344,7 @@ def _shuffle_commit_segments(
         split_out = [[r] for r in split_out]
     red = [
         reduce_.remote(
-            segments_dir, lineage, *[s[g] for s in split_out]
+            segments_dir, lineage, codec, *[s[g] for s in split_out]
         )
         for g in range(n_groups)
     ]
@@ -365,12 +376,18 @@ def build_index(
     encode_batch_size: int | None = None,
     narrow_pages_ds=None,
     narrow_paths: list[str] | None = None,
+    codec: str = "vbyte",
 ) -> BuildResult:
-    """Build the full index under ``index_dir``; resumable per stage."""
+    """Build the full index under ``index_dir``; resumable per stage.
+
+    ``codec`` selects the on-disk posting-list compression ("vbyte" |
+    "pfor", see index/codec.py); it is part of the lineage (a codec
+    switch invalidates stage markers) and recorded in the manifest so
+    the query engine decodes symmetrically."""
     import ray.data  # noqa: F401  (Dataset ops)
 
     config = config or ScoringConfig.create_default()
-    lineage = effective_lineage(lineage, num_shards, bucket_bits, analyzer)
+    lineage = effective_lineage(lineage, num_shards, bucket_bits, analyzer, codec)
     os.makedirs(index_dir, exist_ok=True)
     docstore_dir = os.path.join(index_dir, "docstore")
     segments_dir = os.path.join(index_dir, "segments")
@@ -487,7 +504,7 @@ def build_index(
             # replaces the sort-based groupby whose barrier alone cost
             # ~4.6 s of the 32-CPU build tail
             meta = _shuffle_commit_segments(
-                runs_mat, segments_dir, lineage, num_shards, bucket_bits
+                runs_mat, segments_dir, lineage, num_shards, bucket_bits, codec
             )
             return meta, runs_mat
 
@@ -572,7 +589,7 @@ def build_index(
                 batch_size=encode_batch_size or batch_size,
             )
             seg_ds = runs.groupby(["shard", "bucket"]).map_groups(
-                lambda g: _commit_segment(g, segments_dir, lineage),
+                lambda g: _commit_segment(g, segments_dir, lineage, codec),
                 batch_format="pyarrow",
             )
             shards_meta = _finish_segments(seg_ds)
@@ -597,6 +614,7 @@ def build_index(
         "num_shards": num_shards,
         "bucket_bits": bucket_bits,
         "analyzer": analyzer,
+        "codec": codec,
         "stats": stats.to_dict(),
         "config": json.loads(config.to_json()),
         "shards": {str(k): v for k, v in sorted(shards_meta.items())},

@@ -1,10 +1,24 @@
-"""Posting-list compression: delta + variable-byte, fully vectorized.
+"""Posting-list compression: delta + VByte and PForDelta, vectorized.
 
 Classic VByte: each value is emitted little-endian in 7-bit groups; the
 high bit of every byte except the last in a value is set (continuation).
 Doc-id lists are sorted ascending and delta-encoded first (first value
 absolute), which is why build keeps postings docID-sorted
 (SURVEY.md §7.5 "Ordering").
+
+PForDelta (NewPFD-style, Zukowski et al. 2006 / Yan et al. WWW'09
+"Inverted Index Compression and Query Processing with Optimized
+Document Ordering" — public algorithms): values are packed in blocks of
+128 at a per-block bit width b chosen to minimize estimated bytes
+(16·b packed + ~3 per exception); values wider than b store their low
+b bits in the packed section and their overflow (position byte +
+VByte high part) in per-block exception lists. Both directions are
+numpy-vectorized with only O(bit-width) Python loops, matching the
+VByte kernels. The on-disk segment codec is selected at build time
+(``build_index(codec=...)``), recorded in the manifest, and applied
+symmetrically by ``ShardReader``; the intermediate map-side runs
+(RUNS_SCHEMA) always use VByte because the merge kernel exploits its
+self-delimiting concatenated decode.
 
 All kernels are numpy — no Python loop over values. ``encode_many`` /
 ``sliced`` helpers let a whole (shard) group of terms be encoded in ONE
@@ -121,3 +135,233 @@ def encode_group_sliced(
         n_runs,
         [None, pa.py_buffer(run_byte_starts.tobytes()), pa.py_buffer(buf.tobytes())],
     )
+
+# --------------------------------------------------------------------------
+# PForDelta (NewPFD-style)
+#
+# Run layout (one posting list = one run, independent byte stream):
+#   u32le  n                 value count (0 -> stream ends here)
+#   u8     widths[nb]        per-block packed bit width, nb = ceil(n/128)
+#   u8     nexc[nb]          per-block exception count
+#   bytes  packed            16*widths[i] bytes per block (every block is
+#                            padded to 128 values; decode trims to n)
+#   u8     positions[sum(nexc)]   exception slot within its block
+#   bytes  highs             VByte stream of (value >> width) per
+#                            exception, block-major order (self-
+#                            delimiting: no length field needed)
+# --------------------------------------------------------------------------
+
+PFOR_BLOCK = 128
+_PACKED_BYTES_PER_BIT = PFOR_BLOCK // 8  # 16
+# estimated bytes per exception: 1 position byte + ~2 VByte high bytes
+_EXC_COST = 3
+
+_BYTE_WIDTH = np.array(
+    [0] + [int(x).bit_length() for x in range(1, 256)], dtype=np.uint8
+)
+
+
+def _bit_widths(v: np.ndarray) -> np.ndarray:
+    """Per-value bit length of uint64 values (0 for 0), vectorized via
+    a highest-nonzero-byte scan + 256-entry table (no 64-pass loop)."""
+    if len(v) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    b = np.ascontiguousarray(v, dtype="<u8").view(np.uint8).reshape(-1, 8)
+    nz = b != 0
+    has = nz.any(axis=1)
+    hb = 7 - np.argmax(nz[:, ::-1], axis=1)  # highest nonzero byte index
+    top = b[np.arange(len(v)), hb]
+    bw = (hb * 8 + _BYTE_WIDTH[top]).astype(np.uint8)
+    bw[~has] = 0
+    return bw
+
+
+def pfor_encode_runs(values: np.ndarray, boundaries: np.ndarray) -> pa.BinaryArray:
+    """PFor twin of ``encode_group_sliced``: encode run-after-run values
+    into one buffer, one Arrow binary cell per run. Vectorized across
+    ALL runs at once (blocks of every run are width-chosen, packed and
+    laid out in numpy passes grouped by distinct bit width)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bounds = np.asarray(boundaries, dtype=np.int64)
+    n_runs = len(bounds)
+    if n_runs == 0:
+        return pa.array([], pa.binary())
+    n_per = np.diff(np.concatenate((bounds, [len(v)])))
+    blocks_per = (n_per + PFOR_BLOCK - 1) // PFOR_BLOCK
+    total_blocks = int(blocks_per.sum())
+    blk_off = np.concatenate(([0], np.cumsum(blocks_per)))  # first block of run
+    run_of_block = np.repeat(np.arange(n_runs), blocks_per)
+
+    # scatter values into the zero-padded block grid
+    P = np.zeros(total_blocks * PFOR_BLOCK, dtype=np.uint64)
+    if len(v):
+        pad_base = np.repeat(blk_off[:-1] * PFOR_BLOCK, n_per)
+        local = np.arange(len(v), dtype=np.int64) - np.repeat(bounds, n_per)
+        P[pad_base + local] = v
+
+    bw = _bit_widths(P).astype(np.int64)
+    blk_idx = np.arange(total_blocks * PFOR_BLOCK, dtype=np.int64) // PFOR_BLOCK
+
+    # per-block width choice: minimize 16*b + 3*#values_wider_than_b
+    counts = np.zeros((total_blocks, 65), dtype=np.int64)
+    np.add.at(counts, (blk_idx, bw), 1)
+    wider = PFOR_BLOCK - np.cumsum(counts, axis=1)  # [blk, b] = #(bw > b)
+    cost = _PACKED_BYTES_PER_BIT * np.arange(65)[None, :] + wider * _EXC_COST
+    W = np.argmin(cost, axis=1).astype(np.int64)  # per-block width
+
+    Wv = np.repeat(W, PFOR_BLOCK)
+    exc_mask = bw > Wv
+    nexc = np.bincount(blk_idx[exc_mask], minlength=total_blocks).astype(np.int64)
+    exc_flat = np.flatnonzero(exc_mask)
+    exc_pos = (exc_flat % PFOR_BLOCK).astype(np.uint8)
+    highs = P[exc_mask] >> Wv[exc_mask].astype(np.uint64)  # W<64 where exc
+    hbuf, hends = varbyte_encode_with_offsets(highs)
+    Hc = np.concatenate(([0], hends)).astype(np.int64)
+
+    # pack low bits, grouped by distinct width
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mask = np.where(
+        Wv >= 64, full, (np.uint64(1) << Wv.astype(np.uint64)) - np.uint64(1)
+    )
+    low = (P & mask).reshape(total_blocks, PFOR_BLOCK)
+    pk_bytes = _PACKED_BYTES_PER_BIT * W
+    pk_off = np.concatenate(([0], np.cumsum(pk_bytes)))
+    packed = np.zeros(int(pk_off[-1]), dtype=np.uint8)
+    for b in np.unique(W):
+        b = int(b)
+        if b == 0:
+            continue
+        rows = np.flatnonzero(W == b)
+        sub = rows_low = low[rows]
+        bits = np.zeros((len(rows), PFOR_BLOCK * b), dtype=np.uint8)
+        for j in range(b):
+            bits[:, j::b] = ((rows_low >> np.uint64(j)) & np.uint64(1)).astype(np.uint8)
+        pb = np.packbits(bits, axis=1, bitorder="little")  # (k, 16*b)
+        tgt = pk_off[rows][:, None] + np.arange(_PACKED_BYTES_PER_BIT * b)[None, :]
+        packed[tgt] = pb
+
+    # per-run section sizes and final layout
+    run_exc = np.bincount(run_of_block, weights=nexc, minlength=n_runs).astype(np.int64)
+    run_pk = np.bincount(run_of_block, weights=pk_bytes, minlength=n_runs).astype(np.int64)
+    ecum = np.concatenate(([0], np.cumsum(run_exc)))
+    run_hb = Hc[ecum[1:]] - Hc[ecum[:-1]]
+    run_bytes = 4 + 2 * blocks_per + run_pk + run_exc + run_hb
+    run_starts = np.concatenate(([0], np.cumsum(run_bytes)))
+    total = int(run_starts[-1])
+    if total >= (1 << 31):
+        raise ValueError(
+            "encoded group exceeds 2 GiB — raise num_shards/bucket_bits "
+            "so each (shard, bucket) merge group stays worker-sized"
+        )
+    out = np.zeros(total, dtype=np.uint8)
+
+    # n (u32le) per run
+    n4 = n_per.astype("<u4").view(np.uint8).reshape(n_runs, 4)
+    out[run_starts[:-1][:, None] + np.arange(4)[None, :]] = n4
+    # widths + nexc arrays
+    within_b = np.arange(total_blocks, dtype=np.int64) - np.repeat(blk_off[:-1], blocks_per)
+    w_base = run_starts[:-1] + 4
+    out[np.repeat(w_base, blocks_per) + within_b] = W.astype(np.uint8)
+    out[np.repeat(w_base + blocks_per, blocks_per) + within_b] = nexc.astype(np.uint8)
+    # packed section (block-contiguous per run)
+    pk_base = w_base + 2 * blocks_per  # per run
+    pk_first = pk_off[blk_off[:-1].clip(max=total_blocks)]  # packed offset of run's 1st block
+    blk_tgt_start = (
+        np.repeat(pk_base, blocks_per) + pk_off[:-1] - np.repeat(pk_first, blocks_per)
+    )
+    total_pk = int(pk_off[-1])
+    if total_pk:
+        byte_blk = np.repeat(np.arange(total_blocks), pk_bytes)
+        within_pk = np.arange(total_pk, dtype=np.int64) - np.repeat(pk_off[:-1], pk_bytes)
+        out[blk_tgt_start[byte_blk] + within_pk] = packed
+    # exception positions (block-major == run-major)
+    pos_base = pk_base + run_pk
+    tot_e = int(run_exc.sum())
+    if tot_e:
+        within_e = np.arange(tot_e, dtype=np.int64) - np.repeat(ecum[:-1], run_exc)
+        out[np.repeat(pos_base, run_exc) + within_e] = exc_pos
+        # highs (hbuf is already run-major contiguous)
+        high_base = pos_base + run_exc
+        tot_h = int(run_hb.sum())
+        within_h = np.arange(tot_h, dtype=np.int64) - np.repeat(Hc[ecum[:-1]], run_hb)
+        out[np.repeat(high_base, run_hb) + within_h] = hbuf
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        n_runs,
+        [
+            None,
+            pa.py_buffer(run_starts.astype(np.int32).tobytes()),
+            pa.py_buffer(out.tobytes()),
+        ],
+    )
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Encode one run (convenience / test twin of pfor_encode_runs)."""
+    arr = pfor_encode_runs(np.asarray(values, dtype=np.uint64), np.zeros(1, np.int64))
+    return arr[0].as_py()
+
+
+def pfor_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode one PFor run back to uint64 values (vectorized; Python
+    loops only over distinct bit widths and packed bit positions)."""
+    b = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if isinstance(buf, (bytes, bytearray, memoryview))
+        else np.ascontiguousarray(buf, dtype=np.uint8)
+    )
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    n = int(b[:4].view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    nb = (n + PFOR_BLOCK - 1) // PFOR_BLOCK
+    W = b[4 : 4 + nb].astype(np.int64)
+    ne = b[4 + nb : 4 + 2 * nb].astype(np.int64)
+    pk_off = 4 + 2 * nb + np.concatenate(([0], np.cumsum(_PACKED_BYTES_PER_BIT * W)))
+    out = np.zeros(nb * PFOR_BLOCK, dtype=np.uint64)
+    for w in np.unique(W):
+        w = int(w)
+        if w == 0:
+            continue
+        rows = np.flatnonzero(W == w)
+        src = pk_off[:-1][rows][:, None] + np.arange(_PACKED_BYTES_PER_BIT * w)[None, :]
+        bits = np.unpackbits(b[src], axis=1, bitorder="little")  # (k, 128*w)
+        vals = np.zeros((len(rows), PFOR_BLOCK), dtype=np.uint64)
+        for j in range(w):
+            vals |= bits[:, j::w].astype(np.uint64) << np.uint64(j)
+        tgt = (rows[:, None] * PFOR_BLOCK + np.arange(PFOR_BLOCK)[None, :]).ravel()
+        out[tgt] = vals.ravel()
+    pos_base = int(pk_off[-1])
+    tot_e = int(ne.sum())
+    if tot_e:
+        pos = b[pos_base : pos_base + tot_e].astype(np.int64)
+        highs = varbyte_decode(b[pos_base + tot_e :])
+        assert len(highs) == tot_e, "corrupt PFor run (exception count)"
+        eblk = np.repeat(np.arange(nb, dtype=np.int64), ne)
+        out[eblk * PFOR_BLOCK + pos] |= highs << W[eblk].astype(np.uint64)
+    return out[:n]
+
+
+POSTINGS_CODECS = ("vbyte", "pfor")
+
+
+def encode_runs(
+    values: np.ndarray, boundaries: np.ndarray, codec: str = "vbyte"
+) -> pa.BinaryArray:
+    """Codec dispatch for the segment writers (one cell per run)."""
+    if codec == "vbyte":
+        return encode_group_sliced(values, boundaries)
+    if codec == "pfor":
+        return pfor_encode_runs(values, boundaries)
+    raise ValueError(f"unknown postings codec {codec!r}; one of {POSTINGS_CODECS}")
+
+
+def decode_postings(blob, codec: str = "vbyte") -> np.ndarray:
+    """Codec dispatch for the segment readers (one run per cell)."""
+    if codec == "vbyte":
+        return varbyte_decode(blob)
+    if codec == "pfor":
+        return pfor_decode(blob)
+    raise ValueError(f"unknown postings codec {codec!r}; one of {POSTINGS_CODECS}")

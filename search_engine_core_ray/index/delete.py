@@ -127,6 +127,7 @@ def build_index_from_docs(docs_ds, index_dir: str, **build_kw):
         build_kw.get("num_shards", 32),
         build_kw.get("bucket_bits", DEFAULT_BUCKET_BITS),
         build_kw.get("analyzer", "default"),
+        build_kw.get("codec", "vbyte"),
     )
     os.makedirs(index_dir, exist_ok=True)
     docstore_dir = os.path.join(index_dir, "docstore")

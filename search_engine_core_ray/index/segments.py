@@ -52,8 +52,10 @@ import numpy as np
 import pyarrow as pa
 
 from .codec import (
+    decode_postings,
     delta_encode_sorted,
     encode_group_sliced,
+    encode_runs,
     varbyte_decode,
 )
 
@@ -210,10 +212,14 @@ def _decode_runs(blobs: list[bytes], counts: np.ndarray) -> np.ndarray:
     return vals
 
 
-def merge_bucket_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table:
+def merge_bucket_runs(
+    group: pa.Table, block_size: int = BLOCK_SIZE, codec: str = "vbyte"
+) -> pa.Table:
     """Kernel for one (shard, bucket) group of per-batch runs: k-way
     merge each term's sorted runs, compute df + block-max metadata,
-    re-encode. Vectorized across the whole group via one lexsort."""
+    re-encode with ``codec`` ("vbyte" | "pfor"; the incoming runs are
+    always VByte — see codec.py module docstring). Vectorized across
+    the whole group via one lexsort."""
     if group.num_rows == 0:
         return TERMS_SCHEMA.empty_table()
     shard = group.column("shard")[0].as_py()
@@ -246,10 +252,10 @@ def merge_bucket_runs(group: pa.Table, block_size: int = BLOCK_SIZE) -> pa.Table
 
     gaps2 = delta_encode_sorted(ids_s)
     gaps2[starts] = ids_s[starts].astype(np.uint64)
-    docs_enc = encode_group_sliced(gaps2, starts)
-    tft_enc = encode_group_sliced(tft_s, starts)
-    tfc_enc = encode_group_sliced(tfc_s, starts)
-    tfd_enc = encode_group_sliced(tfd_s, starts)
+    docs_enc = encode_runs(gaps2, starts, codec)
+    tft_enc = encode_runs(tft_s, starts, codec)
+    tfc_enc = encode_runs(tfc_s, starts, codec)
+    tfd_enc = encode_runs(tfd_s, starts, codec)
 
     # ---- block-max metadata --------------------------------------------
     nblk = (df + block_size - 1) // block_size
@@ -313,9 +319,10 @@ class ShardReader:
     the pooled state.
     """
 
-    def __init__(self, parquet_paths: list[str]):
+    def __init__(self, parquet_paths: list[str], codec: str = "vbyte"):
         import pyarrow.parquet as pq
 
+        self.codec = codec
         tables = [pq.read_table(p) for p in parquet_paths]
         t = pa.concat_tables(tables) if tables else TERMS_SCHEMA.empty_table()
         # order rows by (term, bucket) so each term's rows are contiguous
@@ -347,13 +354,14 @@ class ShardReader:
         if not rows:
             return None
         t = self.table
+        dec = self.codec
         ids_parts, tft_parts, tfc_parts, tfd_parts = [], [], [], []
         for row in rows:
-            gaps = varbyte_decode(t.column("docs_enc")[row].as_py())
+            gaps = decode_postings(t.column("docs_enc")[row].as_py(), dec)
             ids_parts.append(np.cumsum(gaps.astype(np.int64)))
-            tft_parts.append(varbyte_decode(t.column("tft_enc")[row].as_py()).astype(np.int64))
-            tfc_parts.append(varbyte_decode(t.column("tfc_enc")[row].as_py()).astype(np.int64))
-            tfd_parts.append(varbyte_decode(t.column("tfd_enc")[row].as_py()).astype(np.int64))
+            tft_parts.append(decode_postings(t.column("tft_enc")[row].as_py(), dec).astype(np.int64))
+            tfc_parts.append(decode_postings(t.column("tfc_enc")[row].as_py(), dec).astype(np.int64))
+            tfd_parts.append(decode_postings(t.column("tfd_enc")[row].as_py(), dec).astype(np.int64))
         return (
             np.concatenate(ids_parts),
             np.concatenate(tft_parts),

@@ -136,6 +136,8 @@ class SearchEngine:
         # the analyzer is an index-time property: query-side tokenization
         # must match what built the postings (manifest-recorded)
         self.text_analyzer = self.manifest.get("analyzer", "default")
+        # posting codec is likewise an index-time property
+        self.postings_codec = self.manifest.get("codec", "vbyte")
         self._shards: dict[int, ShardReader] = {}
         self._postings_cache: dict[str, tuple] = {}
         self._pos_cache: dict[str, tuple] = {}
@@ -348,7 +350,7 @@ class SearchEngine:
                 else f"bucket={self.bucket:03d}.parquet"
             )
             paths = sorted(glob.glob(os.path.join(shard_dir, pattern)))
-            r = ShardReader(paths)
+            r = ShardReader(paths, codec=self.postings_codec)
             self._shards[shard] = r
         return r
 
