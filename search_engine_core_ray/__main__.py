@@ -77,6 +77,17 @@ def main(argv: list[str] | None = None) -> int:
     p_upd.add_argument("--bucket-bits", type=int, default=2)
     p_upd.add_argument("--lineage", default="cli-update")
 
+    p_mrg = sub.add_parser(
+        "merge",
+        help="segment-merge built indexes (oldest..newest) into a new "
+             "generation without re-tokenizing — later generations "
+             "upsert earlier ones; tombstones applied",
+    )
+    p_mrg.add_argument("indexes", nargs="+", help="input index dirs, oldest first")
+    p_mrg.add_argument("--out", required=True)
+    p_mrg.add_argument("--codec", default=None, choices=[None, "vbyte", "pfor"])
+    p_mrg.add_argument("--lineage", default="cli-merge")
+
     p_exp = sub.add_parser(
         "export-training",
         help="resumable partitioned export of the training-data flagship "
@@ -162,6 +173,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "out": args.out, "docs": r.stats.total_docs,
             "avgdl": round(r.stats.avgdl, 2),
+        }))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "merge":
+        ray = _init_ray(args.num_cpus)
+
+        from .index.update import merge_indexes
+
+        r = merge_indexes(
+            args.indexes, args.out, codec=args.codec, lineage=args.lineage
+        )
+        print(json.dumps({
+            "out": args.out, "docs": r.stats.total_docs,
+            "codec": r.metrics["codec"], "segments": r.n_segments,
         }))
         ray.shutdown()
         return 0

@@ -212,6 +212,17 @@ def _decode_runs(blobs: list[bytes], counts: np.ndarray) -> np.ndarray:
     return vals
 
 
+def run_ids_from_gaps(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Reconstruct absolute doc ids for concatenated delta runs (first
+    value of each run absolute) via one run-aware cumsum."""
+    run_starts = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.int64)
+    cs = np.cumsum(gaps.astype(np.int64))
+    base = np.zeros(len(run_starts), dtype=np.int64)
+    nz = run_starts > 0
+    base[nz] = cs[run_starts[nz] - 1]
+    return cs - np.repeat(base, counts)
+
+
 def merge_bucket_runs(
     group: pa.Table, block_size: int = BLOCK_SIZE, codec: str = "vbyte"
 ) -> pa.Table:
@@ -232,12 +243,7 @@ def merge_bucket_runs(
     tfd = _decode_runs(group.column("tfd_enc").to_pylist(), counts)
 
     # reconstruct absolute doc ids per run (run-aware cumsum)
-    run_starts = np.concatenate(([0], np.cumsum(counts)))[:-1].astype(np.int64)
-    cs = np.cumsum(gaps.astype(np.int64))
-    base = np.zeros(len(run_starts), dtype=np.int64)
-    nz = run_starts > 0
-    base[nz] = cs[run_starts[nz] - 1]
-    ids = cs - np.repeat(base, counts)
+    ids = run_ids_from_gaps(gaps, counts)
 
     # k-way merge of each term's runs: lexsort by (term, doc_id)
     val_codes = np.repeat(row_codes, counts)
