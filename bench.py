@@ -97,7 +97,9 @@ def ensure_pages_parquet(n: int = None) -> str:
     return pages_dir
 
 
-def run_build_synth(tag: str, n: int = None, bucket_bits: int = 3) -> dict:
+def run_build_synth(
+    tag: str, n: int = None, bucket_bits: int = 3, codec: str = "vbyte"
+) -> dict:
     import ray.data
 
     from search_engine_core_ray.index.build import build_index
@@ -112,7 +114,7 @@ def run_build_synth(tag: str, n: int = None, bucket_bits: int = 3) -> dict:
 
     result = build_index(
         pages, idx, lineage=f"bench-synth-{n}", num_shards=32,
-        bucket_bits=bucket_bits,
+        bucket_bits=bucket_bits, codec=codec,
         # small extract batches -> ~4x num_cpus tasks (packing); encode
         # batches sized so the sort barrier gets enough tasks to pack
         batch_size=512, encode_batch_size=1024,
@@ -127,6 +129,20 @@ def run_build_synth(tag: str, n: int = None, bucket_bits: int = 3) -> dict:
         "docs_per_sec": result.stats.total_docs / dt,
         "index_dir": idx,
     }
+
+
+def _seg_ratio(a_dir: str, b_dir: str) -> float:
+    """Total segment bytes of index a / index b (codec size comparison)."""
+    import glob as _glob
+
+    def tot(d):
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(d, "segments", "*", "*.parquet"))
+        )
+
+    tb = tot(b_dir)
+    return round(tot(a_dir) / tb, 4) if tb else 0.0
 
 
 def main() -> None:
@@ -210,6 +226,49 @@ def main() -> None:
     extras["query_p50_fast_ms"] = round(float(np.percentile(lat_fast, 50)), 3)
     extras["query_p99_fast_ms"] = round(float(np.percentile(lat_fast, 99)), 3)
 
+    # PForDelta twin of the latency index: build cost + fidelity p99 on
+    # the packed codec (segments ~20% smaller; decode is in the query
+    # path, so this is the honest latency price)
+    qbp = run_build_synth("query_idx_pfor", n=20000, codec="pfor")
+    queries["build_query_idx_pfor"] = round(qbp["seconds"], 3)
+    engp = SearchEngine(qbp["index_dir"], preload_shards=True)
+    lat_p = []
+    for _ in range(20):
+        for q in FIXTURE_QUERIES:
+            t1 = time.monotonic()
+            try:
+                engp.search(q, limit=10)
+            except ParseError:
+                pass
+            lat_p.append((time.monotonic() - t1) * 1000)
+    extras["query_p99_pfor_ms"] = round(float(np.percentile(lat_p, 99)), 3)
+    extras["pfor_seg_bytes_ratio"] = _seg_ratio(
+        qbp["index_dir"], qb["index_dir"]
+    )
+
+    # generational segment merge: upsert a 2k-page delta into the 20k
+    # index with zero re-tokenization (merge_indexes), timed end to end
+    t0 = time.monotonic()
+    import ray.data as _rd
+
+    from search_engine_core_ray.index.update import merge_indexes
+
+    delta_dir = "/tmp/secr_bench/merge_delta_idx"
+    merged_dir = "/tmp/secr_bench/merged_idx"
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    from search_engine_core_ray.corpus.synth import SynthConfig, synth_pages_ds
+    from search_engine_core_ray.index.build import build_index as _bi
+
+    _bi(
+        synth_pages_ds(SynthConfig(n_docs=2000, seed=1234)), delta_dir,
+        lineage="bench-delta", num_shards=32, bucket_bits=3,
+    )
+    queries["build_merge_delta"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    merge_indexes([qb["index_dir"], delta_dir], merged_dir)
+    queries["merge_generations"] = round(time.monotonic() - t0, 3)
+
     # concurrent throughput through the query actor pool
     from search_engine_core_ray.query.pool import QueryPool
 
@@ -285,7 +344,7 @@ def main() -> None:
         "robots_decisions", "retry_policy",
         "bloom_contaminated", "cm_term_counts", "related_terms",
         "domain_doclen_quantiles",
-        "image_near_dupes", "audio_near_dupes",
+        "image_near_dupes", "audio_near_dupes", "asof_last_order",
         # training_data_card is deliberately NOT benched: it re-runs the
         # prepare_training_data stages (timed above) for its counts
         # authority_ranked_topk is deliberately NOT benched: it is the

@@ -1907,6 +1907,77 @@ def q_events_sessionize(sf_dir: str):
     return ds.groupby("_bucket").map_groups(sessionize, batch_format="pyarrow")
 
 
+@_q(
+    "asof_last_order",
+    """
+    WITH r AS (
+      SELECT o_custkey AS k, o_orderdate AS ots,
+             max(o_orderkey) AS last_orderkey,
+             max_by(o_totalprice, o_orderkey) AS last_price
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2)
+    SELECT e.user_id AS k, e.ts, e.event_id,
+           coalesce(r.last_orderkey, -1) AS last_orderkey,
+           coalesce(r.last_price, 0.0) AS last_price
+    FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.ots
+    """,
+)
+def q_asof_last_order(sf_dir: str):
+    """As-of join: each event picks the LATEST urgent order of the same
+    customer placed at-or-before the event (nulls when none) — the
+    order-dependent join family Ray Data lacks, via stages/asof.py's
+    one-sort-exchange + O(blocks) carry-chain composition.
+
+    Determinism on duplicate right (key, ts): the oracle pre-dedups
+    with max_by(o_orderkey) because SQL ASOF leaves the pick
+    unspecified; the Ray side's ``tiebreak`` (largest orderkey wins)
+    implements the same rule, so no dedup pass is needed there.
+    last_price is a passthrough of the stored double (no arithmetic on
+    either engine), so it hash-compares without rounding. No-match rows
+    are coalesced to (-1, 0.0) on BOTH sides purely so the driver's
+    NaN-hostile value hash can compare them; the primitive itself
+    emits real nulls (tests/test_asof.py covers that path)."""
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        lambda b: b.select(["user_id", "ts", "event_id"]).rename_columns(
+            ["k", "ts", "event_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+         "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+        ).rename_columns(["k", "ots", "last_orderkey", "last_price"]),
+        batch_format="pyarrow",
+    )
+    from ..stages.asof import asof_join
+
+    joined = asof_join(
+        ev, od, key="k", left_ts="ts", right_ts="ots",
+        right_payload=["last_orderkey", "last_price"],
+        tiebreak="last_orderkey",
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        b = b.set_column(
+            b.schema.get_field_index("last_orderkey"), "last_orderkey",
+            pc.fill_null(b.column("last_orderkey"), pa.scalar(-1, pa.int64())),
+        )
+        return b.set_column(
+            b.schema.get_field_index("last_price"), "last_price",
+            pc.fill_null(b.column("last_price"), pa.scalar(0.0, pa.float64())),
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 # ======================================================================
 # relational operators over the TPC-H-ish tables
 # ======================================================================
