@@ -1978,6 +1978,119 @@ def q_asof_last_order(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+@_q(
+    "events_sliding_window",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL 15 MINUTE, ts) - g.k * INTERVAL 15 MINUTE
+             AS window_start,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0
+             AS sum_value
+    FROM events,
+         LATERAL (SELECT unnest(generate_series(0, 3)) AS k) g
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_window(sf_dir: str):
+    """Hopping/sliding window aggregate (1h window, 15min hop): every
+    event lands in exactly 4 overlapping windows. Ray Data has no
+    window operator; the scale shape is REPLICATE-TO-WINDOWS — a
+    map-side flat-map assigns each row its ceil(size/hop) window
+    starts and pre-aggregates within the batch, so the shuffle moves
+    one partial row per (batch, type, window), never 4x the events.
+    sum_value uses the agg_pricing exact-integer recipe (milli-units,
+    one final division) so overlapping re-summation stays bit-identical
+    to the oracle regardless of summation order."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["event_type", "ts", "value"]))
+        df = df.with_columns(
+            bucket=pl.col("ts").dt.truncate("15m"),
+            milli=(pl.col("value") * 1000).round(0).cast(pl.Int64),
+        )
+        parts = [
+            df.with_columns(
+                window_start=pl.col("bucket")
+                - pl.duration(minutes=15 * k)
+            )
+            for k in range(4)
+        ]
+        out = (
+            pl.concat(parts)
+            .group_by(["event_type", "window_start"])
+            .agg(n=pl.len().cast(pl.Int64), milli=pl.col("milli").sum())
+        )
+        return out.select(["event_type", "window_start", "n", "milli"]).to_arrow()
+
+    agg = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("milli", alias_name="milli"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        milli = t.column("milli").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("window_start"),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_value": pa.array(milli / 1000.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@_q(
+    "range_join_copresence",
+    """
+    SELECT a.user_id AS k, a.event_id AS a_id, b.event_id AS b_id,
+           a.ts AS a_ts, b.ts AS b_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 30 MINUTE
+     AND b.event_id <> a.event_id
+    """,
+)
+def q_range_join_copresence(sf_dir: str):
+    """Range (band) join: directed pairs of SAME-USER events at most
+    30 minutes apart (b at-or-before a, self-pairs excluded) — the
+    non-equi join family Ray Data lacks, via stages/intervals.py's
+    bucket-replication interval_join (each right row rides to exactly
+    2 time buckets; every matching pair meets in one bucket, so the
+    band filter needs no dedup)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    a = ev.map_batches(
+        lambda b: b.select(["user_id", "ts", "event_id"]).rename_columns(
+            ["k", "a_ts", "a_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    bside = ev.map_batches(
+        lambda b: b.select(["user_id", "ts", "event_id"]).rename_columns(
+            ["k", "b_ts", "b_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    from ..stages.intervals import interval_join
+
+    joined = interval_join(
+        a, bside, key="k", left_ts="a_ts", right_ts="b_ts",
+        window_us=30 * 60 * 1_000_000,
+    )
+    return joined.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("a_id"), b.column("b_id"))
+        ).select(["k", "a_id", "b_id", "a_ts", "b_ts"]),
+        batch_format="pyarrow",
+    )
+
+
 # ======================================================================
 # relational operators over the TPC-H-ish tables
 # ======================================================================
