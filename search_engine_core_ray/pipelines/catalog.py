@@ -2092,6 +2092,136 @@ def q_range_join_copresence(sf_dir: str):
 
 
 # ======================================================================
+# BPE tokenizer training (learned subwords for the LLM-data pipeline)
+# ======================================================================
+
+BPE_MERGES = 10
+
+
+def _bpe_words_cte(k: int) -> str:
+    """The shared k-round BPE training CTE chain (see stages/bpe.py for
+    the delimiter-encoding contract). MATERIALIZED is load-bearing:
+    each round references the previous one several times and DuckDB
+    would otherwise re-expand the chain exponentially."""
+    parts = [
+        """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+      FROM documents),
+    words0 AS MATERIALIZED (
+      SELECT term,
+             '||' || array_to_string(string_split(term, ''), '||') || '||_||' AS r,
+             count(*)::BIGINT AS cnt
+      FROM tok GROUP BY term)"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f"""
+    , cand{i} AS MATERIALIZED (
+      SELECT DISTINCT w.r, w.cnt, s.syms[g.j] AS x, s.syms[g.j+1] AS y
+      FROM words{p} w,
+           LATERAL (SELECT string_split(trim(w.r, '|'), '||') AS syms) s,
+           LATERAL (SELECT unnest(generate_series(1, len(s.syms)-1)) AS j) g)
+    , pair{i} AS MATERIALIZED (
+      SELECT x, y,
+             sum((length(r) - length(replace(r,
+                  '|'||x||'||'||y||'|', '|'||x||y||'|')))//2 * cnt)::BIGINT
+               AS cnt
+      FROM cand{i} GROUP BY 1, 2)
+    , best{i} AS MATERIALIZED (
+      SELECT {i}::BIGINT AS round, x, y, x||y AS merged, cnt
+      FROM pair{i} ORDER BY cnt DESC, x, y LIMIT 1)
+    , words{i} AS MATERIALIZED (
+      SELECT w.term,
+             replace(w.r, '|'||b.x||'||'||b.y||'|', '|'||b.x||b.y||'|') AS r,
+             w.cnt
+      FROM words{p} w CROSS JOIN best{i} b)""")
+    return "".join(parts)
+
+
+_BPE_MERGES_SQL = _bpe_words_cte(BPE_MERGES) + "\n    SELECT * FROM (" + "\n    UNION ALL ".join(
+    f"SELECT * FROM best{i}" for i in range(1, BPE_MERGES + 1)
+) + ")"
+
+_BPE_COUNTS_SQL = _bpe_words_cte(BPE_MERGES) + f"""
+    , final AS MATERIALIZED (
+      SELECT term, len(string_split(trim(r, '|'), '||'))::BIGINT AS n_sym
+      FROM words{BPE_MERGES})
+    SELECT t.doc_id, count(*)::BIGINT AS n_words,
+           sum(f.n_sym)::BIGINT AS n_bpe_tokens
+    FROM tok t JOIN final f ON t.term = f.term
+    GROUP BY 1"""
+
+
+@_q("bpe_merges", _BPE_MERGES_SQL)
+def q_bpe_merges(sf_dir: str):
+    """Learn BPE_MERGES byte-pair-encoding merges over the documents
+    corpus (Sennrich 2016; stages/bpe.py). The oracle replays training
+    as k unrolled MATERIALIZED CTE rounds sharing the exact literal
+    replace/length-diff algebra of the Ray side, so the learned merge
+    table is hash-identical — argmax ties broken (count desc, pair
+    lexicographic) identically in both engines."""
+    from ..stages.bpe import learn_bpe
+
+    merges, _words = learn_bpe(_docs(sf_dir, ["text"]), n_merges=BPE_MERGES)
+    return merges
+
+
+@_q("bpe_token_counts", _BPE_COUNTS_SQL)
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc token counts under the LEARNED BPE vocabulary: train the
+    merges, apply them to the word-type table, then one map-side pass
+    over the postings explode attaches symbols-per-word (gated
+    broadcast / distributed join) and sums per doc — the token-count
+    statistic a packing/budgeting stage consumes, with a learned
+    subword tokenizer rather than a whitespace proxy."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import gated_left_join
+    from ..stages.bpe import learn_bpe, split_symbols
+
+    _merges, words = learn_bpe(_docs(sf_dir, ["text"]), n_merges=BPE_MERGES)
+    wsyms = words.map_batches(
+        lambda b: pa.table(
+            {
+                "term": b.column("term"),
+                "n_sym": pa.array(
+                    [len(split_symbols(r)) for r in b.column("repr").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    postings = _docs(sf_dir).map_batches(ts.content_postings, batch_format="pyarrow")
+    attached = gated_left_join(
+        postings, "term", wsyms, "term", ["n_sym"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.group_by("doc_id").agg(
+            n_words=pl.col("tf").sum(),
+            n_bpe_tokens=(pl.col("tf") * pl.col("n_sym")).sum(),
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
+                       ("n_bpe_tokens", pa.int64())])
+        )
+
+    return (
+        attached.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
+    )
+
+
+# ======================================================================
 # relational operators over the TPC-H-ish tables
 # ======================================================================
 
