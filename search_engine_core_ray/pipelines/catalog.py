@@ -2222,6 +2222,107 @@ def q_bpe_token_counts(sf_dir: str):
 
 
 # ======================================================================
+# text classification (NB = the deterministic fastText-analog filter)
+# ======================================================================
+
+@_q(
+    "nb_lang_pred",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang,
+             text || repeat(' sig' || lang, CAST(doc_id % 3 AS BIGINT))
+                  || CASE WHEN doc_id % 2 = 1
+                          THEN ' unk' || CAST(doc_id AS VARCHAR) ELSE '' END
+               AS t2
+      FROM documents),
+    traintok AS MATERIALIZED (
+      SELECT lang AS label,
+             unnest(regexp_extract_all(lower(t2), '[a-z0-9]{2,}')) AS term
+      FROM base WHERE doc_id % 2 = 0),
+    counts AS MATERIALIZED (
+      SELECT label, term, count(*)::BIGINT AS cnt FROM traintok GROUP BY 1, 2),
+    tot AS MATERIALIZED (SELECT label, sum(cnt)::BIGINT AS t FROM counts GROUP BY 1),
+    voc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM counts),
+    docn AS MATERIALIZED (
+      SELECT lang AS label, count(*)::BIGINT AS n
+      FROM base WHERE doc_id % 2 = 0 GROUP BY 1),
+    ntr AS (SELECT sum(n)::BIGINT AS n FROM docn),
+    labinfo AS MATERIALIZED (
+      SELECT t.label,
+             CAST(round(ln(CAST(d.n AS DOUBLE) / nt.n) * 1000000) AS BIGINT)
+               AS prior_q,
+             CAST(round(ln(1.0 / (t.t + v.v)) * 1000000) AS BIGINT) AS oov_q
+      FROM tot t JOIN docn d USING (label), ntr nt, voc v),
+    model AS MATERIALIZED (
+      SELECT c.label, c.term,
+             CAST(round(ln((c.cnt + 1.0) / (t.t + v.v)) * 1000000) AS BIGINT)
+               AS lq
+      FROM counts c JOIN tot t USING (label), voc v),
+    testtok AS MATERIALIZED (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(t2), '[a-z0-9]{2,}')) AS term
+        FROM base WHERE doc_id % 2 = 1) GROUP BY 1, 2),
+    scores AS MATERIALIZED (
+      SELECT tt.doc_id, li.label,
+             li.prior_q
+               + CAST(sum(tt.tf * coalesce(m.lq, li.oov_q)) AS BIGINT)
+               AS score_q
+      FROM testtok tt CROSS JOIN labinfo li
+      LEFT JOIN model m ON m.label = li.label AND m.term = tt.term
+      GROUP BY 1, 2, li.prior_q)
+    SELECT doc_id, label AS pred, score_q FROM scores
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_q DESC, label) = 1
+    """,
+)
+def q_nb_lang_pred(sf_dir: str):
+    """Multinomial Naive Bayes language classification (stages/
+    classify.py): train on even doc_ids, predict odd ones. Scores are
+    exact int64 micro-nat sums, so the argmax (ties -> smallest label)
+    is bit-identical to the oracle's unrolled NB algebra.
+
+    The synth text is label-INDEPENDENT, so the entry injects a
+    deterministic learnable signal in-query (scrub-entry discipline,
+    mirrored in SQL): doc_id%3 copies of a per-label 'sig<lang>' token
+    (a third of docs carry none -> the prior decides), plus a unique
+    'unk<doc_id>' token per test doc so the OOV branch is exercised on
+    every prediction. tests/test_classify.py asserts the hand-oracle
+    math; prediction variety across all 5 labels is inherent (en prior
+    dominates unsignaled docs, sig tokens flip the rest)."""
+    import polars as pl
+
+    from ..stages.classify import nb_predict, nb_train
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        sig = pl.lit(" sig") + pl.col("lang")
+        m = pl.col("doc_id") % 3
+        df = df.with_columns(
+            t2=pl.col("text").fill_null("")
+            + pl.when(m >= 1).then(sig).otherwise(pl.lit(""))
+            + pl.when(m >= 2).then(sig).otherwise(pl.lit(""))
+            + pl.when(pl.col("doc_id") % 2 == 1)
+            .then(pl.lit(" unk") + pl.col("doc_id").cast(pl.String))
+            .otherwise(pl.lit(""))
+        )
+        return df.select(["doc_id", "lang", "t2"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                       ("t2", pa.string())])
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        inject, batch_format="pyarrow"
+    )
+    train = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    test = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    model, info = nb_train(train, label_col="lang", text_col="t2")
+    return nb_predict(
+        test, model.materialize(), info, id_col="doc_id", text_col="t2"
+    )
+
+
+# ======================================================================
 # relational operators over the TPC-H-ish tables
 # ======================================================================
 
