@@ -2322,6 +2322,76 @@ def q_nb_lang_pred(sf_dir: str):
     )
 
 
+@_q(
+    "dsir_logweights",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang,
+             text || repeat(' sig' || lang, CAST(doc_id % 3 AS BIGINT)) AS t2
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(t2), '[a-z0-9]{2,}') AS ts
+      FROM base),
+    grams AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(md5_number_lower(g) % 256 AS BIGINT) AS b
+      FROM (
+        SELECT doc_id, lang, unnest(ts) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, lang, ts[s.j] || ' ' || ts[s.j + 1] AS g
+        FROM tok,
+             LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS j) s
+        WHERE len(ts) >= 2)),
+    counts AS MATERIALIZED (
+      SELECT b, count(*)::BIGINT AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+      FROM grams GROUP BY 1),
+    tots AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM counts),
+    delta AS MATERIALIZED (
+      SELECT b,
+             CAST(round((ln((ct + 1.0) / (tt + 256))
+                         - ln((cr + 1.0) / (tr + 256))) * 1000000) AS BIGINT)
+               AS dq
+      FROM counts, tots)
+    SELECT g.doc_id, CAST(sum(d.dq) AS BIGINT) AS w_q
+    FROM grams g JOIN delta d USING (b)
+    GROUP BY 1
+    """,
+)
+def q_dsir_logweights(sf_dir: str):
+    """DSIR importance log-weights (Xie 2023; stages/dsir.py): hashed
+    unigram+bigram bucket LMs for a TARGET subpopulation (lang='en')
+    vs the raw corpus; per-doc weight = exact micro-nat int64 sum of
+    per-bucket log ratios. The synth text is lang-independent, so the
+    entry injects the deterministic per-label 'sig<lang>' tokens
+    (doc_id%3 copies, mirrored in SQL) — en docs then genuinely skew
+    toward sigen-bearing buckets and the weights separate (asserted in
+    tests/test_dsir.py)."""
+    import polars as pl
+
+    from ..stages.dsir import dsir_logweights
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        sig = pl.lit(" sig") + pl.col("lang")
+        m = pl.col("doc_id") % 3
+        df = df.with_columns(
+            t2=pl.col("text").fill_null("")
+            + pl.when(m >= 1).then(sig).otherwise(pl.lit(""))
+            + pl.when(m >= 2).then(sig).otherwise(pl.lit("")),
+            is_target=pl.col("lang") == "en",
+        )
+        return df.select(["doc_id", "t2", "is_target"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("t2", pa.string()),
+                       ("is_target", pa.bool_())])
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        inject, batch_format="pyarrow"
+    )
+    return dsir_logweights(docs, id_col="doc_id", text_col="t2")
+
+
 # ======================================================================
 # relational operators over the TPC-H-ish tables
 # ======================================================================

@@ -1,0 +1,154 @@
+"""DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", arXiv 2302.03169): score
+every raw document by how much more likely its hashed-ngram profile is
+under a TARGET distribution than under the raw-corpus distribution —
+the statistic LLM data curation uses to resample a web crawl toward a
+quality/domain target. Selection itself is then just a top-k by
+(w_q, doc_id) — the topk_orders shape.
+
+Features: unigrams + space-joined bigrams of the corpus token rule,
+hashed with the DuckDB-replayable md5_number_lower (last 8 md5 digest
+bytes, little-endian) into ``n_buckets`` buckets. Both bucket LMs are
+Laplace-smoothed; the per-bucket log ratio
+``ln((ct+1)/(Tt+B)) - ln((cr+1)/(Tr+B))`` is quantized to micro-nat
+int64 (round_half_away — the idf_q/pmi discipline), so per-doc weights
+are exact integer sums, bit-identical across engines.
+
+Scale shape (100 TB): two corpus passes (the lm_familiarity pattern) —
+pass 1 maps batches to per-bucket partial counts and reduces to a
+B-row table (B is a CONSTANT, so the driver collect is value-domain
+bounded); pass 2 re-maps batches against the broadcast B-row delta
+table and emits (doc_id, w_q). No corpus-proportional state anywhere.
+Token hashing caches md5 per DISTINCT gram within a batch (the
+SQL-checkable simhash variant's documented trade; a production path
+would swap in the vectorized polars hash at the cost of the oracle).
+
+Docs whose text yields zero grams are absent from the output (no
+evidence rows; the SQL oracle drops them identically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from .dedup import _md5_lower64
+from .textstats import TOKEN_RE, round_half_away
+
+LN_SCALE = 1_000_000
+N_BUCKETS = 256
+
+
+def _batch_grams(
+    b: pa.Table, id_col: str, text_col: str, n_buckets: int,
+    flag_col: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, buckets, flags) — one entry per gram INSTANCE
+    (unigrams + bigrams); flags expand ``flag_col`` per instance
+    (zeros when flag_col is None)."""
+    cols = [id_col, text_col] + ([flag_col] if flag_col else [])
+    df = (
+        pl.from_arrow(b.select(cols))
+        .with_columns(
+            pl.col(text_col).fill_null("").str.to_lowercase()
+            .str.extract_all(TOKEN_RE).alias("ts")
+        )
+    )
+    flags_in = (
+        df[flag_col].to_list() if flag_col else [0] * df.height
+    )
+    ids_out: list = []
+    grams: list[str] = []
+    flags_out: list = []
+    for did, toks, fl in zip(df[id_col].to_list(), df["ts"].to_list(),
+                             flags_in):
+        f = 1 if fl else 0
+        n = len(toks)
+        grams.extend(toks)
+        ids_out.extend([did] * n)
+        flags_out.extend([f] * n)
+        if n >= 2:
+            bi = [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+            grams.extend(bi)
+            ids_out.extend([did] * len(bi))
+            flags_out.extend([f] * len(bi))
+    if not grams:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    buckets = (_md5_lower64(grams) % np.uint64(n_buckets)).astype(np.int64)
+    return (
+        np.asarray(ids_out, dtype=np.int64),
+        buckets,
+        np.asarray(flags_out, dtype=np.int64),
+    )
+
+
+def dsir_logweights(
+    docs_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = N_BUCKETS,
+):
+    """Dataset (doc_id, w_q): micro-nat importance log-weight per doc
+    with >= 1 gram. ``target_col`` is a boolean column marking the
+    target subpopulation (prepared upstream)."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _ids, buckets, is_t = _batch_grams(
+            b, id_col, text_col, n_buckets, flag_col=target_col
+        )
+        cr = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        ct = np.bincount(buckets, weights=is_t, minlength=n_buckets).astype(
+            np.int64
+        )
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "cr": pa.array(cr[nz], pa.int64()),
+                "ct": pa.array(ct[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("cr", alias_name="cr"), Sum("ct", alias_name="ct"))
+        .take_all()  # <= n_buckets rows: value-domain-bounded collect
+    )
+    tr = sum(int(r["cr"]) for r in counts)
+    tt = sum(int(r["ct"]) for r in counts)
+    delta = np.zeros(n_buckets, dtype=np.int64)
+    for r in counts:
+        lr = np.log((int(r["ct"]) + 1.0) / (tt + n_buckets)) - np.log(
+            (int(r["cr"]) + 1.0) / (tr + n_buckets)
+        )
+        delta[int(r["b"])] = int(round_half_away(np.float64(lr) * LN_SCALE, 0))
+
+    import ray
+
+    delta_ref = ray.put(delta)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids, buckets, _f = _batch_grams(b, id_col, text_col, n_buckets)
+        if len(ids) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "w_q": pa.array([], pa.int64())}
+            )
+        d = ray.get(delta_ref)
+        w = d[buckets]
+        df = pl.DataFrame({id_col: ids, "w": w}).group_by(id_col).agg(
+            w_q=pl.col("w").sum()
+        )
+        return df.to_arrow().cast(
+            pa.schema([(id_col, pa.int64()), ("w_q", pa.int64())])
+        )
+
+    # docs are row-atomic within a batch, so the per-batch group_by is
+    # already one complete row per doc — no global reduce needed
+    return docs_ds.map_batches(score, batch_format="pyarrow")
