@@ -4486,6 +4486,55 @@ def q_dup_ngram_fraction(sf_dir: str):
     return dup_ngram_stats(_docs(sf_dir), n=8)
 
 
+@_q(
+    "dedup_spans",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tk
+      FROM documents),
+    pos AS MATERIALIZED (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM tok),
+    win AS MATERIALIZED (
+      SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS w FROM pos),
+    tot AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS c, min(doc_id) AS owner
+      FROM win GROUP BY 1),
+    rem AS MATERIALIZED (
+      SELECT win.doc_id, win.i FROM win JOIN tot USING (w)
+      WHERE tot.c >= 2 AND win.doc_id <> tot.owner),
+    cov AS MATERIALIZED (
+      SELECT DISTINCT r.doc_id, r.i + g.o AS j
+      FROM rem r, LATERAL (SELECT unnest(range(0, 8)) AS o) g),
+    tokidx AS MATERIALIZED (
+      SELECT doc_id, tk[s.j] AS tok, s.j
+      FROM tok, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS j) s),
+    clean AS MATERIALIZED (
+      SELECT ti.doc_id,
+             coalesce(string_agg(ti.tok, ' ' ORDER BY ti.j)
+                        FILTER (WHERE cov.j IS NULL), '') AS clean_text,
+             count(*) FILTER (WHERE cov.j IS NOT NULL)::BIGINT
+               AS removed_tokens
+      FROM tokidx ti
+      LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.j = cov.j
+      GROUP BY 1)
+    SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           coalesce(c.removed_tokens, 0)::BIGINT AS removed_tokens
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q_dedup_spans(sf_dir: str):
+    """Cross-doc duplicated-SPAN removal (the action to
+    dup_ngram_fraction's signal; stages/dedup.remove_dup_spans): every
+    token covered by a duplicated 8-token window is dropped except in
+    the window's min-doc_id owner, so one copy of each span survives.
+    Output is the kept token stream (token-level ExactSubstr). The
+    sf0.001 corpus has ~1k genuinely cross-doc duplicated windows, so
+    removals are real — asserted in tests/test_dedup_spans.py."""
+    from ..stages.dedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(sf_dir), n=8)
+
+
 _PREP_CTES = rf"""
     norm AS (
       SELECT doc_id,

@@ -1194,3 +1194,192 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_dup_spans(docs_ds, n: int = 8, num_partitions: int = 8,
+                     n_buckets: int = 32):
+    """Cross-document duplicated-span REMOVAL (the action to
+    dup_ngram_stats' signal; Lee et al. 2021 ExactSubstr at token
+    granularity): every token covered by an n-token window that occurs
+    anywhere else in the corpus is dropped — except in the window's
+    OWNER doc (min doc_id), which keeps its occurrences, so exactly
+    one copy of every duplicated span survives corpus-wide.  Returns
+    Dataset(doc_id, clean_text, removed_tokens) where clean_text is
+    the KEPT token stream joined by single spaces (token-level output,
+    not byte spans — the byte-exact variant is the suffix-array
+    approach; within-owner repeats are retained by the rule above).
+
+    Scale shape: windows ride the exchange as (wkey 63-bit hash,
+    doc_id, pos) = 24 B/row; one sorted_agg names each key's total and
+    owner; dup keys (total >= 2) hash-join back to the position stream
+    (this join is the price of needing POSITIONS — the fraction signal
+    avoids it); the doc text then rides ONE bucketed exchange next to
+    its removal positions (the line_dedup contract) into a vectorized
+    per-bucket rebuild (explode tokens -> anti-join covered (doc, j)
+    -> ordered string join).  Hash collisions merge distinct windows
+    (~p^2/2^63): absent at test scale, documented in dup_ngram_stats.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
+
+    mask63 = np.uint64((1 << 63) - 1)
+
+    def explode_positions(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        ex = (
+            df.with_columns(
+                tk=pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]{2,}")
+            )
+            .select("doc_id", "tk")
+            .explode("tk")
+        )
+        ids = ex["doc_id"].to_numpy()
+        h = ex.with_columns(h=pl.col("tk").hash(seed=_DW_TOKEN_SEED))["h"].to_numpy()
+        is_null = ex["tk"].is_null().to_numpy()
+        m = len(h) - n + 1
+        if m <= 0:
+            return pa.table(
+                {"wkey": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}
+            )
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc ^= h[j : j + m].astype(np.uint64) * _DW_C[j % len(_DW_C)]
+        ok = ids[:m] == ids[n - 1 :]
+        cs = np.concatenate(([0], np.cumsum(is_null.astype(np.int64))))
+        ok &= (cs[n:] - cs[:-n]) == 0
+        # position of the window INSIDE its doc (0-based token index):
+        # running index minus the index of the doc's first token row
+        first = np.zeros(len(ids), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        first[starts] = starts
+        first = np.maximum.accumulate(first)
+        pos = (np.arange(m, dtype=np.int64) - first[:m])[ok]
+        return pa.table(
+            {
+                "wkey": pa.array((acc & mask63).view(np.int64)[ok], pa.int64()),
+                "doc_id": pa.array(ids[:m][ok].astype(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    windows = docs_ds.map_batches(
+        explode_positions, batch_format="pyarrow"
+    ).materialize()
+
+    agg = sorted_agg(
+        windows, "wkey",
+        {"total": ("count", "wkey"), "owner": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    # materialize the SMALL intermediates so the shuffle groupby, the
+    # Acero join and the bucketed rebuild run as sequential jobs — all
+    # three chained lazily in one streaming job makes their actor
+    # pools contend for the same slots (the two-actor-pool gotcha in
+    # index/build.py) and multiplies wall time ~3x at low CPU counts
+    dup = (
+        agg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("total"), 2)).select(
+                ["wkey", "owner"]
+            ),
+            batch_format="pyarrow",
+        )
+        # merge schema-less empty blocks BEFORE the join — Acero errors
+        # with "no match for FieldRef.Name(wkey)" on an empty block
+        .repartition(num_partitions)
+        .materialize()
+    )
+    rem = (
+        windows.join(dup, join_type="inner", num_partitions=num_partitions,
+                     on=("wkey",))
+        .repartition(num_partitions)  # merge schema-less empty partitions
+        .map_batches(
+            lambda b: (
+                b.filter(pc.not_equal(b.column("doc_id"), b.column("owner")))
+                .select(["doc_id", "pos"])
+                if b.num_rows
+                else pa.table({"doc_id": pa.array([], pa.int64()),
+                               "pos": pa.array([], pa.int64())})
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def _buckets(b: pa.Table) -> pa.Array:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array((np.abs(ids) % n_buckets).astype(np.int32), pa.int32())
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "text": b.column("text").cast(pa.string()),
+                "pos": pa.nulls(b.num_rows, pa.int64()),
+                "_bucket": _buckets(b),
+            }
+        )
+
+    def tag_rem(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "text": pa.nulls(b.num_rows, pa.string()),
+                "pos": b.column("pos").cast(pa.int64()),
+                "_bucket": _buckets(b),
+            }
+        )
+
+    tagged = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        rem.map_batches(tag_rem, batch_format="pyarrow")
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        docs = df.filter(pl.col("text").is_not_null()).select("doc_id", "text")
+        remf = df.filter(pl.col("text").is_null()).select("doc_id", "pos")
+        toks = (
+            docs.with_columns(
+                tk=pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]{2,}")
+            )
+            .select("doc_id", "tk")
+            .explode("tk")
+            .drop_nulls("tk")
+            .with_columns(j=pl.int_range(pl.len()).over("doc_id"))
+        )
+        covered = (
+            remf.join(pl.DataFrame({"o": list(range(n))}), how="cross")
+            .with_columns(j=pl.col("pos") + pl.col("o"))
+            .select("doc_id", "j")
+            .unique()
+            .with_columns(cov=pl.lit(1))
+        )
+        marked = toks.join(covered, on=["doc_id", "j"], how="left")
+        kept = (
+            marked.filter(pl.col("cov").is_null())
+            .sort(["doc_id", "j"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(clean_text=pl.col("tk").str.join(" "))
+        )
+        removed = (
+            marked.group_by("doc_id")
+            .agg(removed_tokens=pl.col("cov").sum().fill_null(0).cast(pl.Int64))
+        )
+        out = (
+            docs.select("doc_id")
+            .join(kept, on="doc_id", how="left")
+            .join(removed, on="doc_id", how="left")
+            .with_columns(
+                clean_text=pl.col("clean_text").fill_null(""),
+                removed_tokens=pl.col("removed_tokens").fill_null(0),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string()),
+                       ("removed_tokens", pa.int64())])
+        )
+
+    return tagged.groupby("_bucket").map_groups(rebuild, batch_format="pyarrow")
