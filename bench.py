@@ -227,8 +227,9 @@ def main() -> None:
     extras["query_p99_fast_ms"] = round(float(np.percentile(lat_fast, 99)), 3)
 
     # PForDelta twin of the latency index: build cost + fidelity p99 on
-    # the packed codec (segments ~20% smaller; decode is in the query
-    # path, so this is the honest latency price)
+    # the packed codec (pfor_seg_bytes_ratio measures ~0.57x vbyte
+    # bytes; decode is in the query path, so this is the honest
+    # latency price)
     qbp = run_build_synth("query_idx_pfor", n=20000, codec="pfor")
     queries["build_query_idx_pfor"] = round(qbp["seconds"], 3)
     engp = SearchEngine(qbp["index_dir"], preload_shards=True)
@@ -249,8 +250,6 @@ def main() -> None:
     # generational segment merge: upsert a 2k-page delta into the 20k
     # index with zero re-tokenization (merge_indexes), timed end to end
     t0 = time.monotonic()
-    import ray.data as _rd
-
     from search_engine_core_ray.index.update import merge_indexes
 
     delta_dir = "/tmp/secr_bench/merge_delta_idx"

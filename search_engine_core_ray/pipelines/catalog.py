@@ -2133,10 +2133,16 @@ def _bpe_words_cte(k: int) -> str:
       SELECT {i}::BIGINT AS round, x, y, x||y AS merged, cnt
       FROM pair{i} ORDER BY cnt DESC, x, y LIMIT 1)
     , words{i} AS MATERIALIZED (
+      -- LEFT JOIN ON TRUE + never-matching chr(1) fallback: an empty
+      -- best{i} (vocabulary fully fused before round k) must leave the
+      -- word table INTACT, not empty it via a CROSS JOIN — the Ray
+      -- side early-stops and keeps the fused words
       SELECT w.term,
-             replace(w.r, '|'||b.x||'||'||b.y||'|', '|'||b.x||b.y||'|') AS r,
+             replace(w.r,
+                     coalesce('|'||b.x||'||'||b.y||'|', chr(1)),
+                     coalesce('|'||b.x||b.y||'|', chr(1))) AS r,
              w.cnt
-      FROM words{p} w CROSS JOIN best{i} b)""")
+      FROM words{p} w LEFT JOIN best{i} b ON TRUE)""")
     return "".join(parts)
 
 
@@ -2230,7 +2236,8 @@ def q_bpe_token_counts(sf_dir: str):
     """
     WITH base AS MATERIALIZED (
       SELECT doc_id, lang,
-             text || repeat(' sig' || lang, CAST(doc_id % 3 AS BIGINT))
+             coalesce(text, '')
+                  || repeat(' sig' || lang, CAST(doc_id % 3 AS BIGINT))
                   || CASE WHEN doc_id % 2 = 1
                           THEN ' unk' || CAST(doc_id AS VARCHAR) ELSE '' END
                AS t2
@@ -2327,7 +2334,8 @@ def q_nb_lang_pred(sf_dir: str):
     """
     WITH base AS MATERIALIZED (
       SELECT doc_id, lang,
-             text || repeat(' sig' || lang, CAST(doc_id % 3 AS BIGINT)) AS t2
+             coalesce(text, '')
+               || repeat(' sig' || lang, CAST(doc_id % 3 AS BIGINT)) AS t2
       FROM documents),
     tok AS MATERIALIZED (
       SELECT doc_id, lang,

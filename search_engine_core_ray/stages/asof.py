@@ -35,9 +35,22 @@ _K, _TS, _SIDE, _TIE = "__asof_k", "__asof_ts", "__asof_side", "__asof_tie"
 
 
 def _as_int64_ts(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Normalize any temporal column to int64 MICROSECONDS so the two
+    sides sort in one unit (a date32 left vs timestamp[ms] right would
+    otherwise compare days against milliseconds and silently mis-join);
+    plain integer columns pass through as-is."""
     if pa.types.is_timestamp(col.type):
-        return col.cast(pa.int64())
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    if pa.types.is_date(col.type):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
     return col.cast(pa.int64())
+
+
+def _from_int64_ts(col, out_type):
+    """Inverse of _as_int64_ts for the left-ts output column."""
+    if pa.types.is_timestamp(out_type) or pa.types.is_date(out_type):
+        return col.cast(pa.timestamp("us")).cast(out_type)
+    return col.cast(out_type)
 
 
 def _tag_side(
@@ -115,7 +128,7 @@ def _resolve_block(
     cols[key_out] = lt.column(_K)
     ts_col = lt.column(_TS)
     cols[left_ts_name] = (
-        ts_col.cast(left_ts_type)
+        _from_int64_ts(ts_col, left_ts_type)
         if not left_ts_type.equals(pa.int64())
         else ts_col
     )
@@ -154,9 +167,19 @@ def asof_join(
     right row with equal ``key`` and right_ts <= left_ts (null if
     none). ``tiebreak`` (a right column, int-castable) breaks duplicate
     right (key, ts) pairs deterministically: the largest wins.
+
+    ``right_payload`` names must be disjoint from the left side's
+    columns (rename upstream, as intervals.py also requires) — the two
+    sides share one output row.
     """
     import ray
     import ray.data
+
+    overlap = set(right_payload) & ({key, left_ts} | set(left_ds.schema().names))
+    if overlap:
+        raise ValueError(
+            f"right_payload collides with left columns: {sorted(overlap)}"
+        )
 
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()

@@ -103,8 +103,10 @@ def _word_freq(docs_ds, text_col: str):
     def partial(b: pa.Table) -> pa.Table:
         from .textstats import term_count_frame
 
-        out = term_count_frame(pl.from_arrow(b), text_col=text_col)
-        return out.rename({"term": "term", "cnt": "cnt"}).to_arrow().cast(
+        out = term_count_frame(
+            pl.from_arrow(b), text_col=text_col, token_re=TOKEN_RE
+        )
+        return out.to_arrow().cast(
             pa.schema([("term", pa.string()), ("cnt", pa.int64())])
         )
 

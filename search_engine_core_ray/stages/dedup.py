@@ -1051,6 +1051,40 @@ _DW_C = (_rng.randint(1, 1 << 62, size=32).astype(np.uint64) * 2 + 1)
 _DW_TOKEN_SEED = 4099
 
 
+_MASK63 = np.uint64((1 << 63) - 1)
+
+
+def _roll_windows(ex, n: int):
+    """THE shared n-token rolling-window key kernel — dup_ngram_stats
+    (the signal) and remove_dup_spans (the action) must agree on what
+    a 'window' is, so both call this. Input: the exploded polars frame
+    (doc_id, tk) with one null-token row per token-less doc. Returns
+    (doc_ids, wkey, pos) for every VALID window (stays inside one doc,
+    no null token), pos = 0-based token index of the window's first
+    token within its doc."""
+    ids = ex["doc_id"].to_numpy()
+    h = ex.with_columns(h=pl.col("tk").hash(seed=_DW_TOKEN_SEED))["h"].to_numpy()
+    is_null = ex["tk"].is_null().to_numpy()
+    m = len(h) - n + 1
+    if m <= 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        acc ^= h[j : j + m].astype(np.uint64) * _DW_C[j % len(_DW_C)]
+    ok = ids[:m] == ids[n - 1 :]  # window stays inside one doc
+    cs = np.concatenate(([0], np.cumsum(is_null.astype(np.int64))))
+    ok &= (cs[n:] - cs[:-n]) == 0  # and contains no null-token row
+    # 0-based in-doc position: running index minus the doc's first row
+    first = np.zeros(len(ids), dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+    first[starts] = starts
+    first = np.maximum.accumulate(first)
+    pos = (np.arange(m, dtype=np.int64) - first[:m])[ok]
+    wkey = (acc & _MASK63).view(np.int64)[ok]
+    return ids[:m][ok].astype(np.int64), wkey, pos
+
+
 def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
     """Per-document duplicated-n-gram fraction (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -1084,8 +1118,6 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
 
     from .shuffle import AUTO_THRESHOLD, sorted_agg
 
-    mask63 = np.uint64((1 << 63) - 1)
-
     def explode_windows(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
             pl.col("text").fill_null("")
@@ -1097,11 +1129,8 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
             .select("doc_id", "tk")
             .explode("tk")  # a token-less doc keeps one null row
         )
-        ids = ex["doc_id"].to_numpy()
-        h = ex.with_columns(h=pl.col("tk").hash(seed=_DW_TOKEN_SEED))["h"].to_numpy()
-        is_null = ex["tk"].is_null().to_numpy()
-        m = len(h) - n + 1
-        if m <= 0:
+        dids, wkey, _pos = _roll_windows(ex, n)
+        if len(dids) == 0:
             win = pl.DataFrame(
                 {
                     "doc_id": pl.Series([], dtype=pl.Int64),
@@ -1110,15 +1139,8 @@ def dup_ngram_stats(docs_ds, n: int = 8, num_partitions: int = 8):
                 }
             )
         else:
-            acc = np.zeros(m, dtype=np.uint64)
-            for j in range(n):
-                acc ^= h[j : j + m].astype(np.uint64) * _DW_C[j % len(_DW_C)]
-            ok = ids[:m] == ids[n - 1 :]  # window stays inside one doc
-            cs = np.concatenate(([0], np.cumsum(is_null.astype(np.int64))))
-            ok &= (cs[n:] - cs[:-n]) == 0  # and contains no null-token row
-            wkey = (acc & mask63).view(np.int64)
             win = (
-                pl.DataFrame({"doc_id": ids[:m][ok], "wkey": wkey[ok]})
+                pl.DataFrame({"doc_id": dids, "wkey": wkey})
                 .group_by("doc_id", "wkey")
                 .agg(cnt=pl.len().cast(pl.Int64))
                 .with_columns(pl.col("doc_id").cast(pl.Int64))
@@ -1223,8 +1245,6 @@ def remove_dup_spans(docs_ds, n: int = 8, num_partitions: int = 8,
 
     from .shuffle import AUTO_THRESHOLD, sorted_agg
 
-    mask63 = np.uint64((1 << 63) - 1)
-
     def explode_positions(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
             pl.col("text").fill_null("")
@@ -1236,33 +1256,11 @@ def remove_dup_spans(docs_ds, n: int = 8, num_partitions: int = 8,
             .select("doc_id", "tk")
             .explode("tk")
         )
-        ids = ex["doc_id"].to_numpy()
-        h = ex.with_columns(h=pl.col("tk").hash(seed=_DW_TOKEN_SEED))["h"].to_numpy()
-        is_null = ex["tk"].is_null().to_numpy()
-        m = len(h) - n + 1
-        if m <= 0:
-            return pa.table(
-                {"wkey": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "pos": pa.array([], pa.int64())}
-            )
-        acc = np.zeros(m, dtype=np.uint64)
-        for j in range(n):
-            acc ^= h[j : j + m].astype(np.uint64) * _DW_C[j % len(_DW_C)]
-        ok = ids[:m] == ids[n - 1 :]
-        cs = np.concatenate(([0], np.cumsum(is_null.astype(np.int64))))
-        ok &= (cs[n:] - cs[:-n]) == 0
-        # position of the window INSIDE its doc (0-based token index):
-        # running index minus the index of the doc's first token row
-        first = np.zeros(len(ids), dtype=np.int64)
-        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-        first[starts] = starts
-        first = np.maximum.accumulate(first)
-        pos = (np.arange(m, dtype=np.int64) - first[:m])[ok]
+        dids, wkey, pos = _roll_windows(ex, n)
         return pa.table(
             {
-                "wkey": pa.array((acc & mask63).view(np.int64)[ok], pa.int64()),
-                "doc_id": pa.array(ids[:m][ok].astype(np.int64), pa.int64()),
+                "wkey": pa.array(wkey, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
                 "pos": pa.array(pos, pa.int64()),
             }
         )

@@ -30,6 +30,11 @@ _B = "__iv_bucket"
 
 
 def _ts_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Normalize temporal columns to int64 MICROSECONDS (a date32 side
+    would otherwise bucket days against the other side's microseconds);
+    plain integers pass through."""
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
     return col.cast(pa.int64())
 
 

@@ -100,6 +100,58 @@ def test_equal_ts_inclusive_and_tiebreak(ray_session):
     assert int(row["tie"]) == 9
 
 
+def test_mixed_temporal_units_normalize(ray_session):
+    # left timestamp[us] vs right date32: the join must compare in ONE
+    # unit (microseconds), not days-vs-us raw int64
+    import datetime as dt
+
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(1995, 6, 1), dt.datetime(1994, 1, 1)],
+                    pa.timestamp("us"),
+                ),
+                "lid": pa.array([0, 1], pa.int64()),
+            }
+        )
+    )
+    rds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "rts": pa.array([dt.date(1995, 1, 1)], pa.date32()),
+                "pay": pa.array([7], pa.int64()),
+            }
+        )
+    )
+    res = asof_join(
+        lds, rds, key="k", left_ts="ts", right_ts="rts",
+        right_payload=["pay"],
+    ).to_pandas()
+    by = {int(r.lid): r.pay for r in res.itertuples()}
+    assert by[0] == 7          # 1995-06-01 >= 1995-01-01
+    assert by[1] != by[1] or by[1] is None or str(by[1]) == "nan"  # predates
+    assert str(res[res.lid == 0]["ts"].dtype).startswith("datetime64")
+
+
+def test_payload_collision_rejected(ray_session):
+    lds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()),
+                  "ts": pa.array([1], pa.int64()),
+                  "pay": pa.array([0], pa.int64())})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()),
+                  "rts": pa.array([1], pa.int64()),
+                  "pay": pa.array([9], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(lds, rds, key="k", left_ts="ts", right_ts="rts",
+                  right_payload=["pay"])
+
+
 def test_left_columns_and_ts_preserved(ray_session):
     left = [(2, 7, 11), (3, 8, 12)]
     right = [(2, 7, 0, 21)]

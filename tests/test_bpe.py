@@ -62,6 +62,26 @@ def test_early_stop_when_fully_fused(ray_session):
     assert [r["repr"] for r in w.take_all()] == [f"||ab{EOW}||"]
 
 
+def test_counts_oracle_survives_early_stop(ray_session):
+    # a fully-fusing corpus exhausts merges before BPE_MERGES rounds;
+    # the SQL word chain must keep the fused words (LEFT JOIN ON TRUE
+    # + chr(1) no-op), not empty the table via a CROSS JOIN
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1::BIGINT, 'ab ab'), (2::BIGINT, 'ab')) t(doc_id, text)"
+    )
+    got = con.execute(entrymod.oracle_sql()["bpe_token_counts"]).df()
+    # every word fuses to the single symbol 'ab_' -> 1 bpe token per word
+    assert sorted(zip(got.doc_id, got.n_words, got.n_bpe_tokens)) == [
+        (1, 2, 2), (2, 1, 1)
+    ]
+
+
 def test_repr_helpers_roundtrip():
     r = word_repr("cat")
     assert r == "||c||a||t||_||"
