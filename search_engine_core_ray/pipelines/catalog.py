@@ -2956,27 +2956,47 @@ FLAGSHIP_QUERIES = [
 ]
 
 
-def flagship(sf_dir: str, index_root: str | None = None):
-    """Build the full inverted index from the documents table (wrapped as
-    pages) and run the fixture query set; returns one row per (query,
-    rank) with the doc id, url and rounded score."""
-    from ..query.engine import SearchEngine
+def _flagship_rows(search_fn, top_k: int = 10) -> pa.Table:
+    """Canonical (query, rnk, doc_id, url, score) presentation of a
+    fixture-query run, shared by the single-engine flagship and the
+    distributed serving entry.
+
+    ``search_fn(q)`` must return the engine's FULL result list
+    (``limit=0`` — reference topK=0 semantics), i.e. every candidate
+    that survived the min-score filter, already normalized. The
+    presentation is then made engine-independent so a DuckDB oracle can
+    reproduce it exactly:
+
+    - ``doc_id`` is the DOCUMENTS-table id parsed back from the
+      deterministic wrapper url (``.../doc/{id}``), not the engine's
+      internal blake2b-63 url hash (urlToKey stays pytest-covered in
+      test_urls.py; SQL cannot compute blake2b).
+    - rank + top-k cut use (round(score, 4) DESC, doc_id ASC) — the
+      same rounding the emitted score carries — instead of the engine's
+      raw-float order, so a last-ulp summation difference between numpy
+      and the oracle can never flip a reported rank.
+    """
     from ..query.parser import ParseError
 
-    index_dir = _ensure_index(sf_dir, index_root)
-    eng = SearchEngine(index_dir)
     rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
     for q in FLAGSHIP_QUERIES:
         try:
-            res = eng.search(q, limit=10)["results"]
+            res = search_fn(q)["results"]
         except ParseError:
             continue
-        for r, hit in enumerate(res, 1):
+        scored = []
+        for hit in res:
+            url = hit["url"]
+            orig_id = int(url.rsplit("/", 1)[1])
+            sc = float(ts.round_half_away(np.float64(hit["score"]), 4))
+            scored.append((sc, orig_id, url))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (sc, orig_id, url) in enumerate(scored[:top_k], 1):
             rows["query"].append(q)
             rows["rnk"].append(r)
-            rows["doc_id"].append(hit["doc_id"])
-            rows["url"].append(hit["url"])
-            rows["score"].append(float(ts.round_half_away(np.float64(hit["score"]), 4)))
+            rows["doc_id"].append(orig_id)
+            rows["url"].append(url)
+            rows["score"].append(sc)
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),
@@ -2986,6 +3006,20 @@ def flagship(sf_dir: str, index_root: str | None = None):
             "score": pa.array(rows["score"], pa.float64()),
         }
     )
+
+
+def flagship(sf_dir: str, index_root: str | None = None):
+    """Build the full inverted index from the documents table (wrapped as
+    pages) and run the fixture query set; returns one row per (query,
+    rank) with the doc id, url and rounded score — SQL-checked end to
+    end (the oracle recomputes retrieval + fielded BM25 + keyword and
+    phrase boosts + quality/authority/title boosts + min-score +
+    min-max normalization from the documents table alone)."""
+    from ..query.engine import SearchEngine
+
+    index_dir = _ensure_index(sf_dir, index_root)
+    eng = SearchEngine(index_dir)
+    return _flagship_rows(lambda q: eng.search(q, limit=0))
 
 
 @_q(
@@ -3905,6 +3939,9 @@ def q_ranking_eval(sf_dir: str):
          "recall10": pa.array(out["recall10"], pa.float64()),
          "n_rel": pa.array(out["n_rel"], pa.int64())}
     )
+
+
+@_q("distributed_search")  # oracle registered at module bottom (= flagship SQL)
 def q_distributed_search(sf_dir: str):
     """Doc-partitioned serving demo: same fixture queries as
     build_and_search but answered by per-bucket actors with global-df
@@ -3912,31 +3949,10 @@ def q_distributed_search(sf_dir: str):
     single-engine flagship by construction (tested in
     tests/test_distributed.py)."""
     from ..query.distributed import DistributedSearch
-    from ..query.parser import ParseError
 
     dist = DistributedSearch(_ensure_index(sf_dir))
     try:
-        rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "score": []}
-        for q in FLAGSHIP_QUERIES:
-            try:
-                res = dist.search(q, limit=10)["results"]
-            except ParseError:
-                continue
-            for r, hit in enumerate(res, 1):
-                rows["query"].append(q)
-                rows["rnk"].append(r)
-                rows["doc_id"].append(hit["doc_id"])
-                rows["url"].append(hit["url"])
-                rows["score"].append(float(ts.round_half_away(np.float64(hit["score"]), 4)))
-        return pa.table(
-            {
-                "query": pa.array(rows["query"], pa.string()),
-                "rnk": pa.array(rows["rnk"], pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "url": pa.array(rows["url"], pa.string()),
-                "score": pa.array(rows["score"], pa.float64()),
-            }
-        )
+        return _flagship_rows(lambda q: dist.search(q, limit=0))
     finally:
         dist.shutdown()
 
@@ -5082,3 +5098,135 @@ def q_top_pages_per_domain(sf_dir: str):
 
 
 QUERIES["build_and_search"] = flagship
+
+# The flagship's DuckDB oracle recomputes the ENTIRE build+search path
+# from the documents table alone: deterministic page-wrapper fields
+# (sources/pages.page_fields_for_doc), analyzer tokenization, corpus
+# N/avgdl (bytes over title+content+description), union df, per-field
+# BM25 (k1=1.2 b=0.75, weights title 5 / description 3 / content 1),
+# keyword-TAG scoring (top-10 extract_keywords, weight 4), exact-phrase
+# boosts (2.0 x field weight on lowercase substring), quality multiply
+# (content_quality), authority/title-substring boosts, the >= 0.01
+# min-score filter, per-query min-max normalization, and the canonical
+# (round(score,4) DESC, doc_id) top-10 cut. Retrieval semantics per
+# query node mirror scoring/oracle.py::BM25Oracle._matches: AND = all
+# terms in the field-union, OR = any, phrase = all terms present AND
+# the lowercase phrase a substring of title, content or description.
+ORACLE_SQL["build_and_search"] = r"""
+    WITH fields AS MATERIALIZED (
+      SELECT doc_id AS orig_id,
+             'Doc ' || doc_id || ' ' || source AS title,
+             array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 10), ' ') AS descr,
+             'Doc ' || doc_id || ' ' || source || ' ' ||
+               CASE WHEN trim(text) <> '' THEN text || ' ' ELSE '' END AS content,
+             'https://' || source || '.example.com/doc/' || doc_id AS url,
+             source || '.example.com' AS domain
+      FROM documents),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             CAST(sum(strlen(title) + strlen(descr) + strlen(content)) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM fields),
+    qterms(query, term) AS (VALUES
+      ('dup', 'dup'), ('vector', 'vector'),
+      ('dup vector', 'dup'), ('dup vector', 'vector'),
+      ('dup OR vector', 'dup'), ('dup OR vector', 'vector'),
+      ('table merge', 'table'), ('table merge', 'merge'),
+      ('"row scan"', 'row'), ('"row scan"', 'scan'),
+      ('doc', 'doc')),
+    qmeta(query, mode, phrase) AS (VALUES
+      ('dup', 'and', NULL), ('vector', 'and', NULL),
+      ('dup vector', 'and', NULL), ('dup OR vector', 'or', NULL),
+      ('table merge', 'and', NULL), ('"row scan"', 'phrase', 'row scan'),
+      ('doc', 'and', NULL)),
+    terms AS (SELECT DISTINCT term FROM qterms),
+    tfs AS MATERIALIZED (
+      SELECT f.orig_id, t.term,
+             len(list_filter(regexp_extract_all(lower(f.title),   '[a-z0-9]{2,}'), x -> x = t.term))::DOUBLE AS tf_t,
+             len(list_filter(regexp_extract_all(lower(f.content), '[a-z0-9]{2,}'), x -> x = t.term))::DOUBLE AS tf_c,
+             len(list_filter(regexp_extract_all(lower(f.descr),   '[a-z0-9]{2,}'), x -> x = t.term))::DOUBLE AS tf_d
+      FROM fields f CROSS JOIN terms t),
+    -- union df == content df: the extracted content embeds the title,
+    -- and the description is the first 10 words of the body text
+    dfs AS (SELECT term, (count(*) FILTER (WHERE tf_c > 0))::DOUBLE AS df
+            FROM tfs GROUP BY 1),
+    kws AS MATERIALIZED (
+      SELECT orig_id, w AS kw FROM (
+        SELECT orig_id, w,
+               row_number() OVER (PARTITION BY orig_id ORDER BY cnt DESC, w) AS r
+        FROM (
+          SELECT orig_id, w, count(*)::BIGINT AS cnt FROM (
+            SELECT f.orig_id,
+                   lower(regexp_replace(unnest(regexp_extract_all(f.content, '\S+')),
+                                        '[!-/:-@\[-`{-~]', '', 'g')) AS w
+            FROM fields f)
+          WHERE strlen(w) > 3 GROUP BY 1, 2))
+      WHERE r <= 10),
+    contrib AS (
+      SELECT qt.query, x.orig_id,
+             sum( ln((s.n - d.df + 0.5) / (d.df + 0.5)) * (
+                 CASE WHEN x.tf_t > 0 THEN 5.0 * (x.tf_t * 2.2)
+                      / (x.tf_t + 1.2 * (0.25 + 0.75 * strlen(f.title) / s.avgdl)) ELSE 0 END
+               + CASE WHEN x.tf_c > 0 THEN 1.0 * (x.tf_c * 2.2)
+                      / (x.tf_c + 1.2 * (0.25 + 0.75 * strlen(f.content) / s.avgdl)) ELSE 0 END
+               + CASE WHEN x.tf_d > 0 AND strlen(f.descr) > 0 THEN 3.0 * (x.tf_d * 2.2)
+                      / (x.tf_d + 1.2 * (0.25 + 0.75 * strlen(f.descr) / s.avgdl)) ELSE 0 END
+             )) AS field_s,
+             sum(CASE WHEN k.kw IS NOT NULL THEN 4.0 ELSE 0.0 END) AS kw_s,
+             bool_and(x.tf_c > 0) AS all_present,
+             bool_or(x.tf_c > 0) AS any_present,
+             bool_or(position(qt.term IN f.title) > 0) AS title_hit
+      FROM qterms qt
+      JOIN tfs x ON x.term = qt.term
+      JOIN dfs d ON d.term = qt.term
+      JOIN fields f ON f.orig_id = x.orig_id
+      LEFT JOIN kws k ON k.orig_id = x.orig_id AND k.kw = qt.term
+      CROSS JOIN stats s
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT c.query, c.orig_id, f.url,
+             (c.field_s + c.kw_s
+              + CASE WHEN m.phrase IS NOT NULL
+                      AND position(m.phrase IN lower(f.title)) > 0
+                     THEN 2.0 * 5.0 ELSE 0 END
+              + CASE WHEN m.phrase IS NOT NULL
+                      AND position(m.phrase IN lower(f.content)) > 0
+                     THEN 2.0 * 1.0 ELSE 0 END)
+             * (CASE WHEN LEAST(strlen(f.content), 10000) / 10000.0 > 0
+                     THEN LEAST(strlen(f.content), 10000) / 10000.0 ELSE 1.0 END)
+             * (1.0
+                + CASE WHEN f.domain IN ('github.com', 'stackoverflow.com') THEN 1.2 ELSE 0 END
+                + CASE WHEN c.title_hit THEN 1.5 ELSE 0 END) AS raw
+      FROM contrib c
+      JOIN qmeta m USING (query)
+      JOIN fields f ON f.orig_id = c.orig_id
+      WHERE (m.mode = 'and' AND c.all_present)
+         OR (m.mode = 'or' AND c.any_present)
+         OR (m.mode = 'phrase' AND c.all_present AND (
+               position(m.phrase IN lower(f.title)) > 0
+            OR position(m.phrase IN lower(f.content)) > 0
+            OR position(m.phrase IN lower(f.descr)) > 0))),
+    filtered AS (SELECT * FROM cand WHERE raw >= 0.01),
+    norm AS (
+      SELECT query, orig_id, url,
+             CASE WHEN max(raw) OVER (PARTITION BY query)
+                   > min(raw) OVER (PARTITION BY query)
+                  THEN (raw - min(raw) OVER (PARTITION BY query))
+                       / (max(raw) OVER (PARTITION BY query)
+                          - min(raw) OVER (PARTITION BY query))
+                  ELSE raw END AS s
+      FROM filtered),
+    ranked AS (
+      SELECT query, orig_id AS doc_id, url, round(s, 4) AS score,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY round(s, 4) DESC, orig_id) AS rnk
+      FROM norm)
+    SELECT query, rnk, doc_id, url, score FROM ranked WHERE rnk <= 10
+"""
+
+# distributed_search emits the same canonical presentation through
+# _flagship_rows and is rank-identical to the single engine by
+# construction (global-df coordination + exact per-bucket scoring,
+# tests/test_distributed.py), so the flagship oracle checks it too —
+# this upgrades the entry from rows-only to full rows+schema+hash.
+ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
