@@ -4138,6 +4138,47 @@ def q_sequence_pack(sf_dir: str):
     return pack_sequences(_docs(sf_dir), seq_len=SEQ_LEN)
 
 
+CHUNK_W, CHUNK_S = 32, 24  # synth docs run 10-99 tokens -> 1-4 chunks
+
+
+@_q(
+    "chunk_windows",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''), '\S+') AS toks,
+             len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0, CASE WHEN n_tok = 0 THEN 0
+                  ELSE 1 + (GREATEST(n_tok, {CHUNK_W}) - {CHUNK_W}
+                            + {CHUNK_S} - 1) // {CHUNK_S} END)) AS chunk_id
+      FROM t)
+    SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           (chunk_id * {CHUNK_S})::BIGINT AS tok_start,
+           LEAST({CHUNK_W}, n_tok - chunk_id * {CHUNK_S})::BIGINT AS tok_len,
+           array_to_string(
+             list_slice(toks, chunk_id * {CHUNK_S} + 1,
+                        chunk_id * {CHUNK_S}
+                          + LEAST({CHUNK_W}, n_tok - chunk_id * {CHUNK_S})),
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_windows(sf_dir: str):
+    """Sliding-window document chunking (the retrieval / long-context
+    layout; the per-document complement of sequence_pack): whitespace
+    tokens, windows of CHUNK_W tokens every CHUNK_S, stopping at the
+    first window that reaches the document end, chunk_text as the
+    space-joined slice.  Map-only — no exchange at any scale; the
+    oracle replays the window arithmetic with unnest(range) and the
+    slice with list_slice + array_to_string."""
+    from ..stages.packing import chunk_windows
+
+    return chunk_windows(_docs(sf_dir), window=CHUNK_W, stride=CHUNK_S)
+
+
 SEMDEDUP_TAU = 0.4
 
 

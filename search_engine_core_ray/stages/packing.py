@@ -178,3 +178,102 @@ def pack_sequences(docs_ds, seq_len: int = 512):
         _make_add_offsets(base_ref), batch_format="pyarrow", batch_size=None
     )
     return offsets.map_batches(_make_explode_spans(seq_len), batch_format="pyarrow")
+
+
+def _make_chunk_batch(window: int, stride: int):
+    """Per-batch kernel for chunk_windows: whitespace tokenize, explode
+    the window starts, slice + space-join the token lists — all
+    vectorized polars list ops, no per-row Python."""
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+            pl.col("text").fill_null("")
+        )
+        df = df.with_columns(
+            toks=pl.col("text").str.extract_all(r"\S+")
+        ).with_columns(n_tok=pl.col("toks").list.len().cast(pl.Int64))
+        # 1 + ceil((n_tok - window) / stride) windows, floored at one;
+        # GREATEST keeps the numerator non-negative so DuckDB's
+        # truncating // and polars' flooring // agree exactly.
+        df = df.with_columns(
+            n_chunks=pl.when(pl.col("n_tok") == 0)
+            .then(pl.lit(0, dtype=pl.Int64))
+            .otherwise(
+                1
+                + (
+                    pl.max_horizontal(pl.col("n_tok"), pl.lit(window))
+                    - window
+                    + stride
+                    - 1
+                )
+                // stride
+            )
+            .cast(pl.Int64)
+        )
+        df = (
+            df.with_columns(
+                chunk_id=pl.int_ranges(0, pl.col("n_chunks"), dtype=pl.Int64)
+            )
+            .explode("chunk_id")
+            .filter(pl.col("chunk_id").is_not_null())
+        )
+        df = df.with_columns(
+            tok_start=(pl.col("chunk_id") * stride).cast(pl.Int64)
+        ).with_columns(
+            tok_len=pl.min_horizontal(
+                pl.lit(window, dtype=pl.Int64),
+                pl.col("n_tok") - pl.col("tok_start"),
+            )
+        )
+        df = df.with_columns(
+            chunk_text=pl.col("toks")
+            .list.slice(pl.col("tok_start"), pl.col("tok_len"))
+            .list.join(" ")
+        )
+        out = df.select(
+            ["doc_id", "chunk_id", "tok_start", "tok_len", "chunk_text"]
+        ).to_arrow()
+        # polars emits large_string; pin the plain-string schema so
+        # downstream joins/unions never see mixed key types.
+        return out.cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("chunk_id", pa.int64()),
+                    ("tok_start", pa.int64()),
+                    ("tok_len", pa.int64()),
+                    ("chunk_text", pa.string()),
+                ]
+            )
+        )
+
+    return chunk_batch
+
+
+def chunk_windows(docs_ds, window: int = 32, stride: int = 24):
+    """Fixed-size token windows with overlap — the retrieval / long-
+    context chunking layout (the sliding-window complement of
+    pack_sequences: documents are never concatenated, each is split
+    independently).
+
+    Tokens are whitespace runs (``\\S+``).  Window starts are 0,
+    stride, 2*stride, ...; emission stops at the first window that
+    reaches the end of the document (start + window >= n_tok), so no
+    trailing window is a strict subset of its predecessor — every doc
+    with at least one token gets >= 1 chunk, and only the final chunk
+    may be shorter than ``window``.  ``chunk_text`` is the space-joined
+    token slice (canonical single-space whitespace), which makes the
+    output independent of the source's whitespace runs and exactly
+    replayable by a SQL oracle (list_slice + array_to_string).
+
+    Returns (doc_id, chunk_id, tok_start, tok_len, chunk_text).
+
+    Scale (100 TB): map-only — no shuffle, no driver traffic, no
+    state; output is ~window/stride x the input text volume, streamed
+    straight to the consumer/sink with backpressure.
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    return docs_ds.map_batches(
+        _make_chunk_batch(window, stride), batch_format="pyarrow"
+    )

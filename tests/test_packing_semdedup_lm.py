@@ -342,3 +342,87 @@ def test_familiarity_buckets_properties(ray_session):
         out[out["label"] == "head"]["fam_avg"].min()
         >= out[out["label"] == "tail"]["fam_avg"].max()
     )
+
+
+# ----------------------------------------------------------------------
+# chunk_windows (sliding-window chunking)
+# ----------------------------------------------------------------------
+
+def _oracle_chunks(texts, window, stride):
+    rows = []
+    for did, t in enumerate(texts):
+        toks = (t or "").split()
+        n = len(toks)
+        if n == 0:
+            continue
+        start = 0
+        while True:
+            ln = min(window, n - start)
+            rows.append((did, start // stride, start, ln, " ".join(toks[start:start + ln])))
+            if start + window >= n:
+                break
+            start += stride
+    return rows
+
+
+def test_chunk_windows_matches_scalar_oracle(ray_session):
+    from search_engine_core_ray.stages.packing import chunk_windows
+
+    texts = list(TEXTS) + [None]  # null text must behave like empty
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = chunk_windows(ds, window=16, stride=12).to_pandas()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    want = sorted(_oracle_chunks(texts, 16, 12))
+    assert got == want
+
+
+def test_chunk_windows_invariants(ray_session):
+    from search_engine_core_ray.stages.packing import chunk_windows
+
+    out = chunk_windows(_docs_ds(ray_session), window=16, stride=12).to_pandas()
+    # the corpus genuinely exercises multi-chunk docs AND 1-chunk docs
+    per_doc = out.groupby("doc_id").size()
+    assert per_doc.max() >= 3 and per_doc.min() == 1
+    for _, r in out.iterrows():
+        assert r["tok_start"] == r["chunk_id"] * 12
+        assert 1 <= r["tok_len"] <= 16
+        assert len(r["chunk_text"].split()) == r["tok_len"]
+    # consecutive chunks of one doc overlap by window - stride tokens
+    multi = out[out["doc_id"].isin(per_doc[per_doc > 1].index)]
+    for did, g in multi.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        ids = g["chunk_id"].tolist()
+        assert ids == list(range(len(ids)))  # dense, stop-at-end rule
+        rows = list(g.itertuples(index=False))
+        for a, b in zip(rows, rows[1:]):
+            a_toks = a.chunk_text.split()
+            b_toks = b.chunk_text.split()
+            ov = a.tok_start + a.tok_len - b.tok_start
+            if ov > 0:
+                assert a_toks[-ov:] == b_toks[:ov]
+        # final chunk reaches the end; the previous one did not
+        last = rows[-1]
+        assert last.tok_start + 16 >= last.tok_start + last.tok_len
+        if len(rows) > 1:
+            n_tok = last.tok_start + last.tok_len
+            assert rows[-2].tok_start + 16 < n_tok
+    # empty doc (doc_id 1) emits nothing
+    assert 1 not in set(out["doc_id"])
+
+
+def test_chunk_windows_rejects_bad_stride(ray_session):
+    from search_engine_core_ray.stages.packing import chunk_windows
+
+    with pytest.raises(ValueError):
+        chunk_windows(_docs_ds(ray_session), window=8, stride=9)
+    with pytest.raises(ValueError):
+        chunk_windows(_docs_ds(ray_session), window=8, stride=0)
