@@ -346,7 +346,7 @@ def main() -> None:
         "image_near_dupes", "audio_near_dupes", "asof_last_order",
         "events_sliding_window", "range_join_copresence",
         "bpe_merges", "bpe_token_counts", "nb_lang_pred", "dsir_logweights",
-        "dedup_spans",
+        "dedup_spans", "chunk_windows", "epoch_shuffle",
         # training_data_card is deliberately NOT benched: it re-runs the
         # prepare_training_data stages (timed above) for its counts
         # authority_ranked_topk is deliberately NOT benched: it is the

@@ -4179,6 +4179,31 @@ def q_chunk_windows(sf_dir: str):
     return chunk_windows(_docs(sf_dir), window=CHUNK_W, stride=CHUNK_S)
 
 
+EPOCH_SEED = 17
+
+
+@_q(
+    "epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY (CAST(doc_id AS HUGEINT) + {EPOCH_SEED})
+                       % 4294967296 * 2654435761 % 4294967296,
+                      doc_id)::BIGINT AS position
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: reproducible global training order
+    as a pure function of (doc_id, seed) — Knuth-hash sort key, global
+    1-based position via the keyed_row_number prefix scan (one narrow
+    sort exchange, O(blocks) driver rows).  The oracle replays it with
+    a HUGEINT hash + row_number window."""
+    from ..stages.packing import epoch_shuffle
+
+    return epoch_shuffle(_docs(sf_dir, columns=("doc_id",)), seed=EPOCH_SEED)
+
+
 SEMDEDUP_TAU = 0.4
 
 

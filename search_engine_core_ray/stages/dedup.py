@@ -486,11 +486,14 @@ def minhash_near_dupes(
         return out.filter(pa.array(keep))
 
     verified = joined.map_batches(verify_batch, batch_format="pyarrow")
-    # Dataset.join emits SCHEMA-LESS empty blocks for empty hash
-    # partitions; they bypass downstream map UDFs and break later joins
-    # (Acero: "no match for key field"). A repartition of the (small)
-    # verified pair set merges them away and normalizes block schemas
-    # for every consumer.
+    # Empty blocks lose their schema going through ANY map stage: Ray's
+    # output block builder drops an empty table's schema even when the
+    # UDF pins one explicitly (measured on 2.49 — an empty (k,a) table
+    # returned from map_batches lands as a 0-column block, with Ray
+    # logging a "new schema: ." warning). Schema-less blocks then break
+    # later joins (Acero: "no match for key field") and sorts. So the
+    # UDF-side fix is impossible; a repartition of the (small) verified
+    # pair set is the working normalization for every consumer.
     return verified.repartition(num_partitions)
 
 

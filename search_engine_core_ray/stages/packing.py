@@ -277,3 +277,57 @@ def chunk_windows(docs_ds, window: int = 32, stride: int = 24):
     return docs_ds.map_batches(
         _make_chunk_batch(window, stride), batch_format="pyarrow"
     )
+
+
+KNUTH = 2654435761  # Knuth multiplicative hash constant, mod 2^32
+
+
+def _make_epoch_key(seed: int):
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # the seed enters BEFORE the multiply: an additive post-hash
+        # seed would shift every value equally mod 2^32 and preserve
+        # the order (same permutation every epoch).  ((id+seed) mod
+        # 2^32) * KNUTH < 2^64, so uint64 arithmetic is exact for ALL
+        # doc_id — same value DuckDB computes in HUGEINT
+        h = (
+            ((ids.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**32))
+            * np.uint64(KNUTH)
+        ) % np.uint64(2**32)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "hkey": pa.array(h.astype(np.int64), pa.int64()),
+                "_g": pa.array(np.zeros(len(ids), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return add_key
+
+
+def epoch_shuffle(docs_ds, seed: int = 0):
+    """Deterministic global training order for one epoch: every doc
+    gets a pseudorandom but reproducible 1-based ``position`` —
+    row_number under ORDER BY (knuth_hash(doc_id, seed), doc_id).
+
+    This is the epoch-shuffle step of a training-data pipeline made
+    restartable: the order is a pure function of (doc_id, seed), so a
+    resumed loader, a different cluster size, or a re-run all produce
+    the identical permutation — unlike ``random_shuffle``, which is
+    neither reproducible across runs nor expressible to an oracle.
+    New epoch = new seed.
+
+    Scale (100 TB): only the NARROW (doc_id, hkey) stream rides the
+    ONE sort exchange; the global numbering is the keyed_row_number
+    prefix scan (O(blocks) driver rows).  Loaders join position back
+    to payloads by doc_id, so document text never enters the shuffle.
+    """
+    from .shuffle import keyed_row_number
+
+    keyed = docs_ds.map_batches(
+        _make_epoch_key(seed), batch_format="pyarrow"
+    )
+    rn = keyed_row_number(keyed, "_g", ["hkey", "doc_id"], out_col="position")
+    return rn.map_batches(
+        lambda b: b.select(["doc_id", "position"]), batch_format="pyarrow"
+    )

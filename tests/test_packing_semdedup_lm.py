@@ -426,3 +426,49 @@ def test_chunk_windows_rejects_bad_stride(ray_session):
         chunk_windows(_docs_ds(ray_session), window=8, stride=9)
     with pytest.raises(ValueError):
         chunk_windows(_docs_ds(ray_session), window=8, stride=0)
+
+
+# ----------------------------------------------------------------------
+# epoch_shuffle (deterministic global training order)
+# ----------------------------------------------------------------------
+
+def _ids_ds(ray, n=101, parts=4):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ).repartition(parts)
+
+
+def test_epoch_shuffle_matches_numpy_oracle(ray_session):
+    from search_engine_core_ray.stages.packing import KNUTH, epoch_shuffle
+
+    n, seed = 101, 5
+    out = (
+        epoch_shuffle(_ids_ds(ray_session, n), seed=seed)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    ids = np.arange(n, dtype=np.uint64)
+    h = ((ids + np.uint64(seed)) % np.uint64(2**32)) * np.uint64(KNUTH)
+    h %= np.uint64(2**32)
+    # rank under (h, doc_id): h values are distinct here, argsort suffices
+    order = np.argsort(h, kind="stable")
+    pos = np.empty(n, dtype=np.int64)
+    pos[order] = np.arange(1, n + 1)
+    assert out["position"].tolist() == pos.tolist()
+
+
+def test_epoch_shuffle_is_scrambled_permutation(ray_session):
+    from search_engine_core_ray.stages.packing import epoch_shuffle
+
+    n = 101
+    a = epoch_shuffle(_ids_ds(ray_session, n), seed=0).to_pandas()
+    assert sorted(a["position"]) == list(range(1, n + 1))  # permutation
+    srt = a.sort_values("doc_id")["position"].tolist()
+    assert srt != list(range(1, n + 1))  # genuinely scrambled
+    b = epoch_shuffle(_ids_ds(ray_session, n), seed=1).to_pandas()
+    assert b.sort_values("doc_id")["position"].tolist() != srt  # new epoch
+    # reproducible: same seed, different partitioning, same order
+    c = epoch_shuffle(_ids_ds(ray_session, n, parts=7), seed=0).to_pandas()
+    assert c.sort_values("doc_id")["position"].tolist() == srt
