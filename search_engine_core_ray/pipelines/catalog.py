@@ -1275,6 +1275,55 @@ def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(ts.doc_fingerprint, batch_format="pyarrow")
 
 
+@_q(
+    "winnow_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tk
+      FROM documents),
+    h AS MATERIALIZED (
+      SELECT doc_id, g.i,
+             ('0x' || substr(md5(tk[g.i]), 1, 8))::BIGINT % 2147483647 AS hv
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g),
+    grams AS MATERIALIZED (
+      SELECT a.doc_id, a.i,
+             ((((a.hv * 1) % 2147483647
+               + (b.hv * 1000003) % 2147483647) % 2147483647
+               + (c.hv * 1426104154) % 2147483647) % 2147483647
+               + (d.hv * 1049561761) % 2147483647) % 2147483647 AS g
+      FROM h a
+      JOIN h b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN h c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      JOIN h d ON d.doc_id = a.doc_id AND d.i = a.i + 3),
+    m AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
+    wins AS (
+      SELECT gr.doc_id, t.t, gr.i, gr.g
+      FROM grams gr JOIN m ON m.doc_id = gr.doc_id,
+           LATERAL (SELECT unnest(generate_series(
+                      1, m.ng - LEAST(m.ng, 4) + 1)) AS t) t
+      WHERE gr.i BETWEEN t.t AND t.t + LEAST(m.ng, 4) - 1),
+    sel AS (
+      SELECT doc_id, t, i, g
+      FROM wins
+      QUALIFY row_number() OVER (PARTITION BY doc_id, t
+                                 ORDER BY g ASC, i DESC) = 1)
+    SELECT DISTINCT doc_id, i AS pos, g AS fp FROM sel
+    """,
+)
+def q_winnow_fingerprints(sf_dir: str):
+    """Robust winnowing fingerprint selection (Schleimer/Wilkerson/
+    Aiken 2003, the MOSS rule): polynomial 4-gram hashes mod 2^31-1,
+    window-of-4 minima with rightmost tie-break, distinct selected
+    (pos, fp) per doc — the containment-style fingerprint set that
+    catches partial overlap (quotes, boilerplate) where whole-doc
+    Jaccard is too coarse.  Map-only; the oracle replays gram hashing
+    with self-joins at +1..+3 and the window argmin with a QUALIFY
+    rightmost-min window."""
+    return _docs(sf_dir).map_batches(
+        ts.winnow_fingerprints, batch_format="pyarrow"
+    )
+
+
 # SQL cosine between two list<float> columns (DOUBLE math both sides)
 _SD_COS = (
     "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"

@@ -984,3 +984,72 @@ def tfidf_related_docs(
         .groupby("doc_id")
         .map_groups(cut, batch_format="pyarrow")
     )
+
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # k-grams per winnowing window
+_WIN_MOD = 2147483647  # 2^31-1: every product stays < 2^62 (int64-exact)
+_WIN_POW = [pow(_FP_BASE, j, _WIN_MOD) for j in range(WINNOW_K)]
+
+
+def winnow_fingerprints(
+    batch: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W
+) -> pa.Table:
+    """Robust winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    the MOSS fingerprint selection): hash every k-token gram with the
+    doc_fingerprint polynomial (md5-prefix-32 token hash, base
+    _FP_BASE) reduced mod 2^31-1 so all arithmetic is int64-exact in
+    BOTH engines, slide a window of ``w`` consecutive gram hashes, and
+    select each window's minimum with ties broken RIGHTMOST (the
+    paper's robust rule — guarantees every substring match of length
+    >= w+k-1 shares a selected fingerprint, with expected density
+    2/(w+1)).  Documents with fewer than k tokens emit nothing; with
+    fewer than w grams, one window over all grams.
+
+    Returns (doc_id, pos, fp): 1-based gram position and selected gram
+    hash — the per-doc fingerprint SET used for containment-style
+    near-dup detection where MinHash's whole-document Jaccard is too
+    coarse (partial plagiarism, quote detection, boilerplate reuse).
+
+    Map-only per doc; the numpy path vectorizes the gram hashing and
+    the rightmost-argmin (reversed sliding_window_view); the per-token
+    md5 is the cost, same trade as doc_fingerprint (SQL comparability
+    over a faster non-replayable hash).
+    """
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text")
+        .fill_null("")
+        .str.to_lowercase()
+        .str.extract_all(TOKEN_RE)
+        .alias("tok")
+    )
+    out_doc: list[int] = []
+    out_pos: list[int] = []
+    out_fp: list[int] = []
+    for did, toks in zip(df["doc_id"].to_list(), df["tok"].to_list()):
+        toks = toks or []
+        n = len(toks)
+        if n < k:
+            continue
+        h = np.fromiter(
+            (_tok_h32(t) % _WIN_MOD for t in toks), dtype=np.int64, count=n
+        )
+        m = n - k + 1
+        acc = (h[0:m] * _WIN_POW[0]) % _WIN_MOD
+        for j in range(1, k):
+            acc = (acc + (h[j : j + m] * _WIN_POW[j]) % _WIN_MOD) % _WIN_MOD
+        we = min(w, m)
+        sw = np.lib.stride_tricks.sliding_window_view(acc, we)
+        # argmin over the REVERSED window axis = rightmost minimum
+        idx = we - 1 - np.argmin(sw[:, ::-1], axis=1)
+        pos = np.unique(np.arange(sw.shape[0], dtype=np.int64) + idx)
+        out_doc.extend([did] * len(pos))
+        out_pos.extend((pos + 1).tolist())  # 1-based gram position
+        out_fp.extend(acc[pos].tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "pos": pa.array(out_pos, pa.int64()),
+            "fp": pa.array(out_fp, pa.int64()),
+        }
+    )

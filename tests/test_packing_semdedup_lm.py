@@ -472,3 +472,74 @@ def test_epoch_shuffle_is_scrambled_permutation(ray_session):
     # reproducible: same seed, different partitioning, same order
     c = epoch_shuffle(_ids_ds(ray_session, n, parts=7), seed=0).to_pandas()
     assert c.sort_values("doc_id")["position"].tolist() == srt
+
+
+# ----------------------------------------------------------------------
+# winnow_fingerprints (MOSS robust winnowing)
+# ----------------------------------------------------------------------
+
+def _winnow_scalar(text, k=4, w=4):
+    import hashlib
+    import re as _re
+
+    from search_engine_core_ray.stages.textstats import _WIN_MOD, _WIN_POW
+
+    toks = _re.findall(r"[a-z0-9]{2,}", (text or "").lower())
+    n = len(toks)
+    if n < k:
+        return set()
+    hs = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big") % _WIN_MOD
+        for t in toks
+    ]
+    grams = [
+        sum(hs[i + j] * _WIN_POW[j] for j in range(k)) % _WIN_MOD
+        for i in range(n - k + 1)
+    ]
+    we = min(w, len(grams))
+    sel = set()
+    for t in range(len(grams) - we + 1):
+        win = grams[t : t + we]
+        mn = min(win)
+        # rightmost index attaining the window min
+        idx = max(i for i, g in enumerate(win) if g == mn)
+        sel.add((t + idx + 1, grams[t + idx]))
+    return sel
+
+
+def test_winnow_matches_scalar_oracle(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.textstats import winnow_fingerprints
+
+    texts = list(TEXTS) + [None, "just three toks"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = ds.map_batches(winnow_fingerprints, batch_format="pyarrow").to_pandas()
+    for did, t in enumerate(texts):
+        got = set(
+            map(tuple, out[out.doc_id == did][["pos", "fp"]].itertuples(index=False))
+        )
+        assert got == _winnow_scalar(t), f"doc {did}"
+
+
+def test_winnow_substring_guarantee_and_density(ray_session):
+    """The paper's guarantee: two docs sharing a token run of length
+    >= w + k - 1 share at least one selected fingerprint; density of
+    selected positions is around 2/(w+1)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 = w+k-1 tokens
+    a = "unrelated prefix words here " + shared + " and a suffix tail"
+    b = "totally different beginning text " + shared + " other ending words"
+    fa = {fp for _, fp in _winnow_scalar(a)}
+    fb = {fp for _, fp in _winnow_scalar(b)}
+    assert fa & fb, "shared 7-token run must share a fingerprint"
+    long = " ".join(f"tok{i * 37 % 101}x" for i in range(400))
+    sel = _winnow_scalar(long)
+    density = len({p for p, _ in sel}) / (400 - 4 + 1)
+    assert 0.25 < density < 0.55  # 2/(w+1) = 0.4 expected
