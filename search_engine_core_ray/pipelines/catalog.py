@@ -1275,9 +1275,7 @@ def q_doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(ts.doc_fingerprint, batch_format="pyarrow")
 
 
-@_q(
-    "winnow_fingerprints",
-    """
+_WINNOW_SQL = """
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tk
       FROM documents),
@@ -1308,8 +1306,10 @@ def q_doc_fingerprint(sf_dir: str):
       QUALIFY row_number() OVER (PARTITION BY doc_id, t
                                  ORDER BY g ASC, i DESC) = 1)
     SELECT DISTINCT doc_id, i AS pos, g AS fp FROM sel
-    """,
-)
+"""
+
+
+@_q("winnow_fingerprints", _WINNOW_SQL)
 def q_winnow_fingerprints(sf_dir: str):
     """Robust winnowing fingerprint selection (Schleimer/Wilkerson/
     Aiken 2003, the MOSS rule): polynomial 4-gram hashes mod 2^31-1,
@@ -1321,6 +1321,39 @@ def q_winnow_fingerprints(sf_dir: str):
     rightmost-min window."""
     return _docs(sf_dir).map_batches(
         ts.winnow_fingerprints, batch_format="pyarrow"
+    )
+
+
+WINNOW_MIN_SHARED, WINNOW_MAX_DF = 2, 10
+
+
+@_q(
+    "winnow_overlap_pairs",
+    f"""
+    WITH fsel AS ({_WINNOW_SQL}),
+    dfp AS (SELECT DISTINCT doc_id, fp FROM fsel),
+    fdf AS (SELECT fp, count(*) AS d FROM dfp GROUP BY 1),
+    ok AS (SELECT fp FROM fdf WHERE d >= 2 AND d <= {WINNOW_MAX_DF}),
+    p AS (SELECT x.doc_id AS a, y.doc_id AS b
+          FROM dfp x JOIN ok USING (fp)
+          JOIN dfp y ON y.fp = x.fp AND x.doc_id < y.doc_id)
+    SELECT a, b, count(*)::BIGINT AS shared
+    FROM p GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnow_overlap_pairs(sf_dir: str):
+    """Containment near-dup pairs over the winnowing fingerprint sets
+    (>= {min_shared} shared distinct fingerprints, boilerplate fps with
+    df > {max_df} dropped) — the fourth near-dup family next to
+    exact-hash / MinHash+LSH / SimHash, catching PARTIAL overlap.
+    Narrow (doc_id, fp) exchanges only; the df cap bounds every
+    self-join bucket."""
+    from ..stages.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs(sf_dir),
+        min_shared=WINNOW_MIN_SHARED,
+        max_fp_df=WINNOW_MAX_DF,
     )
 
 

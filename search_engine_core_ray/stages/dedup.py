@@ -1384,3 +1384,90 @@ def remove_dup_spans(docs_ds, n: int = 8, num_partitions: int = 8,
         )
 
     return tagged.groupby("_bucket").map_groups(rebuild, batch_format="pyarrow")
+
+
+def winnow_overlap_pairs(
+    docs_ds,
+    min_shared: int = 2,
+    max_fp_df: int = 10,
+    num_partitions: int = 8,
+):
+    """Containment-style near-dup pairs from winnowing fingerprints
+    (Schleimer et al. 2003 — the fourth near-dup family next to
+    exact-hash, MinHash+LSH and SimHash): pairs of docs sharing >=
+    ``min_shared`` distinct selected fingerprints, after dropping
+    boilerplate fingerprints present in more than ``max_fp_df`` docs
+    (the stop-fingerprint cap).  Catches PARTIAL overlap — a shared
+    run of >= w+k-1 tokens guarantees a shared fingerprint — where
+    whole-document Jaccard is too coarse.  Returns (a, b, shared).
+
+    Scale shape (100 TB): winnowing is map-only; only the narrow
+    (doc_id, fp) stream rides the exchanges (distinct + df via
+    sorted_agg); the df cap bounds every fp bucket to <= max_fp_df
+    docs so the fp self-join emits O(shared_fps * max_fp_df^2) pair
+    rows — never quadratic in the corpus; the final (a, b) count is
+    one more sorted_agg.  Nothing corpus-proportional on the driver.
+    """
+    import pyarrow.compute as _pc
+
+    from ..functions.joins import semi_or_anti_join
+    from .shuffle import AUTO_THRESHOLD, sorted_agg, sorted_distinct
+    from .textstats import winnow_fingerprints
+
+    fps = docs_ds.map_batches(winnow_fingerprints, batch_format="pyarrow")
+    # distinct (doc_id, fp): repeated selection positions of one fp in
+    # one doc count once — feeds the df pass AND both self-join sides
+    dfp = sorted_distinct(
+        fps.map_batches(
+            lambda b: b.select(["doc_id", "fp"]), batch_format="pyarrow"
+        ),
+        ["doc_id", "fp"],
+        auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+    fdf = sorted_agg(
+        dfp, "fp", {"d": ("count", "doc_id")}, auto_threshold=AUTO_THRESHOLD
+    )
+    eligible = fdf.map_batches(
+        lambda b: b.filter(
+            _pc.and_(
+                _pc.greater_equal(b.column("d"), 2),
+                _pc.less_equal(b.column("d"), max_fp_df),
+            )
+        ).select(["fp"]),
+        batch_format="pyarrow",
+    )
+    use = semi_or_anti_join(dfp, "fp", eligible, "fp").materialize()
+
+    def _side(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"fp": b.column("fp"), name: b.column("doc_id")})
+
+        return fn
+
+    pairs = (
+        use.map_batches(_side("a"), batch_format="pyarrow")
+        .join(
+            use.map_batches(_side("b"), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("fp",),
+        )
+        # merge the join's empty partitions before any map (the block
+        # builder strips empty map outputs' schemas — see verify tail)
+        .repartition(num_partitions)
+        .map_batches(
+            lambda b: b.filter(_pc.less(b.column("a"), b.column("b"))).select(
+                ["a", "b"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    counted = sorted_agg(
+        pairs, ["a", "b"], {"shared": ("count", "a")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    out = counted.map_batches(
+        lambda b: b.filter(_pc.greater_equal(b.column("shared"), min_shared)),
+        batch_format="pyarrow",
+    )
+    return out.repartition(num_partitions)

@@ -543,3 +543,41 @@ def test_winnow_substring_guarantee_and_density(ray_session):
     sel = _winnow_scalar(long)
     density = len({p for p, _ in sel}) / (400 - 4 + 1)
     assert 0.25 < density < 0.55  # 2/(w+1) = 0.4 expected
+
+
+def test_winnow_overlap_pairs_fixture(ray_session):
+    import ray.data
+
+    from search_engine_core_ray.stages.dedup import winnow_overlap_pairs
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    boiler = "standard footer words repeated on every single page here now"
+    texts = [
+        "unique start one " + shared + " ending one two",          # 0
+        "different opening here " + shared + " other tail words",  # 1
+        "nothing in common with anybody else at all truly",        # 2
+        boiler + " page three unique content body text",           # 3
+        boiler + " page four distinct content body words",         # 4
+        boiler + " page five other content body tokens",           # 5
+        boiler + " page six more content body phrases",            # 6
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = winnow_overlap_pairs(ds, min_shared=2, max_fp_df=10).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in pairs  # long shared run -> containment pair
+    assert not any(2 in p for p in pairs)  # unique doc pairs with nobody
+    # boilerplate cap: fps shared by all 4 footer docs exceed max_fp_df=3
+    capped = winnow_overlap_pairs(ds, min_shared=1, max_fp_df=3).to_pandas()
+    cpairs = set(map(tuple, capped[["a", "b"]].itertuples(index=False)))
+    boiler_pairs = {(a, b) for a in (3, 4, 5, 6) for b in (3, 4, 5, 6) if a < b}
+    assert not (cpairs & boiler_pairs)  # footer fps dropped by the cap
+    uncapped = winnow_overlap_pairs(ds, min_shared=1, max_fp_df=10).to_pandas()
+    upairs = set(map(tuple, uncapped[["a", "b"]].itertuples(index=False)))
+    assert cpairs <= upairs and (upairs & boiler_pairs)  # cap is the only cause
