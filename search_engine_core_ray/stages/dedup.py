@@ -1437,6 +1437,22 @@ def winnow_overlap_pairs(
         batch_format="pyarrow",
     )
     use = semi_or_anti_join(dfp, "fp", eligible, "fp").materialize()
+    # a corpus with NO shared (non-boilerplate) fingerprints leaves
+    # `use` empty — its schema-less blocks would crash the Acero
+    # self-join below ("no match for key field"), so short-circuit
+    # with a typed empty result (same probe minhash_near_dupes uses)
+    if use.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "shared": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def _side(name):
         def fn(b: pa.Table) -> pa.Table:

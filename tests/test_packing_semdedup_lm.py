@@ -581,3 +581,31 @@ def test_winnow_overlap_pairs_fixture(ray_session):
     uncapped = winnow_overlap_pairs(ds, min_shared=1, max_fp_df=10).to_pandas()
     upairs = set(map(tuple, uncapped[["a", "b"]].itertuples(index=False)))
     assert cpairs <= upairs and (upairs & boiler_pairs)  # cap is the only cause
+
+
+def test_winnow_overlap_pairs_no_shared_fps(ray_session):
+    """A corpus with zero shared fingerprints must return a typed empty
+    result, not crash the fp self-join on schema-less blocks."""
+    import ray.data
+
+    from search_engine_core_ray.stages.dedup import winnow_overlap_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "zeta eta theta iota kappa",
+        "lam mu nu xi omicron",
+        "pi rho sigma tau upsilon",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = winnow_overlap_pairs(ds)
+    assert out.count() == 0
+    # schema asserted on the Dataset: an empty Dataset loses its
+    # columns through to_pandas (known Ray behavior, noted in catalog)
+    assert out.schema().names == ["a", "b", "shared"]
