@@ -1023,6 +1023,13 @@ def winnow_fingerprints(
         .str.extract_all(TOKEN_RE)
         .alias("tok")
     )
+    # hash each DISTINCT token once per batch (the _token_hashes md5
+    # trade in stages/dedup.py): occurrences then cost a dict lookup,
+    # not an md5 — web batches repeat tokens heavily
+    lut = {
+        t: _tok_h32(t) % _WIN_MOD
+        for t in df["tok"].explode().unique().drop_nulls().to_list()
+    }
     out_doc: list[int] = []
     out_pos: list[int] = []
     out_fp: list[int] = []
@@ -1031,9 +1038,7 @@ def winnow_fingerprints(
         n = len(toks)
         if n < k:
             continue
-        h = np.fromiter(
-            (_tok_h32(t) % _WIN_MOD for t in toks), dtype=np.int64, count=n
-        )
+        h = np.fromiter((lut[t] for t in toks), dtype=np.int64, count=n)
         m = n - k + 1
         acc = (h[0:m] * _WIN_POW[0]) % _WIN_MOD
         for j in range(1, k):
