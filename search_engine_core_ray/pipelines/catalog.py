@@ -1343,8 +1343,8 @@ WINNOW_MIN_SHARED, WINNOW_MAX_DF = 2, 10
 )
 def q_winnow_overlap_pairs(sf_dir: str):
     """Containment near-dup pairs over the winnowing fingerprint sets
-    (>= {min_shared} shared distinct fingerprints, boilerplate fps with
-    df > {max_df} dropped) — the fourth near-dup family next to
+    (>= WINNOW_MIN_SHARED shared distinct fingerprints, boilerplate fps
+    with df > WINNOW_MAX_DF dropped) — the fourth near-dup family next to
     exact-hash / MinHash+LSH / SimHash, catching PARTIAL overlap.
     Narrow (doc_id, fp) exchanges only; the df cap bounds every
     self-join bucket."""
