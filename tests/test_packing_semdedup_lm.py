@@ -609,3 +609,42 @@ def test_winnow_overlap_pairs_no_shared_fps(ray_session):
     # schema asserted on the Dataset: an empty Dataset loses its
     # columns through to_pandas (known Ray behavior, noted in catalog)
     assert out.schema().names == ["a", "b", "shared"]
+
+
+@pytest.mark.parametrize(
+    "n_tok,window,stride,want_chunks",
+    [
+        (16, 16, 12, 1),   # exactly one window
+        (17, 16, 12, 2),   # one token over -> second (short) chunk
+        (28, 16, 12, 2),   # second chunk exactly reaches the end
+        (29, 16, 12, 3),
+        (32, 16, 16, 2),   # stride == window: disjoint tiling
+        (33, 16, 16, 3),
+        (3, 4, 4, 0),      # fewer tokens than a window... but >= 1 token
+    ],
+)
+def test_chunk_windows_boundaries(ray_session, n_tok, window, stride, want_chunks):
+    import ray.data
+
+    from search_engine_core_ray.stages.packing import chunk_windows
+
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text], pa.string())})
+    )
+    out = chunk_windows(ds, window=window, stride=stride).to_pandas()
+    if want_chunks == 0:
+        # docs shorter than one window still emit ONE chunk (their
+        # whole token stream) as long as they have >= 1 token
+        want_chunks = 1
+    assert len(out) == want_chunks
+    out = out.sort_values("chunk_id")
+    # full coverage, in order, ending exactly at n_tok
+    assert out["tok_start"].iloc[0] == 0
+    assert (out["tok_start"] + out["tok_len"]).iloc[-1] == n_tok
+    toks = text.split()
+    for _, r in out.iterrows():
+        assert r["chunk_text"] == " ".join(
+            toks[r["tok_start"] : r["tok_start"] + r["tok_len"]]
+        )
