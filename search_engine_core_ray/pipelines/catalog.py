@@ -4269,8 +4269,9 @@ EPOCH_SEED = 17
     f"""
     SELECT doc_id,
            row_number() OVER (
-             ORDER BY (CAST(doc_id AS HUGEINT) + {EPOCH_SEED})
-                       % 4294967296 * 2654435761 % 4294967296,
+             ORDER BY ((CAST(doc_id AS HUGEINT) + {EPOCH_SEED})
+                        % 4294967296 + 4294967296) % 4294967296
+                       * 2654435761 % 4294967296,
                       doc_id)::BIGINT AS position
     FROM documents
     """,

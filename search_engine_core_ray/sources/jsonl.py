@@ -22,6 +22,7 @@ is unavoidable in stdlib; base64+timestamp conversion is batched).
 from __future__ import annotations
 
 import base64
+import calendar
 import gzip
 import json
 from datetime import datetime, timezone
@@ -34,15 +35,22 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 
 def _ts_to_iso(ts_us: int) -> str:
-    dt = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+    # pure integer split (divmod floors, so the µs remainder is always
+    # in [0, 1e6)) — a float ts_us/1e6 path loses the last microsecond
+    # past the float53 limit (~year 2245)
+    sec, us = divmod(int(ts_us), 10**6)
+    dt = datetime.fromtimestamp(sec, tz=timezone.utc).replace(microsecond=us)
     return dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
 
 
 def _iso_to_us(s: str) -> int:
-    dt = datetime.strptime(s[:-1], "%Y-%m-%dT%H:%M:%S.%f").replace(
-        tzinfo=timezone.utc
-    )
-    return int(dt.timestamp() * 1e6)
+    # lenient ISO-8601: accepts 'Z' or numeric offsets, with or without
+    # a fractional part (fromisoformat), naive strings read as UTC;
+    # integer epoch arithmetic keeps the round-trip exact for any year
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return calendar.timegm(dt.utctimetuple()) * 10**6 + dt.microsecond
 
 
 def jsonl_bytes_to_pages(data: bytes) -> pa.Table:

@@ -189,8 +189,11 @@ def _make_chunk_batch(window: int, stride: int):
         df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
             pl.col("text").fill_null("")
         )
+        # RE2's exact \S class — the DuckDB oracle tokenizes with RE2
+        # '\S+'; polars' Unicode \S+ would split differently on
+        # non-ASCII whitespace (see textstats.WS_TOKEN_RE)
         df = df.with_columns(
-            toks=pl.col("text").str.extract_all(r"\S+")
+            toks=pl.col("text").str.extract_all(r"[^ \t\n\r\f]+")
         ).with_columns(n_tok=pl.col("toks").list.len().cast(pl.Int64))
         # 1 + ceil((n_tok - window) / stride) windows, floored at one;
         # GREATEST keeps the numerator non-negative so DuckDB's
@@ -289,7 +292,12 @@ def _make_epoch_key(seed: int):
         # seed would shift every value equally mod 2^32 and preserve
         # the order (same permutation every epoch).  ((id+seed) mod
         # 2^32) * KNUTH < 2^64, so uint64 arithmetic is exact for ALL
-        # doc_id — same value DuckDB computes in HUGEINT
+        # doc_id INCLUDING negatives: .astype(uint64) wraps mod 2^64,
+        # and 2^32 | 2^64 makes the subsequent % 2^32 equal the
+        # mathematical non-negative residue of (id + seed).  The SQL
+        # twin must therefore force the non-negative residue too —
+        # DuckDB % keeps the dividend's sign — via ((x % m) + m) % m
+        # (see the epoch_shuffle oracle in pipelines/catalog.py).
         h = (
             ((ids.astype(np.uint64) + np.uint64(seed)) % np.uint64(2**32))
             * np.uint64(KNUTH)

@@ -18,7 +18,13 @@ import pyarrow.compute as pc
 import polars as pl
 
 TOKEN_RE = r"[A-Za-z0-9]{2,}"
-WS_TOKEN_RE = r"\S+"
+# RE2's exact \S class ([^\t\n\f\r ]): the DuckDB oracles tokenize with
+# RE2 '\S+' (ASCII-only \s), while polars' Rust regex makes \S+
+# Unicode-aware (U+00A0/U+2009 count as whitespace) — pinning the
+# kernel to the explicit class keeps kernel and oracle identical on
+# ANY corpus, not just ASCII synth text.
+WS_TOKEN_RE = r"[^ \t\n\r\f]+"
+WS_CHAR_RE = r"[ \t\n\r\f]"  # RE2's exact \s class
 
 # \b(the|and|of|is|in|to|a)\b on lowercased text — the language-ID /
 # quality stopword probe (shared with the SQL oracle).
@@ -142,7 +148,7 @@ def quality_metrics(batch: pa.Table) -> pa.Table:
     out = df.with_columns(
         n_words=pl.col("text").str.count_matches(WS_TOKEN_RE).cast(pl.Int64),
         n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
-        nonspace=pl.col("text").str.replace_all(r"\s", "").str.len_chars().cast(pl.Int64),
+        nonspace=pl.col("text").str.replace_all(WS_CHAR_RE, "").str.len_chars().cast(pl.Int64),
         stop_hits=pl.col("text").str.to_lowercase().str.count_matches(STOP_PROBE_RE).cast(pl.Int64),
     ).drop("text")
     t = out.to_arrow()
@@ -170,7 +176,9 @@ def quality_metrics(batch: pa.Table) -> pa.Table:
 # polars (rust regex) and DuckDB (RE2) agree token-for-token:
 # contractions, letter runs, digit runs, punctuation runs — each with
 # an optional leading space. Counts approximate BPE token budgets.
-BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# \s spelled as RE2's exact ASCII class so the polars (Unicode-regex)
+# kernel and the RE2 oracle agree on non-ASCII whitespace too.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r\fA-Za-z0-9]+"
 
 
 def token_counts(batch: pa.Table) -> pa.Table:
