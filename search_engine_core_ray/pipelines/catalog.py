@@ -30,6 +30,17 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# committed golden parquets (tests/goldens/) double as DuckDB oracles
+# for the entries whose compute step is not SQL-expressible (binary
+# media decodes, seeded k-means): the oracle is then
+# `SELECT * FROM read_parquet('<golden>')`, giving the driver the same
+# rows+schema+hash gate as the SQL entries.
+import os as _os
+
+_GOLDEN_DIR = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "..", "..", "tests", "goldens")
+)
+
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
@@ -1408,12 +1419,28 @@ def q_embedding_dupes(sf_dir: str):
     return out.map_batches(lambda t: _round_col(t, "cos", 4), batch_format="pyarrow")
 
 
-@_q("ivf_ann")  # rows-only: approximate by construction (exact when n_probe==n_centroids)
+@_q(
+    "ivf_ann",
+    f"""
+    SELECT g.* FROM read_parquet('{_GOLDEN_DIR}/ivf_ann_sf0_001.parquet') g
+    WHERE (SELECT count(*) FROM orders) = 1500
+    UNION ALL
+    SELECT g.* FROM read_parquet('{_GOLDEN_DIR}/ivf_ann_sf0_01.parquet') g
+    WHERE (SELECT count(*) FROM orders) = 15000
+    """,
+)
 def q_ivf_ann(sf_dir: str):
     """IVF coarse-quantizer ANN: seeded k-means centroids, one
     groupby(centroid) shuffle, per-bucket exact search, per-query
     merge. Probing 2 of 8 buckets touches ~25% of the corpus per
-    query; tests pin full-probe == exact brute force."""
+    query; tests pin full-probe == exact brute force.
+
+    Oracle: seeded k-means is not SQL-expressible, so the oracle is a
+    committed golden parquet per test scale (the embeddings table has
+    500 rows at BOTH sf0.001 and sf0.01 with different contents, so the
+    branch keys on the orders row count, which does scale); the
+    deterministic SQL-replayable configuration of the same machinery is
+    fully oracled in ``ivf_ann_det``."""
     return ivf_ann(
         _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, n_centroids=8, n_probe=2
     )
@@ -1851,13 +1878,38 @@ def q_related_docs_topk(sf_dir: str):
 # multimodal: REAL stdlib PNG/WAV codecs (video decode stays stubbed)
 # ======================================================================
 
-@_q("media_features")  # rows-only: feature vectors from real decodes
+def _flatten_feature(t: pa.Table) -> pa.Table:
+    """(media_id, feature list<float32>[16]) -> (media_id, f00..f15
+    float64): fixed named scalar columns so the driver's hash compare
+    (and a read_parquet golden oracle) can check the values — the
+    float32->float64 cast is exact, so the flattening loses nothing."""
+    m = np.asarray(
+        [np.asarray(f, np.float32) for f in t.column("feature").to_pylist()],
+        dtype=np.float32,
+    ).astype(np.float64)
+    cols = {"media_id": t.column("media_id").cast(pa.int64())}
+    for j in range(m.shape[1] if m.size else 16):
+        cols[f"f{j:02d}"] = pa.array(m[:, j] if m.size else [], pa.float64())
+    return pa.table(cols)
+
+
+@_q(
+    "media_features",
+    f"""
+    SELECT * FROM read_parquet('{_GOLDEN_DIR}/media_features.parquet')
+    """,
+)
 def q_media_features(sf_dir: str):
     """Binary media column -> per-item feature vector via actor-pool
     decode stages with REAL codecs (functions/codecs.py): PNG images
     are zlib-inflated and filter-reconstructed, WAV audio is PCM-decoded
     — no stub on this path. Small batch_size: payload bytes x batch x
-    concurrency must fit the worker heap."""
+    concurrency must fit the worker heap.
+
+    Oracle: DuckDB read_parquet of the committed golden (the decode is
+    not SQL-expressible; the golden is the flattening of the original
+    independently-committed feature table, and the pytest golden gate
+    in tests/test_catalog_oracle.py checks the same values)."""
     import ray.data
 
     from ..stages.multimodal import DecodeAudio, DecodeImage, synth_media_table
@@ -1872,14 +1924,24 @@ def q_media_features(sf_dir: str):
     audio = ds.filter(lambda r: r["kind"] == "audio").map_batches(
         DecodeAudio, batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
     )
-    return images.union(audio)
+    return images.union(audio).map_batches(
+        _flatten_feature, batch_format="pyarrow"
+    )
 
 
-@_q("media_frame_samples")  # rows-only + golden-file oracle (pytest)
+@_q(
+    "media_frame_samples",
+    f"""
+    SELECT * FROM read_parquet('{_GOLDEN_DIR}/media_frame_samples.parquet')
+    """,
+)
 def q_media_frame_samples(sf_dir: str):
     """Video payloads -> evenly-sampled frames -> per-frame plane
     features, via a REAL YUV4MPEG2 decode (functions/codecs.decode_y4m)
-    in an actor-pool stage — no stub on this path."""
+    in an actor-pool stage — no stub on this path.  Oracle: committed
+    golden parquet (decode not SQL-expressible); the per-frame plane
+    means are exact integer divisions, so golden and recompute are
+    bit-identical."""
     import ray.data
 
     from ..stages.multimodal import SampleFrames, synth_media_table
@@ -3377,7 +3439,12 @@ def q_heavy_hitters_topk(sf_dir: str):
     return heavy_hitters(docs, m=1024, k=20)
 
 
-@_q("audio_near_dupes")  # golden-file oracle (binary WAV decode)
+@_q(
+    "audio_near_dupes",
+    f"""
+    SELECT * FROM read_parquet('{_GOLDEN_DIR}/audio_near_dupes.parquet')
+    """,
+)
 def q_audio_near_dupes(sf_dir: str):
     """Audio near-dup pairs: stdlib WAV decode -> exact integer
     envelope hash (gain-invariant by construction) -> the shared
@@ -3392,7 +3459,12 @@ def q_audio_near_dupes(sf_dir: str):
     return audio_near_dupes(ds, max_hamming=6)
 
 
-@_q("image_near_dupes")  # golden-file oracle (binary PNG decode)
+@_q(
+    "image_near_dupes",
+    f"""
+    SELECT * FROM read_parquet('{_GOLDEN_DIR}/image_near_dupes.parquet')
+    """,
+)
 def q_image_near_dupes(sf_dir: str):
     """Perceptual image near-dup pairs: stdlib PNG decode -> exact
     integer dHash -> pigeonhole chunk banding -> popcount verify
