@@ -279,18 +279,28 @@ def main() -> None:
 
     # scatter-gather at 2^4 and 2^5 buckets over the 100k-page corpus —
     # the 10^12-doc sharding shape with measured per-actor memory and a
-    # p99-vs-buckets curve: each bucket actor holds 1/2^bits of the
-    # index, so the claim "bucket_bits sizes per-node memory" carries
-    # data at two points
-    for bits, tag in ((4, "16"), (5, "32")):
-        db = run_build_synth(f"dist{1 << bits}", bucket_bits=bits)
-        queries[f"build_dist{tag}_idx"] = round(db["seconds"], 3)
-        distb = DistributedSearch(db["index_dir"])
+    # p99-vs-fanout curve: per-bucket actors (per=1) are the pure
+    # partitioned shape; buckets_per_actor=4 is the per-NODE serving
+    # daemon (identical results, fan-out 4 instead of 16 — the
+    # coordinator's latency lever, since a 16-wide no-op actor fan-out
+    # alone costs ~3.4 ms p50 on this box)
+    d16 = run_build_synth("dist16", bucket_bits=4)
+    queries["build_dist16_idx"] = round(d16["seconds"], 3)
+    d32 = run_build_synth("dist32", bucket_bits=5)
+    queries["build_dist32_idx"] = round(d32["seconds"], 3)
+    time.sleep(3)  # let the build's worker pool drain before latency sampling
+    for idx_dir, per, tag in (
+        (d16["index_dir"], 1, "16"),
+        (d16["index_dir"], 4, "16g4"),
+        (d32["index_dir"], 1, "32"),
+    ):
+        distb = DistributedSearch(idx_dir, buckets_per_actor=per)
         try:
-            distb.topk("dup", k=10)  # warm all actors, untimed
+            for q in ["dup", "vector", "dup vector", "dup OR vector"]:
+                distb.topk(q, k=10)  # warm all actors + df cache, untimed
             latb = []
             t0 = time.monotonic()
-            for _ in range(10):
+            for _ in range(25):
                 for q in ["dup", "vector", "dup vector", "dup OR vector"]:
                     t1 = time.monotonic()
                     distb.topk(q, k=10)
@@ -397,8 +407,8 @@ def main() -> None:
     head_q = {k: queries[k] for k in [
         "build_synth", "build_docs", "build_query_idx", "search_fixture",
         "search_wand", "search_fast", "pool_search", "dist_search",
-        "dist_topk", "build_dist16_idx", "dist_topk16", "build_dist32_idx",
-        "dist_topk32", "merge_generations",
+        "dist_topk", "build_dist16_idx", "dist_topk16", "dist_topk16g4",
+        "build_dist32_idx", "dist_topk32", "merge_generations",
     ] if k in queries}
     head_q["catalog_suite"] = extras["catalog_suite_sec"]
     headline = {
@@ -415,6 +425,7 @@ def main() -> None:
         "query_p50_fast_ms", "query_p99_fast_ms", "query_p99_pfor_ms",
         "pfor_seg_bytes_ratio", "pool_qps",
         "dist16_p50_ms", "dist16_p99_ms", "dist16_actor_rss_mb_max",
+        "dist16g4_p50_ms", "dist16g4_p99_ms", "dist16g4_actor_rss_mb_max",
         "dist32_p50_ms", "dist32_p99_ms", "dist32_actor_rss_mb_max",
     ]:
         if k in extras:

@@ -182,3 +182,47 @@ def test_actor_rss_probe(built, dist):
     rss = dist.actor_rss_mb()
     assert len(rss) == dist.n_buckets
     assert all(10.0 < r < 16_384.0 for r in rss)
+
+
+@pytest.mark.parametrize("per", [2, 4])
+def test_grouped_actors_match_single_engine(built, per):
+    """buckets_per_actor groups contiguous buckets into per-node
+    serving daemons — results must be identical to both the pure
+    1-bucket-per-actor shape and the whole-index engine (df sums,
+    candidate disjointness and hydrate routing are all preserved)."""
+    eng = SearchEngine(built)
+    g = DistributedSearch(built, buckets_per_actor=per)
+    try:
+        assert len(g.actors) == max(1, 4 // per)  # bucket_bits=2 fixture
+        for query in QUERIES:
+            a = g.search(query, limit=10, highlight=True)
+            b = eng.search(query, limit=10, highlight=True)
+            assert a["total"] == b["total"], query
+            assert [r["doc_id"] for r in a["results"]] == [
+                r["doc_id"] for r in b["results"]
+            ], query
+            for ra, rb in zip(a["results"], b["results"]):
+                assert ra["score"] == pytest.approx(rb["score"], abs=1e-12)
+                assert ra["url"] == rb["url"]
+                assert ra.get("highlights") == rb.get("highlights")
+        for q in ["apple", "banana recipe", "apple OR banana OR cherry"]:
+            ta = g.topk(q, k=10)
+            tb = eng.search_topk_wand(q, k=10)
+            assert [d for d, _ in ta] == [d for d, _ in tb], q
+            for (da, sa), (db, sb) in zip(ta, tb):
+                assert sa == pytest.approx(sb, abs=1e-12)
+    finally:
+        g.shutdown()
+
+
+def test_grouped_actor_count_rounds_up(built):
+    """5 buckets at per=4 would need 2 actors; the bucket_bits=2
+    fixture has 4 buckets, so per=3 yields ceil(4/3)=2 actors with
+    slices [0,1,2] and [3]."""
+    g = DistributedSearch(built, buckets_per_actor=3)
+    try:
+        assert len(g.actors) == 2
+        r = g.search("apple", limit=10)
+        assert r["total"] == SearchEngine(built).search("apple", limit=10)["total"]
+    finally:
+        g.shutdown()
