@@ -362,7 +362,8 @@ def main() -> None:
         "ann_topk", "minhash_dupes", "exact_dedup",
         "pii_redact", "decontaminate", "stratified_sample", "normalize_text",
         "sequence_pack", "semdedup", "lm_familiarity", "dup_ngram_fraction",
-        "rep_signals", "prepare_training_data", "contamination_frac",
+        "rep_signals", "prepare_training_data", "prepare_training_data_v2",
+        "contamination_frac",
         "familiarity_buckets", "link_stats", "pagerank",
         "incremental_minhash_dedup",
         "cooccurrence_pmi", "related_docs_topk", "gram_matrix", "hits",

@@ -948,10 +948,11 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
-def _minhash_sig_ctes() -> str:
+def _minhash_sig_ctes(src: str = "documents") -> str:
     """Shared CTE prefix (toks -> sh -> sig -> bands -> bh) of the
-    MinHash oracle SQL, parameter-free so both the pair query and the
-    incremental-dedup query build on the identical signature replay."""
+    MinHash oracle SQL; ``src`` is the (doc_id, text) relation the
+    signatures are computed over — "documents" for the standalone pair
+    query, a staged CTE (e.g. exact-dedup survivors) when composed."""
     from ..stages import dedup as dd
 
     C = [int(x) for x in dd._SH_C]
@@ -975,7 +976,7 @@ def _minhash_sig_ctes() -> str:
     toks AS (
       SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}'),
                                     t -> md5_number_lower(t)) AS h
-      FROM documents),
+      FROM {src}),
     sh AS (
       SELECT doc_id,
              list_distinct(CASE
@@ -4780,7 +4781,8 @@ def q_dedup_spans(sf_dir: str):
     return remove_dup_spans(_docs(sf_dir), n=8)
 
 
-_PREP_CTES = rf"""
+_SCRUB_CTES = rf"""
+
     norm AS (
       SELECT doc_id,
              trim(regexp_replace(nfc_normalize(text), '{sc._WS_RE}', ' ', 'g'), ' ')
@@ -4805,13 +4807,23 @@ _PREP_CTES = rf"""
         AND CAST(nonspace AS DOUBLE) / GREATEST(n_words, 1) BETWEEN 3.0 AND 5.0
         AND stop_hits >= 1),
     surv AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY text),
-    sdocs AS (SELECT g.doc_id, g.text FROM gate g JOIN surv s USING (doc_id)),
+    sdocs AS (SELECT g.doc_id, g.text FROM gate g JOIN surv s USING (doc_id))
+"""
+
+
+def _pack_ctes(src: str = "sdocs") -> str:
+    """The GPT-style sequence-packing CTE tail (token counts ->
+    running offsets -> span explode) over any (doc_id, text)
+    relation ``src`` — shared by prepare_training_data (over the
+    exact-dedup survivors) and prepare_training_data_v2 (over the
+    near-dup-dropped, span-cleaned docs)."""
+    return rf"""
     n AS (
       SELECT doc_id,
              len(regexp_extract_all(text,
                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::BIGINT
                + 1 AS n_tok
-      FROM sdocs),
+      FROM {src}),
     o AS (
       SELECT doc_id, n_tok,
              COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
@@ -4821,7 +4833,10 @@ _PREP_CTES = rf"""
       SELECT doc_id, n_tok, start,
              unnest(range(start // {SEQ_LEN}, (start + n_tok - 1) // {SEQ_LEN} + 1)) AS seq_id
       FROM o)
-"""
+    """
+
+
+_PREP_CTES = _SCRUB_CTES + ",\n" + _pack_ctes("sdocs")
 
 
 @_q(
@@ -4931,6 +4946,134 @@ def q_training_data_card(sf_dir: str):
         {"stage": pa.array(stages, pa.string()),
          "n": pa.array(ns, pa.int64())}
     )
+
+
+def _v2_sql() -> str:
+    """DuckDB replay of the FULL published training-data recipe
+    (RefinedWeb/SlimPajama shape), composed from the already-oracled
+    stage CTEs: scrub -> quality gate -> exact dedup -> MinHash+LSH
+    near-dup drop (any lower-id partner at Jaccard >= 0.5 drops the
+    doc) -> cross-doc duplicated-span removal (8-token ExactSubstr,
+    owner keeps one copy) -> GPT-style sequence packing of the
+    cleaned token streams."""
+    span = r"""
+    stok AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]{2,}') AS tk
+      FROM ndocs),
+    spos AS MATERIALIZED (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i FROM stok),
+    swin AS MATERIALIZED (
+      SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS w FROM spos),
+    stot AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS c, min(doc_id) AS owner
+      FROM swin GROUP BY 1),
+    srem AS MATERIALIZED (
+      SELECT swin.doc_id, swin.i FROM swin JOIN stot USING (w)
+      WHERE stot.c >= 2 AND swin.doc_id <> stot.owner),
+    scov AS MATERIALIZED (
+      SELECT DISTINCT r.doc_id, r.i + g.o AS j
+      FROM srem r, LATERAL (SELECT unnest(range(0, 8)) AS o) g),
+    stokidx AS MATERIALIZED (
+      SELECT doc_id, tk[ix.j] AS tok, ix.j
+      FROM stok, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS j) ix),
+    sclean AS MATERIALIZED (
+      SELECT ti.doc_id,
+             coalesce(string_agg(ti.tok, ' ' ORDER BY ti.j)
+                        FILTER (WHERE scov.j IS NULL), '') AS clean_text
+      FROM stokidx ti
+      LEFT JOIN scov ON ti.doc_id = scov.doc_id AND ti.j = scov.j
+      GROUP BY 1),
+    cdocs AS (
+      SELECT nd.doc_id, coalesce(c2.clean_text, '') AS text
+      FROM ndocs nd LEFT JOIN sclean c2 USING (doc_id))"""
+    return f"""
+    WITH {_SCRUB_CTES.strip()},
+    {_minhash_sig_ctes(src="sdocs").strip()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+                          AND y.doc_id > x.doc_id),
+    jp AS (
+      SELECT c.a, c.b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE
+               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+    nddrop AS (SELECT DISTINCT b AS doc_id FROM jp WHERE jaccard >= 0.5),
+    ndocs AS (
+      SELECT sd.doc_id, sd.text FROM sdocs sd
+      WHERE sd.doc_id NOT IN (SELECT doc_id FROM nddrop)),
+    {span.strip()},
+    {_pack_ctes("cdocs").strip()}
+    SELECT doc_id, seq_id::BIGINT AS seq_id,
+           (GREATEST(start, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN})::BIGINT AS seq_off,
+           (GREATEST(start, seq_id * {SEQ_LEN}) - start)::BIGINT AS doc_off,
+           (LEAST(start + n_tok, (seq_id + 1) * {SEQ_LEN})
+             - GREATEST(start, seq_id * {SEQ_LEN}))::BIGINT AS len
+    FROM s
+    """
+
+
+@_q("prepare_training_data_v2", _v2_sql())
+def q_prepare_training_data_v2(sf_dir: str):
+    """The FULL published training-data recipe end to end — what
+    RefinedWeb / SlimPajama actually run — upgrading
+    prepare_training_data's exact-dedup-only pipeline with the two
+    near-duplicate stages between dedup and packing:
+
+      canonicalize -> PII-redact -> Gopher quality gate
+      -> exact-dedup survivors (min doc_id per distinct text)
+      -> MinHash+LSH near-dup DROP (any lower-id partner at
+         Jaccard >= 0.5 suppresses the doc; same any-lower-id rule as
+         semdedup, deterministic and order-free)
+      -> cross-doc duplicated-SPAN removal (8-token ExactSubstr,
+         min-doc_id owner keeps its copy)
+      -> GPT-style sequence packing of the cleaned token streams.
+
+    Every stage is the already-SQL-checked operator (same kernels as
+    prepare_training_data / minhash_dupes / dedup_spans); this entry
+    checks their COMPOSITION value-identically.  Scale shape: the
+    near-dup drop is the LSH band exchange + a drop-set anti-join
+    gated by functions/joins.semi_or_anti_join (broadcast under the
+    row limit, hash join above); span removal rides its own bucketed
+    exchange; nothing materializes corpus-wide on the driver."""
+    from ..functions.joins import semi_or_anti_join
+    from ..stages.dedup import minhash_near_dupes, remove_dup_spans
+    from ..stages.packing import pack_sequences
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    scrubbed = sc.pii_redact(sc.normalize_text(_docs(sf_dir))).map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+    gated = scrubbed.map_batches(
+        ts.gopher_gate, batch_format="pyarrow"
+    ).materialize()
+    surv = sorted_agg(
+        gated.map_batches(
+            lambda b: pa.table(
+                {"text": b.column("text"), "doc_id": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        ),
+        "text",
+        {"doc_id": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    sdocs = (
+        surv.join(gated, join_type="inner", num_partitions=8, on=("doc_id",))
+        .repartition(8)
+        .materialize()  # feeds BOTH the LSH pipeline and the anti-join
+    )
+    pairs = minhash_near_dupes(sdocs, threshold=0.5, token_hash="md5")
+    ndocs = semi_or_anti_join(
+        sdocs, "doc_id", pairs, "b", anti=True
+    ).materialize()
+    clean = remove_dup_spans(ndocs, n=8).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "text": b.column("clean_text")}
+        ),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(clean, seq_len=SEQ_LEN)
 
 
 # ======================================================================
@@ -5466,6 +5609,8 @@ ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
 # already on record in CORRECTNESS_r01-r04.  Registration order above
 # stays thematic; this list is ONLY the sampling schedule.
 _DRIVER_PRIORITY = [
+    # -- new this round --
+    "prepare_training_data_v2",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",

@@ -1294,21 +1294,33 @@ def remove_dup_spans(docs_ds, n: int = 8, num_partitions: int = 8,
         .repartition(num_partitions)
         .materialize()
     )
-    rem = (
-        windows.join(dup, join_type="inner", num_partitions=num_partitions,
-                     on=("wkey",))
-        .repartition(num_partitions)  # merge schema-less empty partitions
-        .map_batches(
-            lambda b: (
-                b.filter(pc.not_equal(b.column("doc_id"), b.column("owner")))
-                .select(["doc_id", "pos"])
-                if b.num_rows
-                else pa.table({"doc_id": pa.array([], pa.int64()),
-                               "pos": pa.array([], pa.int64())})
-            ),
-            batch_format="pyarrow",
+    if dup.count() == 0:
+        # corpus with NO cross-doc duplicated windows (legitimate —
+        # e.g. after an upstream near-dup drop): every dup block is a
+        # schema-less empty, which Acero rejects as a join side, and
+        # there is nothing to join anyway — removal set is empty
+        import ray.data as _rd
+
+        rem = _rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64())})
         )
-    ).materialize()
+    else:
+        rem = (
+            windows.join(dup, join_type="inner", num_partitions=num_partitions,
+                         on=("wkey",))
+            .repartition(num_partitions)  # merge schema-less empty partitions
+            .map_batches(
+                lambda b: (
+                    b.filter(pc.not_equal(b.column("doc_id"), b.column("owner")))
+                    .select(["doc_id", "pos"])
+                    if b.num_rows
+                    else pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "pos": pa.array([], pa.int64())})
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
 
     def _buckets(b: pa.Table) -> pa.Array:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -69,3 +69,21 @@ def test_corpus_has_real_removals(ray_session):
     assert len(out) == 500
     assert (out.removed_tokens > 0).sum() >= 10  # non-vacuous
     assert (out.removed_tokens == 0).sum() > 400  # and not degenerate
+
+
+def test_no_duplicate_windows_is_a_noop(ray_session):
+    """A corpus with ZERO cross-doc duplicated windows (e.g. after an
+    upstream near-dup drop) must pass through — every dup-table block
+    is then a schema-less empty, which crashed the wkey join before
+    the short-circuit."""
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "one two three four five"),
+        (3, "red green blue cyan magenta"),
+    ]
+    out = _run(docs, n=3)
+    assert out == {
+        1: ("alpha beta gamma delta", 0),
+        2: ("one two three four five", 0),
+        3: ("red green blue cyan magenta", 0),
+    }
