@@ -78,7 +78,7 @@ def effective_lineage(
     lineage: str,
     num_shards: int = 32,
     bucket_bits: int = DEFAULT_BUCKET_BITS,
-    analyzer: str = "default",
+    analyzer: str | dict = "default",
     codec: str = "vbyte",
 ) -> str:
     """Stage markers must invalidate when BUILD PARAMETERS change, not
@@ -86,6 +86,10 @@ def effective_lineage(
     sharding/analyzer silently reuses segments laid out the old way.
     The codec suffix is appended only when non-default so pre-existing
     vbyte stage markers stay valid across upgrades."""
+    if not isinstance(analyzer, str):  # per-language mapping: canonical form
+        import json as _json
+
+        analyzer = _json.dumps(analyzer, sort_keys=True, separators=(",", ":"))
     s = f"{lineage}|shards={num_shards}|bits={bucket_bits}|analyzer={analyzer}"
     if codec != "vbyte":
         s += f"|codec={codec}"
@@ -106,7 +110,10 @@ class WriteDocstorePass:
     corpus statistics cost no extra pass (summed by the driver after
     the pipeline — see collect_stats_partials)."""
 
-    PASS_COLUMNS = ["doc_id", "title", "text", "meta_description"]
+    # lang rides along for per-language analyzer dispatch (a tiny
+    # dictionary-encodable column; explode_postings ignores it when the
+    # analyzer is a plain name)
+    PASS_COLUMNS = ["doc_id", "title", "text", "meta_description", "lang"]
 
     def __init__(self, docstore_dir: str, bucket_bits: int, partials_dir: str):
         self.docstore_dir = docstore_dir
@@ -369,7 +376,7 @@ def build_index(
     config: ScoringConfig | None = None,
     num_shards: int = 32,
     bucket_bits: int = DEFAULT_BUCKET_BITS,
-    analyzer: str = "default",
+    analyzer: str | dict = "default",
     lineage: str = "",
     extract_concurrency: int | tuple | None = None,
     batch_size: int = 256,
@@ -579,7 +586,8 @@ def build_index(
             if os.path.exists(segments_dir):
                 shutil.rmtree(segments_dir)
             runs_src = _read_docstore(
-                docstore_dir, ["doc_id", "title", "text", "meta_description"]
+                docstore_dir,
+                ["doc_id", "title", "text", "meta_description", "lang"],
             )
             runs = runs_src.map_batches(
                 EncodePostings(

@@ -319,16 +319,23 @@ def merge_indexes(
     manifests = [load_manifest(d) for d in index_dirs]
     num_shards = {int(m["num_shards"]) for m in manifests}
     bucket_bits = {int(m["bucket_bits"]) for m in manifests}
-    analyzers = {m.get("analyzer", "default") for m in manifests}
-    if len(num_shards) != 1 or len(bucket_bits) != 1 or len(analyzers) != 1:
+    # analyzer may be a per-language mapping (dict, unhashable):
+    # compare canonical JSON forms, keep the original value
+    import json as _json
+
+    analyzer_keys = {
+        _json.dumps(m.get("analyzer", "default"), sort_keys=True)
+        for m in manifests
+    }
+    if len(num_shards) != 1 or len(bucket_bits) != 1 or len(analyzer_keys) != 1:
         raise ValueError(
             "merge_indexes requires equal num_shards/bucket_bits/analyzer "
-            f"across inputs (got {num_shards}/{bucket_bits}/{analyzers}); "
+            f"across inputs (got {num_shards}/{bucket_bits}/{analyzer_keys}); "
             "rebuild via add_pages/build_index_from_docs to reshard"
         )
     num_shards = num_shards.pop()
     bucket_bits = bucket_bits.pop()
-    analyzer = analyzers.pop()
+    analyzer = manifests[0].get("analyzer", "default")
     out_codec = codec or manifests[-1].get("codec", "vbyte")
     in_codecs = [m.get("codec", "vbyte") for m in manifests]
 

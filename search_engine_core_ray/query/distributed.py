@@ -151,7 +151,14 @@ class DistributedSearch:
         self.algorithm = engine_kwargs.get("algorithm", "bm25")
         manifest = load_manifest(index_dir)
         self.n_buckets = 1 << int(manifest["bucket_bits"])
-        self.analyzer = manifest.get("analyzer", "default")
+        # per-language analyzer mappings resolve with the session's
+        # query_lang (same contract as SearchEngine.query_lang)
+        from ..functions.analyzers import resolve_analyzer
+
+        self.analyzer = resolve_analyzer(
+            manifest.get("analyzer", "default"),
+            engine_kwargs.get("query_lang"),
+        )
         per = max(1, int(buckets_per_actor))
         groups = [
             list(range(j, min(j + per, self.n_buckets)))

@@ -101,6 +101,7 @@ class SearchEngine:
         preload_shards: bool = False,
         algorithm: str = "bm25",
         bucket: int | None = None,
+        query_lang: str | None = None,
     ):
         """``algorithm``: "bm25" | "tfidf" | "combined" — the reference's
         pluggable scorers (SearchScorer factory methods,
@@ -134,8 +135,15 @@ class SearchEngine:
             __import__("json").dumps(self.manifest["config"])
         )
         # the analyzer is an index-time property: query-side tokenization
-        # must match what built the postings (manifest-recorded)
-        self.text_analyzer = self.manifest.get("analyzer", "default")
+        # must match what built the postings (manifest-recorded). A
+        # per-language mapping resolves via this session's query_lang —
+        # the caller states the language its queries are written in
+        # (falling back to the mapping's "*" entry), mirroring how each
+        # document's lang column picked its analyzer at build time.
+        from ..functions.analyzers import resolve_analyzer
+
+        self.analyzer_spec = self.manifest.get("analyzer", "default")
+        self.text_analyzer = resolve_analyzer(self.analyzer_spec, query_lang)
         # posting codec is likewise an index-time property
         self.postings_codec = self.manifest.get("codec", "vbyte")
         self._shards: dict[int, ShardReader] = {}

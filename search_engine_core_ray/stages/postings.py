@@ -25,38 +25,56 @@ _FIELDS = ("title", "content", "description")
 
 
 def _field_tf(
-    doc_ids: pl.Series, texts: pl.Series, out_name: str, analyzer: str = "default"
+    doc_ids: pl.Series,
+    texts: pl.Series,
+    out_name: str,
+    analyzer="default",
+    langs: pl.Series | None = None,
 ) -> pl.DataFrame:
-    from ..functions.analyzers import polars_term_expr
+    from ..functions.analyzers import polars_term_expr_dispatch
 
-    df = pl.DataFrame({"doc_id": doc_ids, "s": texts})
-    return (
+    cols = {"doc_id": doc_ids, "s": texts}
+    if langs is not None:
+        cols["lang"] = langs
+    df = pl.DataFrame(cols)
+    exploded = (
         df.with_columns(
             pl.col("s").fill_null("").str.extract_all(TOKEN_RE).alias("tok")
         )
         .drop("s")
         .explode("tok")
         .drop_nulls("tok")
-        .with_columns(
-            polars_term_expr(pl.col("tok").str.to_lowercase(), analyzer).alias("term")
+    )
+    lang_expr = pl.col("lang") if langs is not None else pl.lit(None, pl.String)
+    return (
+        exploded.with_columns(
+            polars_term_expr_dispatch(
+                pl.col("tok").str.to_lowercase(), analyzer, lang_expr
+            ).alias("term")
         )
         .group_by(["doc_id", "term"])
         .agg(pl.len().cast(pl.Int32).alias(out_name))
     )
 
 
-def explode_postings(batch: pa.Table, analyzer: str = "default") -> pa.Table:
+def explode_postings(batch: pa.Table, analyzer="default") -> pa.Table:
     """map_batches kernel: docs batch -> postings rows.
 
-    Input columns: doc_id, title, text (content), meta_description.
+    Input columns: doc_id, title, text (content), meta_description —
+    plus ``lang`` when ``analyzer`` is a per-language mapping (each
+    document's language picks its analyzer; functions/analyzers.py).
     Output: term, doc_id, tf_title:int32, tf_content:int32, tf_desc:int32.
     """
-    df = pl.from_arrow(
-        batch.select(["doc_id", "title", "text", "meta_description"])
-    )
-    t = _field_tf(df["doc_id"], df["title"], "tf_title", analyzer)
-    c = _field_tf(df["doc_id"], df["text"], "tf_content", analyzer)
-    d = _field_tf(df["doc_id"], df["meta_description"], "tf_desc", analyzer)
+    cols = ["doc_id", "title", "text", "meta_description"]
+    langs = None
+    if not isinstance(analyzer, str):
+        cols.append("lang")
+    df = pl.from_arrow(batch.select(cols))
+    if not isinstance(analyzer, str):
+        langs = df["lang"]
+    t = _field_tf(df["doc_id"], df["title"], "tf_title", analyzer, langs)
+    c = _field_tf(df["doc_id"], df["text"], "tf_content", analyzer, langs)
+    d = _field_tf(df["doc_id"], df["meta_description"], "tf_desc", analyzer, langs)
     merged = (
         t.join(c, on=["doc_id", "term"], how="full", coalesce=True)
         .join(d, on=["doc_id", "term"], how="full", coalesce=True)
