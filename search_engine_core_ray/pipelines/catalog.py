@@ -1056,6 +1056,63 @@ def q_minhash_dupes(sf_dir: str):
     return minhash_near_dupes(_docs(sf_dir), threshold=0.5, token_hash="md5")
 
 
+def _neardup_clusters_sql(threshold: float = 0.5) -> str:
+    """Recursive min-reachable-id closure over the verified MinHash
+    pair graph (DuckDB WITH RECURSIVE; fine at oracle scale — the
+    engine side uses union-find / hash-min propagation instead)."""
+    return f"""
+    WITH RECURSIVE {_minhash_sig_ctes().strip()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+                          AND y.doc_id > x.doc_id),
+    jp AS (
+      SELECT c.a, c.b,
+             len(list_intersect(sa.s, sb.s))::DOUBLE
+               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+    pairs AS (SELECT a, b FROM jp WHERE jaccard >= {threshold}),
+    se AS (SELECT a AS v, b AS w FROM pairs
+           UNION ALL SELECT b, a FROM pairs),
+    reach(v, w) AS (
+      SELECT v, w FROM se
+      UNION
+      SELECT r.v, s2.w FROM reach r JOIN se s2 ON s2.v = r.w),
+    comp AS (
+      SELECT v AS doc_id, LEAST(v, min(w)) AS component
+      FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END)::BIGINT AS kept
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+@_q("neardup_clusters", _neardup_clusters_sql(0.5))
+def q_neardup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph, one row per document with its component id
+    (= min doc_id in the component, the canonical representative) and
+    a kept flag.  This is the cluster step every published dedup
+    recipe runs between pairwise detection and corpus dedup — chains
+    a~b~c (a!~c) form ONE cluster keeping exactly one doc.  Engine:
+    union-find on the driver under the broadcast gate (the pair graph
+    is dup-volume-proportional, not corpus-sized), Dataset-resident
+    hash-min label propagation above it — tiers bit-identical
+    (tests/test_components.py)."""
+    from ..stages.dedup import connected_components
+
+    docs = _docs(sf_dir)
+    pairs = minhash_near_dupes(docs, threshold=0.5, token_hash="md5")
+    return connected_components(
+        pairs,
+        docs.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ),
+    )
+
+
 @_q("incremental_minhash_dedup", _minhash_incremental_oracle_sql(0.5))
 def q_incremental_minhash_dedup(sf_dir: str):
     """Near-dup incremental dedup: shard docs (doc_id % 5 == 4) are
@@ -5610,7 +5667,7 @@ ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
 # stays thematic; this list is ONLY the sampling schedule.
 _DRIVER_PRIORITY = [
     # -- new this round --
-    "prepare_training_data_v2",
+    "prepare_training_data_v2", "neardup_clusters",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",

@@ -1499,3 +1499,246 @@ def winnow_overlap_pairs(
         batch_format="pyarrow",
     )
     return out.repartition(num_partitions)
+
+
+def connected_components(
+    pairs_ds,
+    nodes_ds=None,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "doc_id",
+    broadcast_limit: int | None = None,
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+):
+    """Connected components of a (verified) near-dup pair graph ->
+    Dataset(doc_id, component, kept): ``component`` is the MIN doc_id
+    of the node's component (the canonical cluster id and its
+    representative), ``kept`` is 1 iff the doc IS that representative —
+    the cluster step between pairwise near-dup detection and corpus
+    dedup (every published dedup recipe keeps one doc per component,
+    not one per pair: pair-at-a-time dropping over-deletes chains
+    a~b~c where a!~c).
+
+    ``nodes_ds`` (optional, a ``node_col`` column) supplies the node
+    universe: nodes in no pair become singleton components of
+    themselves.
+
+    Gate (the linkgraph tier pattern): a pair list under
+    ``broadcast_limit`` rows solves on the driver with min-label
+    union-find over collected arrays — the sanctioned gated-size shape
+    (the PAIR graph is dup-volume-proportional, a small fraction of
+    the corpus, NOT corpus-sized).  Above the limit the solve runs
+    Dataset-resident hash-min label propagation:
+
+        sym_edges ⋈ labels (hash join on v)      — neighbor labels
+        sorted_agg by w (min)                    — best inbound label
+        labels gated-left-join best              — next label vector
+        changed = one filtered count             — fixpoint test
+
+    converging in <= component diameter rounds; near-dup components
+    are shallow in practice (clusters are small and dense), and an
+    adversarially long chain is bounded by ``max_rounds`` (switch to
+    path doubling — log-diameter rounds — if a corpus ever trips it).
+    Both tiers produce identical labels (conformance-tested in
+    tests/test_components.py)."""
+    import ray
+    import ray.data
+
+    import pyarrow.compute as _pc
+
+    from ..functions.joins import BROADCAST_ROW_LIMIT, gated_left_join
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    pairs = pairs_ds.materialize()
+    n_pairs = pairs.count()
+
+    def _label_table(ids: np.ndarray, comps: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                node_col: pa.array(ids, pa.int64()),
+                "component": pa.array(comps, pa.int64()),
+            }
+        )
+
+    if n_pairs == 0:
+        labels_tbl = _label_table(
+            np.array([], np.int64), np.array([], np.int64)
+        )
+        labels = ray.data.from_arrow(labels_tbl)
+    elif n_pairs <= limit:
+        # driver tier: min-label union-find (path-compressed; roots
+        # keep the component's minimum id by construction of union)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen: set[int] = set()
+        for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for a, c in zip(
+                b.column(a_col).to_pylist(), b.column(b_col).to_pylist()
+            ):
+                seen.add(int(a))
+                seen.add(int(c))
+                ra, rc = find(int(a)), find(int(c))
+                if ra != rc:
+                    lo, hi = (ra, rc) if ra < rc else (rc, ra)
+                    parent[hi] = lo
+        ids = np.array(sorted(seen), dtype=np.int64)
+        comps = np.array([find(int(v)) for v in ids], dtype=np.int64)
+        labels = ray.data.from_arrow(_label_table(ids, comps))
+    else:
+        # distributed tier: hash-min label propagation
+        sym = pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": pa.concat_arrays(
+                        [
+                            b.column(a_col).cast(pa.int64()).combine_chunks(),
+                            b.column(b_col).cast(pa.int64()).combine_chunks(),
+                        ]
+                    ),
+                    "w": pa.concat_arrays(
+                        [
+                            b.column(b_col).cast(pa.int64()).combine_chunks(),
+                            b.column(a_col).cast(pa.int64()).combine_chunks(),
+                        ]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        labels = sorted_agg(
+            sym.map_batches(
+                lambda b: pa.table({node_col: b.column("v")}),
+                batch_format="pyarrow",
+            ),
+            node_col,
+            {"component": ("min", node_col)},
+            auto_threshold=AUTO_THRESHOLD,
+        ).map_batches(  # initial label = own id
+            lambda b: pa.table(
+                {
+                    node_col: b.column(node_col),
+                    "component": b.column(node_col),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        for _ in range(max_rounds):
+            nbr = (
+                sym.join(
+                    labels.map_batches(
+                        lambda b: b.rename_columns(["v", "component"]),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("v",),
+                )
+                .repartition(num_partitions)
+                .map_batches(
+                    lambda b: pa.table(
+                        {
+                            node_col: b.column("w"),
+                            "nlbl": b.column("component"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            best = sorted_agg(
+                nbr, node_col, {"nlbl": ("min", "nlbl")},
+                auto_threshold=AUTO_THRESHOLD,
+            )
+            merged = gated_left_join(
+                labels, node_col, best, node_col, ["nlbl"],
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda b: pa.table(
+                    {
+                        node_col: b.column(node_col),
+                        "component": _pc.min_element_wise(
+                            b.column("component"),
+                            _pc.fill_null(
+                                _pc.cast(b.column("nlbl"), pa.int64()),
+                                np.iinfo(np.int64).max,
+                            ),
+                        ),
+                        "_old": b.column("component"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            changed = merged.map_batches(
+                lambda b: b.filter(
+                    _pc.not_equal(b.column("component"), b.column("_old"))
+                ).select([node_col]),
+                batch_format="pyarrow",
+            ).count()
+            labels = merged.map_batches(
+                lambda b: b.select([node_col, "component"]),
+                batch_format="pyarrow",
+            ).materialize()
+            if changed == 0:
+                break
+
+    if nodes_ds is None:
+        out = labels
+    elif n_pairs == 0:
+        # empty pair graph: every node is its own singleton component
+        # (an empty labels table would reach the join as a schema-less
+        # block — the Acero/polars empty-right hazard)
+        out = nodes_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    node_col: b.column(node_col).cast(pa.int64()),
+                    "component": b.column(node_col).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        out = gated_left_join(
+            nodes_ds.map_batches(
+                lambda b: pa.table({node_col: b.column(node_col).cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            node_col,
+            labels,
+            node_col,
+            ["component"],
+            num_partitions=num_partitions,
+        ).map_batches(  # singleton components label themselves
+            lambda b: pa.table(
+                {
+                    node_col: b.column(node_col),
+                    "component": _pc.coalesce(
+                        _pc.cast(b.column("component"), pa.int64()),
+                        b.column(node_col),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                node_col: b.column(node_col),
+                "component": b.column("component"),
+                "kept": _pc.cast(
+                    _pc.equal(b.column(node_col), b.column("component")),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
