@@ -5654,6 +5654,383 @@ ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
 
 
 # ======================================================================
+# hybrid retrieval, ANN quality eval, and event-funnel analytics
+# ======================================================================
+
+# hybrid text+vector query pairing: each text query term is paired with
+# a query embedding (vec_id domain == doc_id domain in the synth corpus)
+HYBRID_QUERIES = [("dup", 0), ("vector", 1)]
+_RRF_K = 60          # the standard reciprocal-rank-fusion constant
+_RRF_LIST_K = 20     # per-side candidate list depth
+_FUNNEL_WINDOW_US = 2 * 24 * 3600 * 1_000_000  # signup -> purchase window
+
+
+def _rrf_sql() -> str:
+    qid_rows = ", ".join(f"('{t}', {q})" for t, q in HYBRID_QUERIES)
+    terms = ", ".join(f"'{t}'" for t, _ in HYBRID_QUERIES)
+    qids = ", ".join(str(q) for _, q in HYBRID_QUERIES)
+    return f"""
+    WITH hq(query, qid) AS (VALUES {qid_rows}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]{{2,}}')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+      WHERE term IN ({terms}) GROUP BY 1, 2),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, CAST(sum(strlen(text)) AS DOUBLE)/count(*) AS avgdl
+      FROM documents),
+    dft AS (
+      SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+      WHERE term IN ({terms}) GROUP BY 1),
+    tscore AS (
+      SELECT tf.term AS query, tf.doc_id,
+             round( ln((stats.n - dft.df + 0.5) / (dft.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * (strlen(d.text) / stats.avgdl))),
+                    4) AS s
+      FROM tf JOIN dft USING (term)
+      JOIN documents d ON d.doc_id = tf.doc_id, stats),
+    trk AS (
+      SELECT query, doc_id,
+             row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS trank
+      FROM tscore QUALIFY trank <= {_RRF_LIST_K}),
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({qids})),
+    sims AS (SELECT qv.qid, e.vec_id AS doc_id,
+                    list_sum(list_transform(list_zip(qv.qe, e.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / ( sqrt(list_sum(list_transform(qv.qe, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) ) AS c
+             FROM qv CROSS JOIN embeddings e WHERE e.vec_id != qv.qid),
+    vrk AS (
+      SELECT hq.query, s2.doc_id,
+             row_number() OVER (PARTITION BY s2.qid
+                                ORDER BY round(s2.c, 4) DESC, s2.doc_id) AS vrank
+      FROM sims s2 JOIN hq ON hq.qid = s2.qid
+      QUALIFY vrank <= {_RRF_LIST_K}),
+    fused AS (
+      SELECT COALESCE(t.query, v.query) AS query,
+             COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             COALESCE(t.trank, 0)::BIGINT AS trank,
+             COALESCE(v.vrank, 0)::BIGINT AS vrank
+      FROM trk t FULL JOIN vrk v
+        ON t.query = v.query AND t.doc_id = v.doc_id),
+    scored AS (
+      SELECT query, doc_id, trank, vrank,
+             (CASE WHEN trank > 0 THEN 1.0/({_RRF_K} + trank) ELSE 0.0 END)
+           + (CASE WHEN vrank > 0 THEN 1.0/({_RRF_K} + vrank) ELSE 0.0 END) AS rrf
+      FROM fused),
+    cut AS (
+      SELECT query, doc_id, trank, vrank, rrf,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY rrf DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= 10)
+    SELECT query, rnk, doc_id, trank, vrank, rrf FROM cut
+    """
+
+
+@_q("rrf_hybrid_topk", _rrf_sql())
+def q_rrf_hybrid_topk(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. SIGIR
+    2009, the standard k=60 form) of a BM25 text ranking and a
+    cosine-ANN vector ranking over the same doc-id space — the modern
+    two-tower search stack (lexical + dense) reduced to its fusion
+    step.  Per hybrid query: the text side ranks docs by single-term
+    BM25 (rounded score, doc_id tiebreak, top-20 via grouped_topk —
+    no global sort), the vector side is ann_topk at k=20; ranks fuse
+    as 1/(60+trank) + 1/(60+vrank) with 0 for a missing side (rank 0
+    = sentinel for absent, documented), then a per-query top-10 cut.
+    Every exchange is k-bounded per query; the float is a sum of two
+    exact IEEE divisions of integers — bit-identical cross-engine."""
+    import ray.data
+
+    from ..functions.similarity import ann_topk
+    from ..stages.shuffle import grouped_topk
+
+    docs = _docs(sf_dir)
+    terms = [t for t, _ in HYBRID_QUERIES]
+    qids = [q for _, q in HYBRID_QUERIES]
+    qid_to_term = {q: t for t, q in HYBRID_QUERIES}
+
+    # ---- text side: per-term BM25 (term-doc rows, NOT summed) ----
+    def tf_rows(b: pa.Table) -> pa.Table:
+        p = ts.content_postings(b)
+        mask = pc.is_in(p.column("term"), value_set=pa.array(terms))
+        return _attach_lens(p.filter(mask), b, [("text", "doc_len")])
+
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        nb = pc.sum(pc.binary_length(pc.fill_null(t.column("text"), ""))).as_py() or 0
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "bytes": pa.array([int(nb)], pa.int64())})
+
+    n = total_bytes = 0
+    for b in docs.map_batches(stat_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        total_bytes += int(pc.sum(b.column("bytes")).as_py() or 0)
+    avgdl = total_bytes / n
+
+    from ray.data.aggregate import Sum
+
+    df_counts = (
+        tf_ds.map_batches(
+            lambda t: pa.table({"term": t.column("term"),
+                                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("one", alias_name="df"))
+        .to_pandas()
+    )
+    dfs = dict(zip(df_counts["term"], df_counts["df"]))
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy().astype(np.float64)
+        dl = b.column("doc_len").to_numpy().astype(np.float64)
+        df_arr = _map_terms(b.column("term"), dfs, default=0.0)
+        idf = np.log((n - df_arr + 0.5) / (df_arr + 0.5))
+        sc2 = idf * (tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        return pa.table({
+            "query": b.column("term"),
+            "doc_id": b.column("doc_id"),
+            "s": pa.array(ts.round_half_away(sc2, 4), pa.float64()),
+        })
+
+    trk = grouped_topk(
+        tf_ds.map_batches(score, batch_format="pyarrow"),
+        "query", "s", _RRF_LIST_K, tiebreak_cols=["doc_id"], emit_rank="trank",
+    ).map_batches(
+        lambda b: pa.table({
+            "query": b.column("query"),
+            "doc_id": b.column("doc_id"),
+            "trank": b.column("trank").cast(pa.int64()),
+            "vrank": pa.array(np.zeros(b.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+
+    # ---- vector side ----
+    vrk = ann_topk(
+        _read(sf_dir, "embeddings"), qids, k=_RRF_LIST_K, round_digits=4
+    ).map_batches(
+        lambda b: pa.table({
+            "query": pa.array(
+                [qid_to_term[int(q)] for q in b.column("query_id").to_pylist()],
+                pa.string(),
+            ),
+            "doc_id": b.column("neighbor_id").cast(pa.int64()),
+            "trank": pa.array(np.zeros(b.num_rows, np.int64)),
+            "vrank": b.column("rank").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    # ---- fuse: one bounded groupby, then the per-query top-10 cut ----
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    fused = sorted_agg(
+        trk.union(vrk), ["query", "doc_id"],
+        {"trank": ("max", "trank"), "vrank": ("max", "vrank")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).map_batches(
+        lambda b: b.append_column(
+            "rrf",
+            pa.array(
+                np.where(
+                    (t := b.column("trank").to_numpy()) > 0,
+                    1.0 / (_RRF_K + t), 0.0,
+                )
+                + np.where(
+                    (v := b.column("vrank").to_numpy()) > 0,
+                    1.0 / (_RRF_K + v), 0.0,
+                ),
+                pa.float64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(
+        fused, "query", "rrf", 10, tiebreak_cols=["doc_id"], emit_rank="rnk"
+    ).map_batches(
+        lambda b: b.select(["query", "rnk", "doc_id", "trank", "vrank", "rrf"])
+        .set_column(1, "rnk", b.column("rnk").cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def _ann_recall_sql() -> str:
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    return f"""
+    WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id IN ({qids})),
+    sims AS (SELECT qv.qid AS query_id, e.vec_id AS neighbor_id,
+                    list_sum(list_transform(list_zip(qv.qe, e.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE)) / ( sqrt(list_sum(list_transform(qv.qe, x -> x::DOUBLE * x::DOUBLE))) * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) ) AS c
+             FROM qv CROSS JOIN embeddings e WHERE e.vec_id != qv.qid),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(c, 4) DESC, neighbor_id) AS rnk
+      FROM sims QUALIFY rnk <= 10),
+    ivf AS (
+      SELECT g.query_id, g.neighbor_id
+      FROM read_parquet('{_GOLDEN_DIR}/ivf_ann_sf0_001.parquet') g
+      WHERE (SELECT count(*) FROM orders) = 1500
+      UNION ALL
+      SELECT g.query_id, g.neighbor_id
+      FROM read_parquet('{_GOLDEN_DIR}/ivf_ann_sf0_01.parquet') g
+      WHERE (SELECT count(*) FROM orders) = 15000),
+    hits AS (
+      SELECT e.query_id, count(*)::BIGINT AS n_hit
+      FROM exact e JOIN ivf i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY 1)
+    SELECT q.qid AS query_id,
+           COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+           COALESCE(h.n_hit, 0) / 10.0 AS recall
+    FROM qv q LEFT JOIN hits h ON h.query_id = q.qid
+    """
+
+
+@_q("ann_recall", _ann_recall_sql())
+def q_ann_recall(sf_dir: str):
+    """ANN quality eval: recall@10 of the IVF index (8 centroids,
+    probing 2) against exact brute-force cosine per query — the number
+    an ANN deployment tunes n_probe against.  Both sides are k-bounded
+    per query; recall is an exact integer count divided by 10.0
+    (bit-identical cross-engine).  The oracle replays exact search in
+    SQL and reads the committed IVF golden parquet (seeded k-means is
+    not SQL-expressible; same golden ivf_ann itself is checked
+    against)."""
+    from ..functions.similarity import ann_topk, ivf_ann
+
+    emb = _read(sf_dir, "embeddings")
+
+    def _collect(ds) -> pl.DataFrame:
+        # both sides are k-bounded per query (Q * k rows total) — the
+        # sanctioned driver-sized shape for eval joins
+        tbls = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return pl.from_arrow(pa.concat_tables(tbls)).select(
+            "query_id", "neighbor_id"
+        )
+
+    exact = _collect(ann_topk(emb, ANN_QUERY_IDS, k=10, round_digits=4))
+    ivf = _collect(ivf_ann(emb, ANN_QUERY_IDS, k=10, n_centroids=8, n_probe=2))
+    hits = (
+        exact.join(ivf, on=["query_id", "neighbor_id"], how="inner")
+        .group_by("query_id")
+        .agg(n_hit=pl.len().cast(pl.Int64))
+    )
+    out = (
+        pl.DataFrame({"query_id": pl.Series(ANN_QUERY_IDS, dtype=pl.Int64)})
+        .join(hits, on="query_id", how="left")
+        .with_columns(n_hit=pl.col("n_hit").fill_null(0))
+        .with_columns(recall=pl.col("n_hit") / 10.0)
+        .sort("query_id")
+    )
+    return out.to_arrow().cast(
+        pa.schema([("query_id", pa.int64()), ("n_hit", pa.int64()),
+                   ("recall", pa.float64())])
+    )
+
+
+@_q(
+    "funnel_conversion",
+    f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts))::BIGINT AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS conv_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s.signup_us
+        AND epoch_us(e.ts) <= s.signup_us + {_FUNNEL_WINDOW_US}
+      GROUP BY 1)
+    SELECT s.user_id, s.signup_us,
+           (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS converted,
+           COALESCE(p.conv_us - s.signup_us, -1)::BIGINT AS convert_us
+    FROM s LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel_conversion(sf_dir: str):
+    """Event-funnel analytics: per user, the first 'signup' event and
+    whether a 'purchase' follows within 2 days (the ordered-sequence
+    conversion query every event pipeline runs next to sessionize).
+    Times are exact µs int64 (convert_us = -1 for non-converters, a
+    sentinel the SQL shares).  Shape: two filtered narrow streams,
+    one bounded per-user min each (sorted_agg), one gated join —
+    user-domain-bounded, never event-domain."""
+    import pyarrow.compute as pc2
+
+    from ..functions.joins import gated_left_join
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def narrow(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc2.equal(b.column("event_type"), kind)
+            k = b.filter(m)
+            return pa.table({
+                "user_id": k.column("user_id").cast(pa.int64()),
+                "us": pc2.cast(k.column("ts"), pa.int64()),
+            })
+
+        return f
+
+    signups = sorted_agg(
+        ev.map_batches(narrow("signup"), batch_format="pyarrow"),
+        "user_id", {"signup_us": ("min", "us")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+    purchases = ev.map_batches(narrow("purchase"), batch_format="pyarrow")
+    in_window = gated_left_join(
+        purchases, "user_id", signups, "user_id", ["signup_us"]
+    ).map_batches(
+        lambda b: (
+            lambda su, us: pa.table({
+                "user_id": b.column("user_id"),
+                "us": b.column("us"),
+            }).filter(
+                pa.array(
+                    (su > 0)
+                    & (us > su)
+                    & (us <= su + _FUNNEL_WINDOW_US)
+                )
+            )
+        )(
+            pc2.fill_null(b.column("signup_us"), 0).to_numpy(),
+            b.column("us").to_numpy(),
+        ),
+        batch_format="pyarrow",
+    )
+    conv = sorted_agg(
+        in_window, "user_id", {"conv_us": ("min", "us")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    return gated_left_join(
+        signups, "user_id", conv, "user_id", ["conv_us"]
+    ).map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "signup_us": b.column("signup_us"),
+            "converted": pc2.cast(
+                pc2.is_valid(b.column("conv_us")), pa.int64()
+            ),
+            "convert_us": pc2.coalesce(
+                pc2.subtract(
+                    pc2.cast(b.column("conv_us"), pa.int64()),
+                    b.column("signup_us"),
+                ),
+                pa.scalar(-1, pa.int64()),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ======================================================================
 # driver sampling order
 # ======================================================================
 # The correctness driver checks the FIRST 50 keys of QUERIES in dict
@@ -5667,7 +6044,8 @@ ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
 # stays thematic; this list is ONLY the sampling schedule.
 _DRIVER_PRIORITY = [
     # -- new this round --
-    "prepare_training_data_v2", "neardup_clusters",
+    "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
+    "ann_recall", "funnel_conversion",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",
