@@ -6030,6 +6030,59 @@ def q_funnel_conversion(sf_dir: str):
     )
 
 
+@_q(
+    "link_components",
+    f"""
+    WITH RECURSIVE {_LINK_EDGE_CTES.strip()},
+    ide AS (SELECT src AS a, t AS b FROM tgt WHERE t <> src),
+    se AS (SELECT a AS v, b AS w FROM ide
+           UNION ALL SELECT b, a FROM ide),
+    reach(v, w) AS (
+      SELECT v, w FROM se
+      UNION
+      SELECT r.v, s2.w FROM reach r JOIN se s2 ON s2.v = r.w),
+    comp AS (
+      SELECT v AS doc_id, LEAST(v, min(w)) AS component
+      FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END)::BIGINT AS kept
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def q_link_components(sf_dir: str):
+    """Weakly-connected components of the crawl LINK graph (the
+    host-cluster / link-farm detection shape next to PageRank): edges
+    come the real way — HTML parse, href resolution, frontier
+    canonicalization (link_edges) — then doc ids lift out of the
+    fixture's canonical /doc/<id> paths and the same
+    connected_components primitive labels every doc with its
+    component's min id.  Direction is ignored (weak components); the
+    oracle is the recursive min-reachable-id closure over the
+    algebraically regenerated edge rule."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.dedup import connected_components
+    from ..stages.linkgraph import pages_to_edges
+
+    edges = pages_to_edges(read_documents_as_linked_pages(sf_dir))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["src_url", "dst_url"]))
+        df = df.with_columns(
+            a=pl.col("src_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64),
+            b=pl.col("dst_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64),
+        ).select("a", "b").filter(pl.col("a") != pl.col("b"))
+        return df.to_arrow().cast(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        )
+
+    return connected_components(
+        edges.map_batches(to_ids, batch_format="pyarrow"),
+        _docs(sf_dir, columns=("doc_id",)),
+    )
+
+
 # ======================================================================
 # driver sampling order
 # ======================================================================
@@ -6045,7 +6098,7 @@ def q_funnel_conversion(sf_dir: str):
 _DRIVER_PRIORITY = [
     # -- new this round --
     "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
-    "ann_recall", "funnel_conversion",
+    "ann_recall", "funnel_conversion", "link_components",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",
