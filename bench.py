@@ -377,7 +377,7 @@ def main() -> None:
         "bpe_merges", "bpe_token_counts", "nb_lang_pred", "dsir_logweights",
         "dedup_spans", "chunk_windows", "epoch_shuffle",
         "neardup_clusters", "rrf_hybrid_topk", "ann_recall",
-        "funnel_conversion", "link_components",
+        "funnel_conversion", "link_components", "mmr_diversify_topk",
         "winnow_overlap_pairs",  # runs winnow_fingerprints inside it
         # training_data_card is deliberately NOT benched: it re-runs the
         # prepare_training_data stages (timed above) for its counts

@@ -6083,6 +6083,176 @@ def q_link_components(sf_dir: str):
     )
 
 
+_MMR_K = 5        # picks per query
+_MMR_POOL = 20    # candidate pool depth (exact top-20 by cosine)
+_MMR_LAMBDA = 0.5  # relevance / diversity balance (exact in binary)
+
+
+def _mmr_sql() -> str:
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    cos = (
+        "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
+        " / ( sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))) )"
+    )
+    # k unrolled greedy rounds; sel_r holds each query's round-r pick.
+    # Every subquery CORRELATES on query_id (one scalar per query).
+    # Rounding is applied to the pairwise cosine before the max is
+    # consumed — rounding is monotone, so round(GREATEST(raw...)) ==
+    # max of the kernel's pre-rounded sims.  Each greedy score is then
+    # two exact scalings, one subtraction, one round — engine-identical
+    # with the (score DESC, doc_id ASC) argmax.
+    rounds = []
+    prev_sel = []
+    for r in range(1, _MMR_K + 1):
+        if prev_sel:
+            exclude = " AND " + " AND ".join(
+                f"c.doc_id != (SELECT s.doc_id FROM {sv} s"
+                f" WHERE s.query_id = c.query_id)"
+                for sv in prev_sel
+            )
+            maxsim = "round(GREATEST(" + ", ".join(
+                f"(SELECT {cos.format(a='c.e', b='s.e')} FROM {sv} s"
+                f" WHERE s.query_id = c.query_id)"
+                for sv in prev_sel
+            ) + "), 4)"
+        else:
+            exclude = ""
+            maxsim = "0.0"
+        score = (
+            f"round({_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA} * {maxsim}, 4)"
+        )
+        rounds.append(f"""
+    sel{r} AS MATERIALIZED (
+      SELECT c.query_id, c.doc_id, c.e, {score} AS mmr
+      FROM cand c
+      WHERE TRUE{exclude}
+      QUALIFY row_number() OVER (PARTITION BY c.query_id
+                                 ORDER BY {score} DESC, c.doc_id) = 1)""")
+        prev_sel.append(f"sel{r}")
+    sel_union = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, mmr, {r} AS pick FROM sel{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id IN ({qids})),
+    sims AS (SELECT qv.qid AS query_id, e.vec_id AS doc_id, e.embedding AS e,
+                    {cos.format(a="qv.qe", b="e.embedding")} AS c
+             FROM qv CROSS JOIN embeddings e WHERE e.vec_id != qv.qid),
+    cand AS (
+      SELECT query_id, doc_id, e, round(c, 4) AS rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(c, 4) DESC, doc_id) AS rnk
+      FROM sims QUALIFY rnk <= {_MMR_POOL}),
+    {",".join(rounds)}
+    SELECT query_id, pick::BIGINT AS pick, doc_id, mmr
+    FROM ({sel_union})
+    """
+
+
+@_q("mmr_diversify_topk", _mmr_sql())
+def q_mmr_diversify_topk(sf_dir: str):
+    """Search-result diversification: Maximal Marginal Relevance
+    (Carbonell & Goldstein, SIGIR 1998) over the exact cosine top-20
+    pool per query — greedy picks maximize
+    lambda*rel - (1-lambda)*max_sim_to_selected, the standard
+    redundancy-suppression step between retrieval and presentation.
+    Per-query work is pool-bounded (20 candidates, 5 picks, one 20x20
+    sim matrix), run as ONE vectorized numpy kernel per query group
+    via groupby(query_id).map_groups — no exchange beyond the top-k
+    gather itself.  Floats: rel and pairwise sims are decimal-rounded
+    (half-away) BEFORE combination; each greedy score is then two
+    exact scalings, one subtraction and one max — single IEEE ops, so
+    the argmax (score DESC, doc_id ASC) and the emitted mmr values are
+    bit-identical to the SQL oracle's unrolled greedy rounds."""
+    import ray.data
+
+    emb_tbl_ds = _read(sf_dir, "embeddings")
+
+    # candidate pool: exact cosine top-20 per query (the ann_topk
+    # machinery), keeping the embedding payload for the pairwise step
+    from ..functions.similarity import ann_topk
+
+    pool = ann_topk(
+        emb_tbl_ds, ANN_QUERY_IDS, k=_MMR_POOL, round_digits=4
+    )
+
+    # attach candidate embeddings via a gated broadcast (vector table
+    # row-bounded at catalog scale; at corpus scale the pool is Q*k
+    # rows and the attach is a hash join on vec_id)
+    from ..functions.joins import gated_left_join
+
+    emb_narrow = emb_tbl_ds.map_batches(
+        lambda b: pa.table(
+            {"neighbor_id": b.column("vec_id").cast(pa.int64()),
+             "e": b.column("embedding")}
+        ),
+        batch_format="pyarrow",
+    )
+    cand = gated_left_join(
+        pool, "neighbor_id", emb_narrow, "neighbor_id", ["e"]
+    )
+
+    lam = _MMR_LAMBDA
+
+    def mmr_group(g: pa.Table) -> pa.Table:
+        rel = g.column("cos").to_numpy().astype(np.float64)
+        ids = g.column("neighbor_id").to_numpy().astype(np.int64)
+        qid = int(g.column("query_id")[0].as_py())
+        mat = np.asarray(
+            [np.asarray(x, np.float64) for x in g.column("e").to_pylist()]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = ts.round_half_away(
+            (mat @ mat.T) / np.outer(norms, norms), 4
+        )
+        order = np.lexsort((ids, -rel))  # pool order: rel DESC, id ASC
+        rel, ids, sims = rel[order], ids[order], sims[np.ix_(order, order)]
+        n_c = len(ids)
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n_c, bool)
+        # round 1 has NO selected set: the diversity term is exactly 0
+        # (matching the SQL's literal 0.0); from round 2 the max-sim is
+        # the TRUE maximum cosine to the selected picks — it can be
+        # NEGATIVE, so it must not be clamped by a zero initializer
+        maxsim = None
+        for _ in range(min(_MMR_K, n_c)):
+            ms_r = (
+                np.zeros(n_c, np.float64)
+                if maxsim is None
+                else ts.round_half_away(maxsim, 4)
+            )
+            sc2 = ts.round_half_away(lam * rel - (1 - lam) * ms_r, 4)
+            sc2 = np.where(avail, sc2, -np.inf)
+            # argmax with doc_id ASC tiebreak: lexsort picks the
+            # smallest id among maximal scores
+            best = np.lexsort((ids, -sc2))[0]
+            picked.append(best)
+            scores.append(float(sc2[best]))
+            avail[best] = False
+            maxsim = (
+                sims[:, best].copy()
+                if maxsim is None
+                else np.maximum(maxsim, sims[:, best])
+            )
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(picked), pa.int64()),
+                "pick": pa.array(
+                    np.arange(1, len(picked) + 1), pa.int64()
+                ),
+                "doc_id": pa.array(ids[picked], pa.int64()),
+                "mmr": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return cand.groupby("query_id").map_groups(
+        mmr_group, batch_format="pyarrow"
+    )
+
+
 # ======================================================================
 # driver sampling order
 # ======================================================================
@@ -6099,6 +6269,7 @@ _DRIVER_PRIORITY = [
     # -- new this round --
     "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
     "ann_recall", "funnel_conversion", "link_components",
+    "mmr_diversify_topk",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",

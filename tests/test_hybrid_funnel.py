@@ -55,3 +55,25 @@ def test_funnel_has_converters_and_non_converters(ray_session):
     assert (conv.convert_us > 0).all()
     assert (conv.convert_us <= 2 * 24 * 3600 * 1_000_000).all()
     assert (df.loc[df.converted == 0, "convert_us"] == -1).all()
+
+
+def test_mmr_diversifies(ray_session):
+    """MMR's picks differ from the pure relevance top-5 for at least
+    one query (otherwise the diversity term is vacuous on this
+    corpus), scores stay rounded to 4 decimals, and no query repeats
+    a pick."""
+    import ray.data
+
+    from search_engine_core_ray.functions.similarity import ann_topk
+    from search_engine_core_ray.pipelines.catalog import ANN_QUERY_IDS, _read
+
+    df = _df("mmr_diversify_topk")
+    assert set(df.groupby("query_id")["pick"].max()) == {5}
+    assert df.groupby("query_id").doc_id.nunique().min() == 5
+    assert (df.mmr.round(4) == df.mmr).all()
+    top5 = ann_topk(
+        _read(SF_DIR, "embeddings"), ANN_QUERY_IDS, k=5, round_digits=4
+    ).to_pandas()
+    rel_sets = top5.groupby("query_id").neighbor_id.apply(set)
+    mmr_sets = df.groupby("query_id").doc_id.apply(set)
+    assert any(rel_sets[q] != mmr_sets[q] for q in rel_sets.index)
