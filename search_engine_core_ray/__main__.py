@@ -98,6 +98,22 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--out", required=True)
     p_exp.add_argument("--buckets", type=int, default=8)
     p_exp.add_argument("--lineage", default="cli-export")
+    p_exp.add_argument(
+        "--recipe", default="v1", choices=["v1", "v2"],
+        help="v1 = exact-dedup only; v2 = the full published recipe "
+             "(+ MinHash near-dup drop + duplicated-span removal)",
+    )
+
+    p_cat = sub.add_parser(
+        "catalog",
+        help="run any operator-catalog entry over an sf dir; print the "
+             "first rows or write partitioned parquet with --out",
+    )
+    p_cat.add_argument("name", help="entry name (see catalog --list)")
+    p_cat.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_cat.add_argument("--out", default=None, help="parquet output dir")
+    p_cat.add_argument("--head", type=int, default=10)
+    p_cat.add_argument("--list", action="store_true", dest="list_entries")
 
     args = ap.parse_args(argv)
 
@@ -201,7 +217,11 @@ def main(argv: list[str] | None = None) -> int:
         from .state.sink import write_resumable_partitions
 
         nb = args.buckets
-        ds = QUERIES["prepare_training_data"](args.sf_dir).map_batches(
+        recipe = (
+            "prepare_training_data_v2" if args.recipe == "v2"
+            else "prepare_training_data"
+        )
+        ds = QUERIES[recipe](args.sf_dir).map_batches(
             lambda b, _n=nb: b.append_column(
                 "bucket",
                 pc.cast(
@@ -218,6 +238,40 @@ def main(argv: list[str] | None = None) -> int:
             ds, args.out, "bucket", args.lineage, range(nb)
         )
         print(json.dumps({"out": args.out, **m}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "catalog":
+        from .pipelines.catalog import QUERIES
+
+        if args.list_entries or args.name == "list":
+            print(json.dumps(sorted(QUERIES)))
+            return 0
+        if args.name not in QUERIES:
+            print(json.dumps({"error": f"unknown entry {args.name!r}"}),
+                  file=sys.stderr)
+            return 2
+        ray = _init_ray(args.num_cpus)
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        out = QUERIES[args.name](args.sf_dir)
+        if args.out:
+            if isinstance(out, pa.Table):
+                out = ray.data.from_arrow(out)
+            elif isinstance(out, pd.DataFrame):
+                out = ray.data.from_pandas(out)
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "entry": args.name}))
+        else:
+            if isinstance(out, ray.data.Dataset):
+                df = out.limit(args.head).to_pandas()
+            elif isinstance(out, pa.Table):
+                df = out.slice(0, args.head).to_pandas()
+            else:
+                df = out.head(args.head)
+            print(df.to_string())
         ray.shutdown()
         return 0
 

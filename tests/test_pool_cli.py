@@ -130,3 +130,32 @@ def test_pool_scale_batch_guard(built, ray_session):
         assert len(out) == 2
     finally:
         pool.shutdown()
+
+
+def test_cli_catalog_entry(ray_session, tmp_path, capsys):
+    from search_engine_core_ray.__main__ import main
+
+    assert main(["catalog", "word_counts",
+                 "--sf-dir", "/root/testdata/sf0.001", "--head", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "n_words" in out
+    assert main(["catalog", "definitely_not_an_entry"]) == 2
+    # --out writes parquet
+    d = str(tmp_path / "cat_out")
+    assert main(["catalog", "ann_recall",
+                 "--sf-dir", "/root/testdata/sf0.001", "--out", d]) == 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(d).num_rows == 5
+
+
+def test_cli_export_training_v2(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from search_engine_core_ray.__main__ import main
+
+    d = str(tmp_path / "exp_v2")
+    assert main(["export-training", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", d, "--recipe", "v2", "--buckets", "2"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_written"] > 0 and res["written"] == [0, 1]
