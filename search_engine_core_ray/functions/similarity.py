@@ -733,3 +733,159 @@ def embedding_dim_stats(embeddings_ds, scale: int = 1_000_000):
         )
 
     return red.map_batches(finish, batch_format="pyarrow").sort("k")
+
+
+# ======================================================================
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+# billion-scale embedding-compression path: a d-dim vector becomes m
+# small codes (here 4 bytes for d=64), and search runs over per-query
+# distance TABLES (m x ks lookups per candidate) instead of d-dim
+# arithmetic.  At 100 TB this is what keeps the candidate sweep
+# memory-resident: 64 float32 (256 B) -> m uint8 (4 B), a 64x
+# compression, with the codebook broadcast once via ray.put.
+#
+# Engine/oracle identity: every subspace distance is quantized to an
+# INT64 micro-unit grid (floor(d * 1e6 + 0.5) — DuckDB's
+# round-half-away) at the one point where float summation order could
+# differ between numpy and DuckDB's list_sum; everything downstream
+# (argmin code assignment, ADC sums, ranking) is exact integer
+# arithmetic, bit-identical across engines.  Same convention as the
+# rounded-cosine ANN entries; reference parity: this generalizes
+# RedisSearchStorage::search's vector scoring to the compressed-domain
+# form the reference never needed at its single-node scale.
+# ======================================================================
+
+_PQ_SCALE = 1_000_000
+
+
+def pq_codebook(embeddings_ds, centroid_ids, m: int) -> np.ndarray:
+    """Deterministic assignment-only PQ codebook: centroid j of EVERY
+    subspace is the j-th listed vector's subvector (the semdedup /
+    ivf_ann_det trick — no k-means, so the SQL oracle can replay it).
+    Returns (m, ks, d//m) float64."""
+    cents, got = _collect_query_vectors(embeddings_ds, centroid_ids)
+    if list(got) != sorted({int(c) for c in centroid_ids}):
+        raise ValueError(f"centroid ids {centroid_ids} not all present")
+    ks, dim = cents.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return cents.reshape(ks, m, sub).transpose(1, 0, 2).copy()
+
+
+def _pq_dists_us(X: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, ks, d/m) -> (n, m, ks) int64 micro-unit squared-L2
+    distances between each row's subvectors and every subspace
+    centroid.  The float->int grid snap happens HERE, once."""
+    n = X.shape[0]
+    m, ks, sub = cb.shape
+    Xs = X.reshape(n, m, sub)
+    out = np.empty((n, m, ks), dtype=np.int64)
+    for s in range(m):
+        # (n, ks, sub) broadcast diff; sum over the subspace axis
+        d = ((Xs[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s, :] = np.floor(d * _PQ_SCALE + 0.5).astype(np.int64)
+    return out
+
+
+def pq_encode(embeddings_ds, centroid_ids, m: int = 4):
+    """embeddings -> (vec_id, code0..code{m-1}, distortion_us): each
+    vector's per-subspace nearest-centroid codes (argmin of the
+    micro-unit distance, ties -> lowest centroid id) plus the exact
+    int64 total quantization distortion.  Map-only — the codebook is
+    ray.put once and every batch encodes independently; NO shuffle, so
+    it streams at any corpus size."""
+    import ray
+
+    cb = pq_codebook(embeddings_ds, centroid_ids, m)
+    cref = ray.put(cb)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        book = ray.get(cref)
+        X = _to_matrix(batch)
+        d = _pq_dists_us(X, book)
+        codes = d.argmin(axis=2)  # first minimal index = lowest cid
+        distortion = d.min(axis=2).sum(axis=1)
+        cols = {"vec_id": batch.column("vec_id").cast(pa.int64())}
+        for s in range(book.shape[0]):
+            cols[f"code{s}"] = pa.array(codes[:, s].astype(np.int64), pa.int64())
+        cols["distortion_us"] = pa.array(distortion.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def pq_ann(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    centroid_ids=None,
+    m: int = 4,
+):
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an (m, ks) int64 distance table against the codebook;
+    a candidate's distance is m table lookups summed exactly in int64.
+    Per-batch partial top-k (bounded candidate spill: Q*k rows per
+    batch) + one per-query merge — the same two-stage shape as
+    ann_topk, but the batch kernel never touches d-dim floats after
+    encoding.  Ascending distance, ties -> lowest neighbor id; the
+    query's own row is excluded."""
+    import ray
+
+    if centroid_ids is None:
+        centroid_ids = list(range(8))
+    cb = pq_codebook(embeddings_ds, centroid_ids, m)
+    qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
+    qtables = _pq_dists_us(qmat, cb)  # (Q, m, ks)
+    qarr = np.asarray(qids, dtype=np.int64)
+    ref = ray.put((cb, qarr, qtables))
+
+    def cand(batch: pa.Table) -> pa.Table:
+        book, qa, qt = ray.get(ref)
+        mm = book.shape[0]
+        X = _to_matrix(batch)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _pq_dists_us(X, book).argmin(axis=2)  # (n, m)
+        # adc[q, n] = sum_s qt[q, s, codes[n, s]] — exact int64
+        adc = qt[:, 0, :][:, codes[:, 0]].copy()
+        for s in range(1, mm):
+            adc += qt[:, s, :][:, codes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        for row, qid in enumerate(qa.tolist()):
+            keep = vids != qid
+            c_ids, c_d = vids[keep], adc[row][keep]
+            if len(c_ids) > k:
+                sel = np.lexsort((c_ids, c_d))[:k]
+                c_ids, c_d = c_ids[sel], c_d[sel]
+            out_q.append(np.full(len(c_ids), qid, dtype=np.int64))
+            out_n.append(c_ids)
+            out_d.append(c_d)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc_us": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    import polars as pl
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(["adc_us", "neighbor_id"]).head(k)
+        return pa.table(
+            {
+                "query_id": df["query_id"].to_arrow().cast(pa.int64()),
+                "neighbor_id": df["neighbor_id"].to_arrow().cast(pa.int64()),
+                "rnk": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+                "adc_us": df["adc_us"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    return (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(cand, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -6253,6 +6253,194 @@ def q_mmr_diversify_topk(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------------------
+# product quantization (Jégou 2011) — compressed-domain ANN
+# ----------------------------------------------------------------------
+
+def _pq_d_us(a: str, b: str) -> str:
+    """Micro-unit int64 squared-L2 between subspace s.s slices of two
+    embedding columns — the ONE float->int grid snap both engines
+    share (floor(d*1e6 + 0.5) == round-half-away; distances are >= 0)."""
+    sl = "list_slice({v}, s.s*16 + 1, s.s*16 + 16)"
+    return (
+        "CAST(floor(list_sum(list_transform(list_zip("
+        + sl.format(v=a) + ", " + sl.format(v=b) + "), "
+        "z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))) "
+        "* 1000000 + 0.5) AS BIGINT)"
+    )
+
+
+_PQ_CTES = (
+    """s AS (SELECT unnest(range(4)) AS s),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, s.s, c.cid, """
+    + _pq_d_us("e.embedding", "c.ce")
+    + """ AS d_us
+      FROM embeddings e CROSS JOIN c CROSS JOIN s),
+    a AS (SELECT vec_id, s, cid, d_us,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY d_us, cid) AS rn
+          FROM d)"""
+)
+
+
+@_q(
+    "pq_codes",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id,
+           max(CASE WHEN s = 0 THEN cid END)::BIGINT AS code0,
+           max(CASE WHEN s = 1 THEN cid END)::BIGINT AS code1,
+           max(CASE WHEN s = 2 THEN cid END)::BIGINT AS code2,
+           max(CASE WHEN s = 3 THEN cid END)::BIGINT AS code3,
+           sum(d_us)::BIGINT AS distortion_us
+    FROM a WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encode (Jégou, Douze & Schmid, TPAMI
+    2011): each 64-dim embedding becomes 4 subspace codes (nearest of
+    8 deterministic centroids per 16-dim subspace — centroids are the
+    subvectors of vec_id 0..7, the assignment-only-quantizer trick
+    ivf_ann_det uses) plus the exact int64 total distortion.  64
+    float32 -> 4 codes is the memory lever that keeps a 10^12-vector
+    sweep RAM-resident.  Map-only: codebook ray.put once, no shuffle.
+    Subspace distances snap to an int64 micro-grid before the argmin,
+    so assignment and distortion are integer-exact in both engines."""
+    from ..functions.similarity import pq_encode
+
+    return pq_encode(_read(sf_dir, "embeddings"), list(range(8)), m=4)
+
+
+@_q(
+    "pq_ann",
+    f"""
+    WITH {_PQ_CTES},
+    codes AS (SELECT vec_id, s, cid FROM a WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+    qd AS (SELECT q.qid, s.s, c.cid, {_pq_d_us("q.qe", "c.ce")} AS d_us
+           FROM q CROSS JOIN c CROSS JOIN s),
+    adc AS (SELECT qd.qid AS query_id, k.vec_id AS neighbor_id,
+                   sum(qd.d_us)::BIGINT AS adc_us
+            FROM codes k JOIN qd ON qd.s = k.s AND qd.cid = k.cid
+            WHERE k.vec_id <> qd.qid
+            GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, adc_us,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_us, neighbor_id) AS rnk
+               FROM adc)
+    SELECT query_id, neighbor_id, rnk, adc_us FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_pq_ann(sf_dir: str):
+    """Asymmetric-distance PQ search: each query precomputes an
+    (m x ks) int64 distance table; a candidate's distance is 4 table
+    lookups summed exactly in int64 — no d-dim float arithmetic in the
+    sweep, which is the compressed-domain search shape billion-scale
+    ANN systems run (IVFADC's scan stage).  Per-batch partial top-k
+    (Q*k rows max per batch) + one per-query merge; ranking is exact
+    integer comparison, bit-identical to the oracle's BIGINT sums."""
+    from ..functions.similarity import pq_ann
+
+    return pq_ann(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10,
+        centroid_ids=list(range(8)), m=4,
+    )
+
+
+# ----------------------------------------------------------------------
+# crawl-depth BFS over the link graph
+# ----------------------------------------------------------------------
+
+_HOP_SEEDS = [0, 1, 2]
+_HOP_MAX = 6
+
+
+@_q(
+    "hop_distance",
+    "WITH RECURSIVE " + _LINK_EDGE_CTES.strip() + f""",
+    ide AS (SELECT src AS a, t AS b FROM tgt WHERE t <> src),
+    walk(v, d) AS (
+      SELECT doc_id, 0 FROM documents
+      WHERE doc_id IN ({",".join(map(str, _HOP_SEEDS))})
+      UNION
+      SELECT e.b, w.d + 1 FROM walk w JOIN ide e ON e.a = w.v
+      WHERE w.d < {_HOP_MAX}),
+    md AS (SELECT v AS doc_id, min(d)::BIGINT AS dist FROM walk GROUP BY v)
+    SELECT d.doc_id, coalesce(m.dist, -1)::BIGINT AS dist
+    FROM documents d LEFT JOIN md m USING (doc_id)
+    """,
+)
+def q_hop_distance(sf_dir: str):
+    """Directed BFS crawl depth from the seed list over the real link
+    graph (HTML parse -> href resolution -> frontier canonicalization,
+    same edge derivation as link_components): every page's shortest
+    link-hop distance from seeds capped at 6 hops, -1 if
+    unreached — the frontier ``depth`` field of a breadth-first
+    crawler and the classic distance-from-trusted-seeds quality prior
+    (seeds 0,1,2).  Oracle is a recursive UNION walk (deduped
+    (node, depth) pairs, so rows are bounded by nodes x hops) reduced
+    by min."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import hop_distance, pages_to_edges
+
+    edges = pages_to_edges(read_documents_as_linked_pages(sf_dir))
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["src_url", "dst_url"]))
+        df = df.with_columns(
+            a=pl.col("src_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64),
+            b=pl.col("dst_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64),
+        ).select("a", "b").filter(pl.col("a") != pl.col("b"))
+        return df.to_arrow().cast(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        )
+
+    return hop_distance(
+        edges.map_batches(to_ids, batch_format="pyarrow"),
+        _HOP_SEEDS,
+        _docs(sf_dir, columns=("doc_id",)),
+        max_hops=_HOP_MAX,
+    )
+
+
+# ----------------------------------------------------------------------
+# source vocabulary overlap (data-mixing diagnostic)
+# ----------------------------------------------------------------------
+
+@_q(
+    "source_vocab_overlap",
+    """
+    WITH tok AS (
+      SELECT DISTINCT source, term FROM (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]{2,}')) AS term
+        FROM documents)),
+    v AS (SELECT source, count(*)::BIGINT AS nv FROM tok GROUP BY 1),
+    i AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*)::BIGINT AS inter_cnt
+          FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, i.inter_cnt,
+           (va.nv + vb.nv - i.inter_cnt)::BIGINT AS union_cnt,
+           i.inter_cnt::DOUBLE / (va.nv + vb.nv - i.inter_cnt) AS jaccard
+    FROM i JOIN v va ON va.source = i.source_a
+           JOIN v vb ON vb.source = i.source_b
+    """,
+)
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    data-mixing diagnostic next to DSIR's importance weights (which
+    sources are lexically near-redundant, which add coverage).  One
+    (source, term) distinct exchange + a term-grouped pair emission
+    bounded by the tiny source domain; ``jaccard`` is one exact IEEE
+    division of int64 counts."""
+    from ..stages.textstats import source_vocab_overlap
+
+    return source_vocab_overlap(_docs(sf_dir, columns=("source", "text")))
+
+
 # ======================================================================
 # driver sampling order
 # ======================================================================
@@ -6270,6 +6458,7 @@ _DRIVER_PRIORITY = [
     "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
     "ann_recall", "funnel_conversion", "link_components",
     "mmr_diversify_topk",
+    "pq_codes", "pq_ann", "hop_distance", "source_vocab_overlap",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",

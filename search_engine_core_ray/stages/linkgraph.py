@@ -763,3 +763,169 @@ def anchor_terms(pages, *, auto_threshold: int | None = AUTO_THRESHOLD):
         {"cnt": ("sum", "cnt")},
         auto_threshold=auto_threshold,
     )
+
+
+def hop_distance(
+    edges_ds,
+    seeds: list[int],
+    nodes_ds=None,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "doc_id",
+    max_hops: int = 6,
+    broadcast_limit: int | None = None,
+    num_partitions: int = 8,
+):
+    """Directed BFS hop distance from a seed set over the crawl link
+    graph -> Dataset(doc_id, dist): the crawl-DEPTH statistic (how many
+    link hops from the seed list reach each page — the frontier's
+    ``depth`` field in any breadth-first crawler, and the classic
+    crawl-quality prior: pages far from seeds are low-trust).  Seeds
+    get dist 0; a node's dist is the length of the shortest directed
+    path from any seed, capped at ``max_hops``; nodes unreached within
+    the cap get dist -1 when ``nodes_ds`` supplies the node universe.
+
+    Tiered like :func:`pagerank` / ``connected_components``: an edge
+    list under ``broadcast_limit`` rows solves on the driver with a
+    vectorized frontier sweep (the edge list is link-volume-sized);
+    above it the solve is Dataset-resident bounded Bellman-Ford — per
+    round one hash join (edges ⋈ current labels, partitioned on the
+    source id) + one ``sorted_agg`` min per destination + one gated
+    left join back, converging in <= max_hops rounds with an early-out
+    fixpoint count.  Distances are small ints; both tiers are exact
+    BFS and conformance-tested identical (tests/test_linkgraph.py).
+    """
+    import ray
+    import ray.data
+
+    limit = BROADCAST_ROW_LIMIT if broadcast_limit is None else broadcast_limit
+    seed_arr = sorted({int(s) for s in seeds})
+    edges = edges_ds.materialize()
+    n_edges = edges.count()
+
+    def _label_table(ids, dists) -> pa.Table:
+        return pa.table(
+            {
+                node_col: pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "dist": pa.array(np.asarray(dists, np.int64), pa.int64()),
+            }
+        )
+
+    if n_edges <= limit:
+        # driver tier: frontier BFS over collected arrays
+        src_l: list = []
+        dst_l: list = []
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            src_l.extend(b.column(a_col).to_pylist())
+            dst_l.extend(b.column(b_col).to_pylist())
+        src = np.asarray(src_l, dtype=np.int64)
+        dst = np.asarray(dst_l, dtype=np.int64)
+        dist: dict[int, int] = {s: 0 for s in seed_arr}
+        # adjacency via argsort on src
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        frontier = list(seed_arr)
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            if not frontier:
+                break
+            fa = np.asarray(frontier, np.int64)
+            lo = np.searchsorted(src_s, fa, side="left")
+            hi = np.searchsorted(src_s, fa, side="right")
+            for l, h in zip(lo.tolist(), hi.tolist()):
+                for v in dst_s[l:h].tolist():
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        ids = sorted(dist)
+        labels = ray.data.from_arrow(
+            _label_table(ids, [dist[i] for i in ids])
+        )
+    else:
+        # distributed tier: bounded Bellman-Ford rounds
+        labels = ray.data.from_arrow(
+            _label_table(seed_arr, [0] * len(seed_arr))
+        ).materialize()
+        big = np.iinfo(np.int64).max
+        for _ in range(max_hops):
+            nbr = (
+                edges.join(
+                    labels.map_batches(
+                        lambda b: b.rename_columns([a_col, "dist"]),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=(a_col,),
+                )
+                .repartition(num_partitions)
+                .map_batches(
+                    lambda b: pa.table(
+                        {
+                            node_col: b.column(b_col).cast(pa.int64()),
+                            "nd": pc.add(
+                                b.column("dist").cast(pa.int64()), 1
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            best = sorted_agg(
+                nbr, node_col, {"nd": ("min", "nd")},
+                auto_threshold=AUTO_THRESHOLD,
+            )
+            merged = gated_left_join(
+                labels, node_col, best, node_col, ["nd"],
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda b: pa.table(
+                    {
+                        node_col: b.column(node_col),
+                        "dist": pc.min_element_wise(
+                            b.column("dist"),
+                            pc.fill_null(pc.cast(b.column("nd"), pa.int64()), big),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            # newly-reached nodes (in best, not yet in labels) append
+            fresh = gated_left_join(
+                best, node_col, labels, node_col, ["dist"],
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda b: pa.table(
+                    {
+                        node_col: b.filter(
+                            pc.is_null(b.column("dist"))
+                        ).column(node_col),
+                        "dist": pc.cast(
+                            b.filter(pc.is_null(b.column("dist"))).column("nd"),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            n_fresh = fresh.count()
+            labels = merged.union(fresh).repartition(num_partitions).materialize()
+            if n_fresh == 0:
+                break
+
+    if nodes_ds is None:
+        return labels
+    return gated_left_join(
+        nodes_ds.select_columns([node_col]), node_col, labels, node_col, ["dist"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                node_col: b.column(node_col).cast(pa.int64()),
+                "dist": pc.fill_null(pc.cast(b.column("dist"), pa.int64()), -1),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1066,3 +1066,99 @@ def winnow_fingerprints(
             "fp": pa.array(out_fp, pa.int64()),
         }
     )
+
+
+def source_vocab_overlap(docs_ds, *, auto_threshold: int | None = None):
+    """Pairwise vocabulary Jaccard between corpus SOURCES ->
+    (source_a, source_b, inter_cnt, union_cnt, jaccard): the
+    data-mixing diagnostic (how lexically similar are two crawl
+    sources / domains / dumps) used to pick mixture weights next to
+    DSIR's importance weights.  Tokenization is the engine's
+    extractTerms rule (TOKEN_RE, lowercased); a source's vocabulary is
+    its distinct term set; only intersecting pairs appear (disjoint
+    vocabularies are not web-plausible and would add C(sources,2)
+    zero rows).
+
+    Scale shape: one distinct over (source, term) — map-side unique per
+    batch, then ``sorted_distinct`` (corpus-proportional keys, the one
+    big exchange); per-term pair emission is groupby(term).map_groups
+    with fan-out bounded by sources-per-term <= |sources| (the source
+    DOMAIN is tiny — dumps / registrable domains buckets — so pair rows
+    are |terms| * O(|sources|^2) worst case, and the final pair/vocab
+    reduction is pair-domain-bounded).  ``jaccard`` is one exact IEEE
+    division of int64 counts — bit-identical across engines.
+    """
+    from .shuffle import sorted_agg, sorted_distinct
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch.select(["source", "text"]))
+            .with_columns(
+                pl.col("text").fill_null("").str.extract_all(TOKEN_RE).alias("tok")
+            )
+            .select("source", "tok")
+            .explode("tok")
+            .drop_nulls("tok")
+            .with_columns(pl.col("tok").str.to_lowercase().alias("term"))
+            .select("source", "term")
+            .unique()
+        )
+        return df.to_arrow().cast(
+            pa.schema([("source", pa.string()), ("term", pa.string())])
+        )
+
+    tok = sorted_distinct(
+        docs_ds.map_batches(explode, batch_format="pyarrow"),
+        ["source", "term"],
+        auto_threshold=auto_threshold,
+    ).materialize()
+
+    vocab = sorted_agg(
+        tok, "source", {"nv": ("count", "term")}, auto_threshold=auto_threshold
+    )
+    # source-domain-bounded collect (dumps/domain buckets, not corpus)
+    nv = {
+        r["source"]: int(r["nv"])
+        for b in vocab.iter_batches(batch_size=None, batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+
+    def pair_rows(group: pa.Table) -> pa.Table:
+        srcs = sorted(group.column("source").to_pylist())
+        a_l, b_l = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                a_l.append(srcs[i])
+                b_l.append(srcs[j])
+        return pa.table(
+            {
+                "source_a": pa.array(a_l, pa.string()),
+                "source_b": pa.array(b_l, pa.string()),
+                "cnt": pa.array(np.ones(len(a_l), np.int64), pa.int64()),
+            }
+        )
+
+    inter = sorted_agg(
+        tok.groupby("term").map_groups(pair_rows, batch_format="pyarrow"),
+        ["source_a", "source_b"],
+        {"inter_cnt": ("sum", "cnt")},
+        auto_threshold=auto_threshold,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        na = np.asarray([nv[s] for s in df["source_a"].to_list()], np.int64)
+        nb = np.asarray([nv[s] for s in df["source_b"].to_list()], np.int64)
+        ic = df["inter_cnt"].to_numpy().astype(np.int64)
+        un = na + nb - ic
+        return pa.table(
+            {
+                "source_a": df["source_a"].to_arrow().cast(pa.string()),
+                "source_b": df["source_b"].to_arrow().cast(pa.string()),
+                "inter_cnt": pa.array(ic, pa.int64()),
+                "union_cnt": pa.array(un, pa.int64()),
+                "jaccard": pa.array(ic.astype(np.float64) / un, pa.float64()),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
