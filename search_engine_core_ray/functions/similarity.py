@@ -889,3 +889,126 @@ def pq_ann(
         .groupby("query_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def ivf_pq_ann(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    centroid_ids=None,
+    n_probe: int = 2,
+    m: int = 4,
+):
+    """IVFADC (Jégou 2011 §IV): the composed billion-scale ANN recipe —
+    an IVF coarse quantizer restricts each query to ``n_probe`` buckets
+    and the scan inside a bucket is PQ asymmetric distance over codes,
+    never raw vectors.  ONE deterministic centroid table plays both
+    roles (bucket = nearest centroid by full-vector cosine, exactly
+    ivf_ann_det's rule; PQ codebook = the same vectors' subvectors), so
+    the SQL oracle reuses one CTE for both quantizers.
+
+    Scale shape: the corpus map emits only (bucket, vec_id, codes) —
+    a ~20-byte row regardless of d, which is the point: the groupby
+    exchange and the per-bucket scans ship codes, not embeddings.
+    Probing all buckets degrades exactly to :func:`pq_ann`'s ranking
+    (pinned in tests); ADC sums are exact int64 as in pq_ann."""
+    import ray
+
+    if centroid_ids is None:
+        centroid_ids = list(range(8))
+    cents, got = _collect_query_vectors(embeddings_ds, centroid_ids)
+    if list(got) != sorted({int(c) for c in centroid_ids}):
+        raise ValueError(f"centroid ids {centroid_ids} not all present")
+    ks, dim = cents.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    cb = cents.reshape(ks, m, dim // m).transpose(1, 0, 2).copy()
+
+    qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
+    qtables = _pq_dists_us(qmat, cb)  # (Q, m, ks)
+    qsims = cosine_block(qmat, cents)
+    cidx = np.arange(qsims.shape[1])
+    # per-bucket probe map {bucket: [row indices into qids]} — ties ->
+    # lowest centroid id, the ivf_ann_det ORDER BY s DESC, cid rule
+    probes_of: dict[int, list[int]] = {}
+    for row in range(len(qids)):
+        for c in np.lexsort((cidx, -qsims[row]))[: min(n_probe, ks)]:
+            probes_of.setdefault(int(c), []).append(row)
+    qarr = np.asarray(qids, dtype=np.int64)
+    ref = ray.put((cents, cb, qarr, qtables, probes_of))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        cs, book, _, _, _ = ray.get(ref)
+        X = _to_matrix(batch)
+        bucket = cosine_block(X, cs).argmax(axis=1)
+        codes = _pq_dists_us(X, book).argmin(axis=2)
+        cols = {
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+        }
+        for s in range(book.shape[0]):
+            cols[f"code{s}"] = pa.array(codes[:, s].astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        _, book, qa, qt, pmap = ray.get(ref)
+        mm = book.shape[0]
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "adc_us": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        bucket = int(group.column("bucket")[0].as_py())
+        rows = pmap.get(bucket, [])
+        if not rows:
+            return empty
+        vids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack(
+            [group.column(f"code{s}").to_numpy(zero_copy_only=False) for s in range(mm)],
+            axis=1,
+        ).astype(np.int64)
+        out_q, out_n, out_d = [], [], []
+        for row in rows:
+            qid = int(qa[row])
+            adc = qt[row, 0, :][codes[:, 0]].copy()
+            for s in range(1, mm):
+                adc += qt[row, s, :][codes[:, s]]
+            keep = vids != qid
+            c_ids, c_d = vids[keep], adc[keep]
+            if len(c_ids) > k:
+                sel = np.lexsort((c_ids, c_d))[:k]
+                c_ids, c_d = c_ids[sel], c_d[sel]
+            out_q.append(np.full(len(c_ids), qid, dtype=np.int64))
+            out_n.append(c_ids)
+            out_d.append(c_d)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc_us": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    import polars as pl
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(["adc_us", "neighbor_id"]).head(k)
+        return pa.table(
+            {
+                "query_id": df["query_id"].to_arrow().cast(pa.int64()),
+                "neighbor_id": df["neighbor_id"].to_arrow().cast(pa.int64()),
+                "rnk": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+                "adc_us": df["adc_us"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    return (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign_encode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -6349,6 +6349,63 @@ def q_pq_ann(sf_dir: str):
     )
 
 
+@_q(
+    "ivf_pq_ann",
+    f"""
+    WITH {_PQ_CTES},
+    codes AS (SELECT vec_id, s, cid FROM a WHERE rn = 1),
+    sims AS (SELECT e.vec_id, c.cid,
+                    {_SD_COS.format(a="e.embedding", b="c.ce")} AS sv
+             FROM embeddings e CROSS JOIN c),
+    av AS (SELECT vec_id, cid AS bucket FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sv DESC, cid) AS arn
+             FROM sims) WHERE arn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+    qp AS (SELECT q.qid, c.cid,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY {_SD_COS.format(a="q.qe", b="c.ce")} DESC,
+                             c.cid) AS prn
+           FROM q CROSS JOIN c),
+    probes AS (SELECT qid, cid FROM qp WHERE prn <= 2),
+    qd AS (SELECT q.qid, s.s, c.cid, {_pq_d_us("q.qe", "c.ce")} AS d_us
+           FROM q CROSS JOIN c CROSS JOIN s),
+    adc AS (SELECT p.qid AS query_id, av.vec_id AS neighbor_id,
+                   sum(qd.d_us)::BIGINT AS adc_us
+            FROM probes p
+            JOIN av ON av.bucket = p.cid
+            JOIN codes kk ON kk.vec_id = av.vec_id
+            JOIN qd ON qd.qid = p.qid AND qd.s = kk.s AND qd.cid = kk.cid
+            WHERE av.vec_id <> p.qid
+            GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, adc_us,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_us, neighbor_id) AS rnk
+               FROM adc)
+    SELECT query_id, neighbor_id, rnk, adc_us FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_ivf_pq_ann(sf_dir: str):
+    """IVFADC — the composed billion-scale ANN recipe (Jégou 2011
+    §IV): the IVF coarse quantizer restricts each query to 2 of 8
+    buckets (ivf_ann_det's exact assignment/probe rule) and the
+    in-bucket scan is PQ asymmetric distance over 4-byte codes
+    (pq_ann's exact int64 ADC), so the corpus exchange ships
+    (bucket, vec_id, codes) rows — ~20 B regardless of dimension.  ONE
+    deterministic centroid table (vec_id 0..7) plays both quantizer
+    roles, which is what lets one oracle CTE replay both.  Probing all
+    8 buckets degrades exactly to pq_ann's ranking (pinned in
+    tests/test_pq_hop_vocab.py)."""
+    from ..functions.similarity import ivf_pq_ann
+
+    return ivf_pq_ann(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10,
+        centroid_ids=list(range(8)), n_probe=2, m=4,
+    )
+
+
 # ----------------------------------------------------------------------
 # crawl-depth BFS over the link graph
 # ----------------------------------------------------------------------
@@ -6458,7 +6515,8 @@ _DRIVER_PRIORITY = [
     "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
     "ann_recall", "funnel_conversion", "link_components",
     "mmr_diversify_topk",
-    "pq_codes", "pq_ann", "hop_distance", "source_vocab_overlap",
+    "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
+    "source_vocab_overlap",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",

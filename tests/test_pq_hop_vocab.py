@@ -177,3 +177,34 @@ def test_source_vocab_overlap_invariants(ray_session):
     assert ((out.jaccard > 0) & (out.jaccard <= 1)).all()
     # jaccard is the exact single division of its own integer columns
     assert (out.jaccard == out.inter_cnt / out.union_cnt).all()
+
+
+def test_ivf_pq_full_probe_equals_pq_ann(ray_session):
+    # probing ALL buckets makes IVFADC's candidate set the whole
+    # corpus, so its ranking must equal plain PQ ADC search exactly
+    from search_engine_core_ray.functions.similarity import ivf_pq_ann
+
+    full = (
+        ivf_pq_ann(_emb(), [0, 1, 2], k=10,
+                   centroid_ids=list(range(8)), n_probe=8, m=4)
+        .to_pandas().sort_values(["query_id", "rnk"], ignore_index=True)
+    )
+    flat = (
+        pq_ann(_emb(), [0, 1, 2], k=10, centroid_ids=list(range(8)), m=4)
+        .to_pandas().sort_values(["query_id", "rnk"], ignore_index=True)
+    )
+    assert full.equals(flat)
+
+
+def test_ivf_pq_probe_subset_of_full(ray_session):
+    # n_probe=2 candidates are a subset of the full-probe candidate
+    # set per query, at identical adc values for shared neighbors
+    from search_engine_core_ray.functions.similarity import ivf_pq_ann
+
+    sub = ivf_pq_ann(_emb(), [0], k=50, centroid_ids=list(range(8)),
+                     n_probe=2, m=4).to_pandas()
+    full = ivf_pq_ann(_emb(), [0], k=500, centroid_ids=list(range(8)),
+                      n_probe=8, m=4).to_pandas()
+    fmap = dict(zip(full.neighbor_id, full.adc_us))
+    assert set(sub.neighbor_id) <= set(full.neighbor_id)
+    assert all(fmap[n] == d for n, d in zip(sub.neighbor_id, sub.adc_us))
