@@ -6498,6 +6498,97 @@ def q_source_vocab_overlap(sf_dir: str):
     return source_vocab_overlap(_docs(sf_dir, columns=("source", "text")))
 
 
+# ----------------------------------------------------------------------
+# event burst detection (trailing z-score, exact integer algebra)
+# ----------------------------------------------------------------------
+
+_BURST_W = 6  # trailing windows in the baseline
+
+
+@_q(
+    "event_bursts",
+    f"""
+    WITH w AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, window_start, cnt,
+             count(*) OVER p::BIGINT AS n_prev,
+             COALESCE(sum(cnt) OVER p, 0)::BIGINT AS s,
+             COALESCE(sum(cnt * cnt) OVER p, 0)::BIGINT AS q
+      FROM w
+      WINDOW p AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN {_BURST_W} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, window_start, cnt, n_prev,
+           s AS trail_sum, q AS trail_sumsq,
+           (CASE WHEN n_prev = {_BURST_W}
+                  AND ({_BURST_W} * cnt - s) > 0
+                  AND ({_BURST_W} * cnt - s) * ({_BURST_W} * cnt - s)
+                      > 9 * ({_BURST_W} * q - s * s)
+                 THEN 1 ELSE 0 END)::BIGINT AS is_burst
+    FROM t
+    """,
+)
+def q_event_bursts(sf_dir: str):
+    """Traffic-burst / anomaly detection per event type: hourly counts
+    (the events_window rule) flagged when the count sits more than 3
+    trailing standard deviations above the mean of the previous 6
+    populated windows.  The z-test is algebraically cleared of the
+    sqrt and divisions — burst iff W*c - S > 0 AND (W*c - S)^2 >
+    9*(W*Q - S^2) with S/Q the trailing sum / sum of squares — so the
+    whole operator is exact int64 arithmetic, bit-identical to the
+    oracle's BIGINT window frames.  Scale shape: the hourly count
+    groupby is the one corpus exchange; the per-type rolling pass is
+    time-domain-bounded (windows per type = timespan hours), one
+    vectorized prefix-sum kernel per group."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    W = _BURST_W
+
+    def add_window(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["event_type", "ts"]))
+        df = df.with_columns(pl.col("ts").dt.truncate("1h").alias("window_start"))
+        return df.drop("ts").to_arrow()
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def burst_group(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("window_start")
+        c = df["cnt"].to_numpy().astype(np.int64)
+        n = len(c)
+        csum = np.concatenate([[0], np.cumsum(c)])
+        csq = np.concatenate([[0], np.cumsum(c * c)])
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - W)
+        n_prev = idx - lo
+        s = csum[idx] - csum[lo]
+        q = csq[idx] - csq[lo]
+        diff = W * c - s
+        burst = (n_prev == W) & (diff > 0) & (diff * diff > 9 * (W * q - s * s))
+        return pa.table(
+            {
+                "event_type": df["event_type"].to_arrow(),
+                "window_start": df["window_start"].to_arrow(),
+                "cnt": pa.array(c, pa.int64()),
+                "n_prev": pa.array(n_prev.astype(np.int64), pa.int64()),
+                "trail_sum": pa.array(s, pa.int64()),
+                "trail_sumsq": pa.array(q, pa.int64()),
+                "is_burst": pa.array(burst.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        burst_group, batch_format="pyarrow"
+    )
+
+
 # ======================================================================
 # driver sampling order
 # ======================================================================
