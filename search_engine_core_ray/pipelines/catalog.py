@@ -6589,6 +6589,105 @@ def q_event_bursts(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------------------
+# TrustRank (seed-biased PageRank) — link-spam demotion
+# ----------------------------------------------------------------------
+
+_TRUST_SEED_DOCS = [0, 1, 2]
+
+
+def _trustrank_sql(iterations: int = PR_ITERATIONS, scale: int = 10**12,
+                   damp_num: int = 85, damp_den: int = 100) -> str:
+    """Unrolled fixed-point TrustRank oracle — the PageRank generator's
+    CTE-trio structure with teleport and dangling mass restricted to
+    the seed set: a nodes CTE carries a seed flag ``sd``, |S| is one
+    materialized scalar, and every it{k} multiplies the jump and the
+    dangling share by sd.  Pure BIGINT arithmetic, bit-identical to
+    stages/linkgraph.py _trustrank_* by construction."""
+    edge_ctes = _LINK_EDGE_CTES.strip().replace(" AS (", " AS MATERIALIZED (")
+    seed_ids = ", ".join(map(str, _TRUST_SEED_DOCS))
+    parts = [
+        "WITH " + edge_ctes + ",",
+        f"""
+    seeds AS MATERIALIZED (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url
+      FROM documents WHERE doc_id IN ({seed_ids})),
+    nodes AS MATERIALIZED (
+      SELECT url,
+             (CASE WHEN url IN (SELECT url FROM seeds)
+                   THEN 1 ELSE 0 END)::BIGINT AS sd
+      FROM (SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url
+            FROM documents
+            UNION SELECT DISTINCT dst_url FROM e)),
+    nsc AS MATERIALIZED (SELECT sum(sd)::BIGINT AS ns FROM nodes),
+    outd AS MATERIALIZED (
+      SELECT src_url AS url, count(*)::BIGINT AS od FROM e GROUP BY 1),
+    it0 AS MATERIALIZED (
+      SELECT url, sd * (SELECT {scale} // ns FROM nsc) AS r FROM nodes)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+    d{k} AS MATERIALIZED (
+             SELECT (SELECT COALESCE(SUM(p.r), 0)::BIGINT
+                     FROM it{k - 1} p LEFT JOIN outd o USING (url)
+                     WHERE o.od IS NULL) AS dm),
+    c{k} AS MATERIALIZED (
+             SELECT e.dst_url AS url, SUM(p.r // o.od)::BIGINT AS s
+             FROM e JOIN it{k - 1} p ON e.src_url = p.url
+                    JOIN outd o ON e.src_url = o.url
+             GROUP BY 1),
+    it{k} AS MATERIALIZED (
+      SELECT n.url,
+             n.sd * (SELECT ({damp_den - damp_num} * {scale}) // ({damp_den} * ns)
+                     FROM nsc)
+             + ({damp_num} * (COALESCE(c.s, 0)
+                + n.sd * (SELECT (SELECT dm FROM d{k}) // ns FROM nsc)))
+               // {damp_den}
+               AS r
+      FROM nodes n LEFT JOIN c{k} c USING (url))""")
+    parts.append(
+        f"""
+    SELECT url, r::BIGINT AS rank_scaled, r / {scale}.0 AS trustrank
+    FROM it{iterations}"""
+    )
+    return "".join(parts)
+
+
+@_q("trustrank", _trustrank_sql())
+def q_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): trust
+    mass starts at hand-picked seed pages (docs 0,1,2 — hop_distance's
+    seeds) and flows only along real parsed links, so link farms far
+    from trusted seeds score ~0 — the damped continuous complement to
+    hop_distance's hard depth cut, and the second classic seed-biased
+    link signal next to PageRank.  Same integer fixed-point discipline
+    and two-tier gate as pagerank; the one structural change — teleport
+    and dangling mass restricted to the seed set — rides a seed flag in
+    the rank state."""
+    import pyarrow.parquet as pq_
+    import pyarrow.compute as pc_
+
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import trustrank
+
+    t = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    t = t.filter(
+        pc_.is_in(
+            t.column("doc_id"),
+            value_set=pa.array(_TRUST_SEED_DOCS, pa.int64()),
+        )
+    )
+    seed_urls = [
+        f"https://{s}.example.com/doc/{d}"
+        for d, s in zip(
+            t.column("doc_id").to_pylist(), t.column("source").to_pylist()
+        )
+    ]
+    return trustrank(read_documents_as_linked_pages(sf_dir), seed_urls)
+
+
 # ======================================================================
 # driver sampling order
 # ======================================================================

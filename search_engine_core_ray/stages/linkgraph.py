@@ -929,3 +929,263 @@ def hop_distance(
         ),
         batch_format="pyarrow",
     )
+
+
+def _trustrank_local(
+    node_urls: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed_urls: set,
+    *,
+    iterations: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+) -> pa.Table:
+    """Vectorized in-memory TrustRank solve — PageRank's integer
+    fixed-point discipline with teleport and dangling mass restricted
+    to the SEED set (uniform over |S|), per Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004 (biased PageRank form):
+
+        r0[v]  = v in S ? scale // |S| : 0
+        r'[v]  = (v in S ? ((dd-dn)*scale) // (dd*|S|) : 0)
+                 + (dn * (contrib[v] + (v in S ? D // |S| : 0))) // dd
+
+    All quantities positive ints; floor == truncation in every engine.
+    With S = all nodes this is exactly PageRank's update."""
+    order = np.argsort(node_urls, kind="stable")
+    nodes_sorted = node_urls[order]
+    n = len(nodes_sorted)
+    sd = np.array([u in seed_urls for u in nodes_sorted], dtype=bool)
+    ns = int(sd.sum())
+    if ns == 0:
+        raise ValueError("no seed url present in the node set")
+    si = np.searchsorted(nodes_sorted, src)
+    di = np.searchsorted(nodes_sorted, dst)
+    od = np.bincount(si, minlength=n).astype(np.int64)
+    dangling = od == 0
+    jump = ((damp_den - damp_num) * scale) // (damp_den * ns)
+    r = np.where(sd, scale // ns, 0).astype(np.int64)
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.int64)
+        if len(si):
+            np.add.at(contrib, di, r[si] // od[si])
+        d_mass = int(r[dangling].sum())
+        share = d_mass // ns
+        r = sd * jump + (damp_num * (contrib + sd * share)) // damp_den
+    return pa.table(
+        {
+            "url": pa.array(nodes_sorted, pa.string()),
+            "rank_scaled": pa.array(r.astype(np.int64), pa.int64()),
+            "trustrank": pa.array(
+                r.astype(np.float64) / float(scale), pa.float64()
+            ),
+        }
+    )
+
+
+def trustrank(
+    pages,
+    seed_urls: list[str],
+    *,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+    num_partitions: int = 8,
+):
+    """TrustRank over the corpus link graph: trust mass starts at a
+    hand-picked seed set and flows only along links, so pages far from
+    trusted seeds score ~0 — the classic link-spam demotion signal
+    (complementing :func:`hop_distance`'s hard depth cut with a damped
+    continuous one).  Returns (url, rank_scaled int64, trustrank
+    double = rank_scaled/scale, one exact division).
+
+    Same two-tier gate as :func:`pagerank` — vectorized driver solve
+    under ``broadcast_limit`` graph rows, else the Dataset-resident
+    iteration (edges ⋈ ranks hash join + ``sorted_agg`` inbound mass +
+    gated left join per round) with the seed flag carried INSIDE the
+    state Dataset; tiers are bit-identical (integer arithmetic,
+    conformance-tested in tests/test_trustrank.py)."""
+    edges = pages_to_edges(pages).materialize()
+    nodes = graph_nodes(pages, edges).materialize()
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    seeds = set(seed_urls)
+
+    if n_nodes + n_edges <= broadcast_limit:
+        node_urls = np.asarray(
+            [u for b in nodes.iter_batches(batch_size=None, batch_format="pyarrow")
+             for u in b.column("url").to_pylist()],
+            dtype=object,
+        )
+        src_l: list = []
+        dst_l: list = []
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            src_l.extend(b.column("src_url").to_pylist())
+            dst_l.extend(b.column("dst_url").to_pylist())
+        import ray.data
+
+        return ray.data.from_arrow(
+            _trustrank_local(
+                node_urls,
+                np.asarray(src_l, dtype=object),
+                np.asarray(dst_l, dtype=object),
+                seeds,
+                iterations=iterations,
+                scale=scale,
+                damp_num=damp_num,
+                damp_den=damp_den,
+            )
+        )
+
+    return _trustrank_distributed(
+        nodes, edges, seeds,
+        iterations=iterations, scale=scale,
+        damp_num=damp_num, damp_den=damp_den,
+        num_partitions=num_partitions,
+    )
+
+
+def _trustrank_distributed(
+    nodes,
+    edges,
+    seeds: set,
+    *,
+    iterations: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+    num_partitions: int,
+):
+    """Dataset-resident TrustRank iteration.  State per node:
+    (url, od, sd, r) — the seed flag rides the state so each round is
+    still one hash join + one sorted_agg + one gated left join; |S| is
+    one filtered count up front and the dangling mass one filtered sum
+    per round (exact scalars, same as PageRank's)."""
+    import pyarrow.compute as _pc
+
+    seed_arr = pa.array(sorted(seeds), pa.string())
+
+    outdeg = sorted_agg(
+        edges.map_batches(
+            lambda b: b.select(["src_url"]).rename_columns(["url"]),
+            batch_format="pyarrow",
+        ),
+        "url",
+        {"od": ("count", "url")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    ns = nodes.map_batches(
+        lambda b: b.filter(_pc.is_in(b.column("url"), value_set=seed_arr)),
+        batch_format="pyarrow",
+    ).count()
+    if ns == 0:
+        raise ValueError("no seed url present in the node set")
+    jump = ((damp_den - damp_num) * scale) // (damp_den * ns)
+    init = scale // ns
+
+    state = gated_left_join(nodes, "url", outdeg, "url", ["od"]).map_batches(
+        lambda b: _unlarge(
+            pa.table(
+                {
+                    "url": b.column("url"),
+                    "od": _pc.cast(_pc.fill_null(b.column("od"), 0), pa.int64()),
+                    "sd": _pc.cast(
+                        _pc.is_in(b.column("url"), value_set=seed_arr),
+                        pa.int64(),
+                    ),
+                    "r": _pc.multiply(
+                        _pc.cast(
+                            _pc.is_in(b.column("url"), value_set=seed_arr),
+                            pa.int64(),
+                        ),
+                        init,
+                    ),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        d_mass = state.map_batches(
+            lambda b: b.filter(_pc.equal(b.column("od"), 0)).select(["r"]),
+            batch_format="pyarrow",
+        ).sum("r") or 0
+        flows = edges.join(
+            state.map_batches(
+                lambda b: b.select(["url", "od", "r"]).rename_columns(
+                    ["src_url", "od", "r"]
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src_url",),
+        ).repartition(num_partitions).map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b.column("dst_url"),
+                    "c": _pc.cast(
+                        _pc.divide(b.column("r"), b.column("od")), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib = sorted_agg(
+            flows, "url", {"c": ("sum", "c")}, auto_threshold=AUTO_THRESHOLD
+        )
+        share = d_mass // ns
+        state = gated_left_join(
+            state.map_batches(
+                lambda b: b.select(["url", "od", "sd"]), batch_format="pyarrow"
+            ),
+            "url",
+            contrib,
+            "url",
+            ["c"],
+        ).map_batches(
+            lambda b, _j=jump, _sh=share, _dn=damp_num, _dd=damp_den: _unlarge(
+                pa.table(
+                    {
+                        "url": b.column("url"),
+                        "od": b.column("od"),
+                        "sd": b.column("sd"),
+                        "r": pa.array(
+                            b.column("sd").to_numpy(zero_copy_only=False) * _j
+                            + (
+                                _dn
+                                * (
+                                    _pc.fill_null(b.column("c"), 0)
+                                    .cast(pa.int64())
+                                    .to_numpy(zero_copy_only=False)
+                                    + b.column("sd").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                    * _sh
+                                )
+                            )
+                            // _dd,
+                            pa.int64(),
+                        ),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return state.map_batches(
+        lambda b, _s=scale: pa.table(
+            {
+                "url": b.column("url"),
+                "rank_scaled": b.column("r"),
+                "trustrank": _pc.divide(
+                    _pc.cast(b.column("r"), pa.float64()), float(_s)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
