@@ -379,7 +379,7 @@ def main() -> None:
         "neardup_clusters", "rrf_hybrid_topk", "ann_recall",
         "funnel_conversion", "link_components", "mmr_diversify_topk",
         "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
-        "source_vocab_overlap", "event_bursts", "trustrank",
+        "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
         "winnow_overlap_pairs",  # runs winnow_fingerprints inside it
         # training_data_card is deliberately NOT benched: it re-runs the
         # prepare_training_data stages (timed above) for its counts

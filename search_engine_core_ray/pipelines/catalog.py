@@ -6688,6 +6688,64 @@ def q_trustrank(sf_dir: str):
     return trustrank(read_documents_as_linked_pages(sf_dir), seed_urls)
 
 
+# ----------------------------------------------------------------------
+# crawl snapshot delta (re-crawl planning)
+# ----------------------------------------------------------------------
+
+@_q(
+    "crawl_delta",
+    """
+    WITH a AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 6),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 3 THEN text || ' updated'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 11 <> 5)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           a.h AS old_md5, b.h AS new_md5,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h = b.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def q_crawl_delta(sf_dir: str):
+    """Re-crawl delta classification — the incremental-ingest planning
+    table: compare two crawl snapshots by content hash and mark every
+    url added / removed / changed / unchanged, which is exactly the
+    decision input for add_pages (changed+added), delete_document
+    (removed) and skip (unchanged).  Snapshot synthesis mirrors the
+    incremental_dedup dirty-CASE pattern: snapshot A drops doc_id %
+    13 == 6 (those become 'added'), snapshot B drops doc_id % 11 == 5
+    ('removed') and rewrites text for doc_id % 7 == 3 ('changed').
+    One key-partitioned full_outer join over (key, md5) narrow rows is
+    the only exchange."""
+    from ..stages.dedup import snapshot_delta, text_md5
+
+    docs = _docs(sf_dir)
+
+    def snap(which: str):
+        def f(b: pa.Table, _w=which) -> pa.Table:
+            df = pl.from_arrow(b)
+            if _w == "a":
+                df = df.filter(pl.col("doc_id") % 13 != 6)
+            else:
+                df = df.filter(pl.col("doc_id") % 11 != 5).with_columns(
+                    pl.when(pl.col("doc_id") % 7 == 3)
+                    .then(pl.col("text") + pl.lit(" updated"))
+                    .otherwise(pl.col("text"))
+                    .alias("text")
+                )
+            return text_md5(df.to_arrow()).select(["doc_id", "text_md5"])
+        return f
+
+    old = docs.map_batches(snap("a"), batch_format="pyarrow")
+    new = docs.map_batches(snap("b"), batch_format="pyarrow")
+    return snapshot_delta(old, new)
+
+
 # ======================================================================
 # driver sampling order
 # ======================================================================

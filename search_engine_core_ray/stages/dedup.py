@@ -1742,3 +1742,55 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+def snapshot_delta(old_ds, new_ds, *, key: str = "doc_id", num_partitions: int = 8):
+    """Re-crawl delta classification: two crawl snapshots (each a
+    Dataset with ``key`` + ``text_md5``, the exact_dedup hash) ->
+    (key, old_md5, new_md5, status) with status in
+    added / removed / changed / unchanged — the incremental-ingest
+    planning table (what to re-extract, re-index, tombstone) that
+    drives ``add_pages`` / ``delete_document`` decisions after a fresh
+    crawl.
+
+    Scale shape: both inputs are already narrow (key + 32-char hash);
+    the one exchange is a key-partitioned ``full_outer`` join, then a
+    vectorized classify map.  The repartition merges the schema-less
+    empty blocks Ray's joiner emits for empty partitions (the
+    documented Ray 2.49 hazard — see the verify tail note below)."""
+    o = old_ds.map_batches(
+        lambda b: b.select([key, "text_md5"]).rename_columns([key, "old_md5"]),
+        batch_format="pyarrow",
+    )
+    n = new_ds.map_batches(
+        lambda b: b.select([key, "text_md5"]).rename_columns([key, "new_md5"]),
+        batch_format="pyarrow",
+    )
+    joined = o.join(
+        n, join_type="full_outer", num_partitions=num_partitions, on=(key,)
+    ).repartition(num_partitions)
+
+    def classify(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        df = df.with_columns(
+            pl.when(pl.col("old_md5").is_null())
+            .then(pl.lit("added"))
+            .when(pl.col("new_md5").is_null())
+            .then(pl.lit("removed"))
+            .when(pl.col("old_md5") == pl.col("new_md5"))
+            .then(pl.lit("unchanged"))
+            .otherwise(pl.lit("changed"))
+            .alias("status")
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    (key, pa.int64()),
+                    ("old_md5", pa.string()),
+                    ("new_md5", pa.string()),
+                    ("status", pa.string()),
+                ]
+            )
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
