@@ -153,6 +153,32 @@ def _seg_ratio(a_dir: str, b_dir: str) -> float:
     return round(tot(a_dir) / tb, 4) if tb else 0.0
 
 
+def _seg_mem_ratio(a_dir: str, b_dir: str) -> float:
+    """In-memory (Arrow buffer) segment bytes of a / b — the resident
+    footprint a preloaded serving shard actually holds, before the
+    on-disk zstd layer (which flatters byte-aligned codecs and can't
+    shrink near-entropy ones like Elias-Fano)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    def tot(d):
+        s = 0
+        for p in _glob.glob(os.path.join(d, "segments", "*", "*.parquet")):
+            t = _pq.read_table(p)
+            s += sum(
+                buf.size
+                for col in t.columns
+                for chunk in col.chunks
+                for buf in chunk.buffers()
+                if buf is not None
+            )
+        return s
+
+    tb = tot(b_dir)
+    return round(tot(a_dir) / tb, 4) if tb else 0.0
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if "--scaling" in argv:
@@ -242,6 +268,18 @@ def main() -> None:
     _, lat_p = _lat_loop(lambda q: engp.search(q, limit=10), FIXTURE_QUERIES)
     extras["query_p99_pfor_ms"] = round(float(np.percentile(lat_p, 99)), 3)
     extras["pfor_seg_bytes_ratio"] = _seg_ratio(qbp["index_dir"], qb["index_dir"])
+
+    # Elias-Fano twin: quasi-succinct postings (prefix-summed streams),
+    # the third codec — size vs vbyte plus its honest decode-latency p99
+    qbe = run_build_synth("query_idx_ef", n=20000, codec="ef")
+    queries["build_query_idx_ef"] = round(qbe["seconds"], 3)
+    enge = SearchEngine(qbe["index_dir"], preload_shards=True)
+    _lat_loop(lambda q: enge.search(q, limit=10), FIXTURE_QUERIES, rounds=1)
+    _, lat_e = _lat_loop(lambda q: enge.search(q, limit=10), FIXTURE_QUERIES)
+    extras["query_p99_ef_ms"] = round(float(np.percentile(lat_e, 99)), 3)
+    extras["ef_seg_bytes_ratio"] = _seg_ratio(qbe["index_dir"], qb["index_dir"])
+    extras["ef_seg_mem_ratio"] = _seg_mem_ratio(qbe["index_dir"], qb["index_dir"])
+    extras["pfor_seg_mem_ratio"] = _seg_mem_ratio(qbp["index_dir"], qb["index_dir"])
 
     # concurrent throughput through the query actor pool
     from search_engine_core_ray.query.pool import QueryPool
@@ -428,7 +466,8 @@ def main() -> None:
     for k in [
         "docs_per_sec_synth", "synth_docs", "query_p50_ms", "query_p99_ms",
         "query_p50_fast_ms", "query_p99_fast_ms", "query_p99_pfor_ms",
-        "pfor_seg_bytes_ratio", "pool_qps",
+        "pfor_seg_bytes_ratio", "pfor_seg_mem_ratio", "query_p99_ef_ms",
+        "ef_seg_bytes_ratio", "ef_seg_mem_ratio", "pool_qps",
         "dist16_p50_ms", "dist16_p99_ms", "dist16_actor_rss_mb_max",
         "dist16g4_p50_ms", "dist16g4_p99_ms", "dist16g4_actor_rss_mb_max",
         "dist32_p50_ms", "dist32_p99_ms", "dist32_actor_rss_mb_max",

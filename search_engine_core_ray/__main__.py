@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_mrg.add_argument("indexes", nargs="+", help="input index dirs, oldest first")
     p_mrg.add_argument("--out", required=True)
-    p_mrg.add_argument("--codec", default=None, choices=[None, "vbyte", "pfor"])
+    p_mrg.add_argument("--codec", default=None, choices=[None, "vbyte", "pfor", "ef"])
     p_mrg.add_argument("--lineage", default="cli-merge")
 
     p_exp = sub.add_parser(

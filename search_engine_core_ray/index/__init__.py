@@ -1,6 +1,6 @@
 from .codec import (
     varbyte_encode, varbyte_decode, delta_encode_sorted, delta_decode,
-    pfor_encode, pfor_decode,
+    pfor_encode, pfor_decode, ef_encode, ef_decode,
 )
 from .stats import CorpusStats, compute_corpus_stats
 
@@ -11,6 +11,8 @@ __all__ = [
     "delta_decode",
     "pfor_encode",
     "pfor_decode",
+    "ef_encode",
+    "ef_decode",
     "CorpusStats",
     "compute_corpus_stats",
 ]

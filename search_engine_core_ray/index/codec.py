@@ -1,4 +1,5 @@
-"""Posting-list compression: delta + VByte and PForDelta, vectorized.
+"""Posting-list compression: delta + VByte, PForDelta and Elias-Fano,
+vectorized.
 
 Classic VByte: each value is emitted little-endian in 7-bit groups; the
 high bit of every byte except the last in a value is set (continuation).
@@ -344,7 +345,205 @@ def pfor_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return out[:n]
 
 
-POSTINGS_CODECS = ("vbyte", "pfor")
+# --------------------------------------------------------------------------
+# Elias-Fano (quasi-succinct indices, Vigna WSDM'13 — public algorithm)
+#
+# EF natively encodes a MONOTONE sequence; the segment value streams are
+# non-negative deltas/frequencies, so each run is prefix-summed first
+# (gaps -> doc ids; tfs -> running totals) and the monotone prefix sums
+# are EF-coded. This makes "ef" a drop-in third codec with the same
+# stream-in/stream-out contract as vbyte/pfor: encode gets the raw value
+# stream, decode returns it. Requirement: sum(values) per run < 2^64
+# (always true for doc-gap streams, whose sum is the max doc id, and for
+# tf streams at any realistic corpus size); wrap is detected and raised.
+#
+# Run layout (one posting list = one run, independent byte stream):
+#   u32le  n          value count (0 -> stream ends here)
+#   u8     tag        0..63 = EF low-bit width l; 0xFF = VByte escape
+#   -- tag <= 63 (Elias-Fano body) --
+#   u64le  last       final prefix sum (upper-array extent)
+#   bytes  upper      ceil((n + (last >> l)) / 8) bytes, little bit
+#                     order: bit ((x_i >> l) + i) is set for prefix sum
+#                     x_i (strictly increasing in i, so bits are unique)
+#   bytes  lows       ceil(n*l / 8) bytes; value i's low l bits occupy
+#                     bit positions [i*l, (i+1)*l), little bit order
+#   -- tag == 0xFF (escape) --
+#   bytes  vbyte      the n raw values, classic VByte
+#
+# With l = max(0, floor(log2(last / n))) the upper array is < 3n bits,
+# giving the classic ~(2 + log2(U/n)) bits per element. The escape
+# exists because the corpus doc-id space is hashed 63-bit keys: a
+# Zipf-tail term with df 1-2 pays more for the 9-byte EF last+tag
+# header than for its whole VByte stream, so each run takes whichever
+# encoding is smaller (deterministic: EF wins ties) — the per-run twin
+# of PFor's per-block width choice. Encode is vectorized across ALL
+# runs at once (one global bit canvas + ONE np.packbits; Python loops
+# only over the <=63 low-bit planes), decode over the <=63 bit planes
+# of a single run — matching the vbyte/pfor kernel budget.
+# --------------------------------------------------------------------------
+
+_EF_HEADER = 13  # u32 n + u8 tag + u64 last
+_EF_ESCAPE = 0xFF
+
+
+def ef_encode_runs(values: np.ndarray, boundaries: np.ndarray) -> pa.BinaryArray:
+    """Elias-Fano twin of ``encode_group_sliced``: encode run-after-run
+    values into one buffer, one Arrow binary cell per run."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bounds = np.asarray(boundaries, dtype=np.int64)
+    n_runs = len(bounds)
+    if n_runs == 0:
+        return pa.array([], pa.binary())
+    n_per = np.diff(np.concatenate((bounds, [len(v)])))
+    run_of_val = np.repeat(np.arange(n_runs, dtype=np.int64), n_per)
+    local = np.arange(len(v), dtype=np.int64) - np.repeat(bounds, n_per)
+
+    # per-run prefix sums via the global-cumsum-minus-offset trick
+    # (uint64 arithmetic is mod 2^64, so per-run sums are exact as long
+    # as they fit; an in-run wrap shows up as a decrease and is raised)
+    cum = np.cumsum(v, dtype=np.uint64)
+    if len(v):
+        base = np.where(bounds > 0, cum[bounds - 1], np.uint64(0))
+        cum = cum - np.repeat(base, n_per)
+        interior = local > 0
+        if np.any(cum[interior] < cum[np.flatnonzero(interior) - 1]):
+            raise ValueError(
+                "Elias-Fano run overflow: sum(values) in one run exceeds "
+                "2^64 — use vbyte/pfor for streams with 64-bit-scale sums"
+            )
+
+    ends = np.concatenate((bounds[1:], [len(v)])) - 1  # last index per run
+    if len(v):
+        last = np.where(n_per > 0, cum[np.maximum(ends, 0)], np.uint64(0)).astype(np.uint64)
+    else:
+        last = np.zeros(n_runs, dtype=np.uint64)
+    q = np.zeros(n_runs, dtype=np.uint64)
+    np.floor_divide(last, n_per.astype(np.uint64), out=q, where=n_per > 0)
+    lw = np.maximum(_bit_widths(q).astype(np.int64) - 1, 0)  # floor(log2 q), 0 if q<2
+
+    upper_bits = n_per + (last >> lw.astype(np.uint64)).astype(np.int64)
+    upper_bytes = np.where(n_per > 0, (upper_bits + 7) // 8, 0)
+    low_bytes = np.where(n_per > 0, (n_per * lw + 7) // 8, 0)
+    body_bytes = upper_bytes + low_bytes
+
+    # per-run VByte cost of the RAW stream (escape candidate)
+    vb_buf, vb_ends = varbyte_encode_with_offsets(v)
+    vb_run_start = np.where(bounds > 0, vb_ends[np.maximum(bounds - 1, 0)], 0) if len(v) else np.zeros(n_runs, np.int64)
+    vb_run_end = np.where(n_per > 0, vb_ends[np.maximum(ends, 0)], vb_run_start) if len(v) else vb_run_start
+    vb_len = vb_run_end - vb_run_start
+    use_ef = (_EF_HEADER + body_bytes) <= (5 + vb_len)  # ties -> EF
+    run_bytes = np.where(
+        n_per > 0, np.where(use_ef, _EF_HEADER + body_bytes, 5 + vb_len), 4
+    )
+    run_starts = np.concatenate(([0], np.cumsum(run_bytes)))
+    total = int(run_starts[-1])
+    if total >= (1 << 31):
+        raise ValueError(
+            "encoded group exceeds 2 GiB — raise num_shards/bucket_bits "
+            "so each (shard, bucket) merge group stays worker-sized"
+        )
+
+    # one global bit canvas: [run0 upper | run0 lows | run1 upper | ...],
+    # each run's body byte-aligned so packbits yields the final body bytes
+    body_off = np.concatenate(([0], np.cumsum(body_bytes)))  # bytes
+    total_body = int(body_off[-1])
+    bits = np.zeros(total_body * 8, dtype=np.uint8)
+    if len(v):
+        lw_v = lw[run_of_val]
+        up_start = body_off[:-1][run_of_val] * 8
+        bits[up_start + (cum >> lw_v.astype(np.uint64)).astype(np.int64) + local] = 1
+        lo_start = (body_off[:-1] + upper_bytes)[run_of_val] * 8 + local * lw_v
+        for k in range(int(lw.max()) if n_runs else 0):
+            m = lw_v > k
+            if not m.any():
+                continue
+            bits[lo_start[m] + k] = ((cum[m] >> np.uint64(k)) & np.uint64(1)).astype(np.uint8)
+    body = np.packbits(bits, bitorder="little") if total_body else np.empty(0, np.uint8)
+
+    out = np.zeros(total, dtype=np.uint8)
+    out[run_starts[:-1][:, None] + np.arange(4)[None, :]] = (
+        n_per.astype("<u4").view(np.uint8).reshape(n_runs, 4)
+    )
+    ef_runs = (n_per > 0) & use_ef
+    vb_runs = (n_per > 0) & ~use_ef
+    out[run_starts[:-1][ef_runs] + 4] = lw[ef_runs].astype(np.uint8)
+    out[run_starts[:-1][vb_runs] + 4] = _EF_ESCAPE
+    out[(run_starts[:-1][ef_runs] + 5)[:, None] + np.arange(8)[None, :]] = (
+        last[ef_runs].astype("<u8").view(np.uint8).reshape(-1, 8)
+    )
+    ef_body = body_bytes[ef_runs]
+    if int(ef_body.sum()):
+        tgt = np.repeat(run_starts[:-1][ef_runs] + _EF_HEADER, ef_body)
+        src = np.repeat(body_off[:-1][ef_runs], ef_body)
+        within = np.arange(int(ef_body.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(ef_body[:-1]))), ef_body
+        )
+        out[tgt + within] = body[src + within]
+    vb_body = vb_len[vb_runs]
+    if int(vb_body.sum()):
+        tgt = np.repeat(run_starts[:-1][vb_runs] + 5, vb_body)
+        src = np.repeat(vb_run_start[vb_runs], vb_body)
+        within = np.arange(int(vb_body.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(vb_body[:-1]))), vb_body
+        )
+        out[tgt + within] = vb_buf[src + within]
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        n_runs,
+        [
+            None,
+            pa.py_buffer(run_starts.astype(np.int32).tobytes()),
+            pa.py_buffer(out.tobytes()),
+        ],
+    )
+
+
+def ef_encode(values: np.ndarray) -> bytes:
+    """Encode one run (convenience / test twin of ef_encode_runs)."""
+    arr = ef_encode_runs(np.asarray(values, dtype=np.uint64), np.zeros(1, np.int64))
+    return arr[0].as_py()
+
+
+def ef_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode one Elias-Fano run back to the original uint64 value
+    stream (vectorized; Python loop only over the <=63 low-bit planes)."""
+    b = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if isinstance(buf, (bytes, bytearray, memoryview))
+        else np.ascontiguousarray(buf, dtype=np.uint8)
+    )
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    n = int(b[:4].view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lw = int(b[4])
+    if lw == _EF_ESCAPE:
+        out = varbyte_decode(b[5:])
+        assert len(out) == n, "corrupt EF run (escape count)"
+        return out
+    last = int(b[5:13].view("<u8")[0])
+    ub = n + (last >> lw)
+    ubytes = (ub + 7) // 8
+    pos = np.flatnonzero(
+        np.unpackbits(b[_EF_HEADER : _EF_HEADER + ubytes], bitorder="little")[:ub]
+    )
+    assert len(pos) == n, "corrupt EF run (upper-array population)"
+    x = (pos - np.arange(n)).astype(np.uint64) << np.uint64(lw)
+    if lw:
+        lbytes = (n * lw + 7) // 8
+        lo = _EF_HEADER + ubytes
+        lbits = np.unpackbits(b[lo : lo + lbytes], bitorder="little")
+        for k in range(lw):
+            x |= lbits[k::lw][:n].astype(np.uint64) << np.uint64(k)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = x[0]
+    out[1:] = x[1:] - x[:-1]
+    return out
+
+
+POSTINGS_CODECS = ("vbyte", "pfor", "ef")
 
 
 def encode_runs(
@@ -355,6 +554,8 @@ def encode_runs(
         return encode_group_sliced(values, boundaries)
     if codec == "pfor":
         return pfor_encode_runs(values, boundaries)
+    if codec == "ef":
+        return ef_encode_runs(values, boundaries)
     raise ValueError(f"unknown postings codec {codec!r}; one of {POSTINGS_CODECS}")
 
 
@@ -364,4 +565,6 @@ def decode_postings(blob, codec: str = "vbyte") -> np.ndarray:
         return varbyte_decode(blob)
     if codec == "pfor":
         return pfor_decode(blob)
+    if codec == "ef":
+        return ef_decode(blob)
     raise ValueError(f"unknown postings codec {codec!r}; one of {POSTINGS_CODECS}")
