@@ -4417,6 +4417,91 @@ def q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(_docs(sf_dir, columns=("doc_id",)), seed=EPOCH_SEED)
 
 
+STRAT_SALT = 23
+STRAT_RATES_PPM = {"en": 500_000, "fr": 250_000}  # others kept in full
+
+
+def _strat_sql() -> str:
+    from ..stages.sampling import sample_threshold
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {sample_threshold(v)}"
+        for k, v in sorted(STRAT_RATES_PPM.items())
+    )
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (((CAST(doc_id AS HUGEINT) + {STRAT_SALT}) % 4294967296
+             + 4294967296) % 4294967296 * 2654435761) % 4294967296
+          < CASE lang {cases} ELSE 4294967296 END
+    """
+
+
+@_q("stratified_sample", _strat_sql())
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language document sampling (the rebalancing
+    step of a data-mixing pipeline): English kept at 50%, French at
+    25%, everything else in full, decided by the same sign-safe Knuth
+    hash of (doc_id, salt) the epoch shuffle uses — reproducible across
+    runs/resumes/cluster sizes, unlike random_sample.  Map-only at any
+    scale; the oracle replays the hash in HUGEINT and the thresholds as
+    exact ppm * 2^32 // 10^6 integers."""
+    from ..stages.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, columns=("doc_id", "lang", "source")),
+        STRAT_RATES_PPM,
+        key="lang",
+        salt=STRAT_SALT,
+    )
+
+
+MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1, "src3": 1, "src5": 2}
+
+
+def _mixture_sql() -> str:
+    import math
+
+    lcm = math.lcm(*MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', {w}, {lcm // w})" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH w(source, weight, mult) AS (VALUES {vals}),
+    t AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    tw AS (
+      SELECT w.source, coalesce(t.n_docs, 0) AS n_docs,
+             coalesce(t.n_tokens, 0) AS n_tokens, w.weight, w.mult
+      FROM w LEFT JOIN t USING (source)),
+    b AS (SELECT weight AS bw, n_tokens AS bt FROM tw
+          ORDER BY n_tokens * mult, source LIMIT 1)
+    SELECT source, n_docs, n_tokens, weight,
+           (weight * b.bt) // b.bw AS sampled_tokens,
+           CASE WHEN n_tokens > 0
+                THEN (((weight * b.bt) // b.bw) * 1000000) // n_tokens
+                ELSE 0 END AS rate_ppm
+    FROM tw, b ORDER BY source
+    """
+
+
+@_q("mixture_plan", _mixture_sql())
+def q_mixture_plan(sf_dir: str):
+    """Static mixture planning (DoReMi-style targets, no upsampling):
+    given integer weight targets over a subset of sources, find the
+    binding source (exact rational argmin of tokens/weight via
+    lcm-multiplier cross-multiplication) and the per-source
+    sampled_tokens / rate_ppm that realize the target proportions.
+    Integer arithmetic end to end; one source-domain-bounded groupby;
+    the plan drives stratified_sample rates for the actual export."""
+    from ..stages.sampling import mixture_plan
+
+    return mixture_plan(
+        _docs(sf_dir, columns=("doc_id", "text", "source")), MIX_WEIGHTS
+    )
+
+
 SEMDEDUP_TAU = 0.4
 
 
