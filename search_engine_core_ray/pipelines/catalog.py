@@ -4436,15 +4436,18 @@ def _strat_sql() -> str:
     """
 
 
-@_q("stratified_sample", _strat_sql())
-def q_stratified_sample(sf_dir: str):
+@_q("salted_stratified_sample", _strat_sql())
+def q_salted_stratified_sample(sf_dir: str):
     """Deterministic per-language document sampling (the rebalancing
     step of a data-mixing pipeline): English kept at 50%, French at
     25%, everything else in full, decided by the same sign-safe Knuth
     hash of (doc_id, salt) the epoch shuffle uses — reproducible across
-    runs/resumes/cluster sizes, unlike random_sample.  Map-only at any
-    scale; the oracle replays the hash in HUGEINT and the thresholds as
-    exact ppm * 2^32 // 10^6 integers."""
+    runs/resumes/cluster sizes, unlike random_sample.  The SALTED
+    generalization of the ``stratified_sample`` entry (scrub.py,
+    unsalted, drops unconfigured strata): a new salt draws an
+    independent sample, unconfigured strata keep a default rate, and
+    thresholds are exact ppm * 2^32 // 10^6 integers.  Map-only at any
+    scale; the oracle replays the hash in HUGEINT."""
     from ..stages.sampling import stratified_sample
 
     return stratified_sample(
