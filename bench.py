@@ -281,6 +281,27 @@ def main() -> None:
     extras["ef_seg_mem_ratio"] = _seg_mem_ratio(qbe["index_dir"], qb["index_dir"])
     extras["pfor_seg_mem_ratio"] = _seg_mem_ratio(qbp["index_dir"], qb["index_dir"])
 
+    # static index pruning (Carmel top-k): serving-cost lever — segment
+    # bytes and p99 on the pruned copy, plus the honest fidelity@10
+    # number vs the full index on the fixture queries
+    from search_engine_core_ray.index.prune import fidelity_at_k, prune_index
+
+    pruned_dir = "/tmp/secr_bench/query_idx_pruned"
+    t0 = time.monotonic()
+    pstats = prune_index(qb["index_dir"], pruned_dir, max_postings=1024)
+    queries["prune_index_k1024"] = round(time.monotonic() - t0, 3)
+    extras["prune_postings_ratio"] = round(
+        pstats["postings_after"] / max(pstats["postings_before"], 1), 4
+    )
+    extras["prune_seg_bytes_ratio"] = _seg_ratio(pruned_dir, qb["index_dir"])
+    engpr = SearchEngine(pruned_dir, preload_shards=True)
+    _lat_loop(lambda q: engpr.search(q, limit=10), FIXTURE_QUERIES, rounds=1)
+    _, lat_pr = _lat_loop(lambda q: engpr.search(q, limit=10), FIXTURE_QUERIES)
+    extras["query_p99_pruned_ms"] = round(float(np.percentile(lat_pr, 99)), 3)
+    extras["prune_fidelity_at_10"] = round(
+        fidelity_at_k(eng, engpr, FIXTURE_QUERIES[:-2], k=10), 4
+    )
+
     # concurrent throughput through the query actor pool
     from search_engine_core_ray.query.pool import QueryPool
 
@@ -467,7 +488,9 @@ def main() -> None:
         "docs_per_sec_synth", "synth_docs", "query_p50_ms", "query_p99_ms",
         "query_p50_fast_ms", "query_p99_fast_ms", "query_p99_pfor_ms",
         "pfor_seg_bytes_ratio", "pfor_seg_mem_ratio", "query_p99_ef_ms",
-        "ef_seg_bytes_ratio", "ef_seg_mem_ratio", "pool_qps",
+        "ef_seg_bytes_ratio", "ef_seg_mem_ratio",
+        "prune_postings_ratio", "prune_seg_bytes_ratio",
+        "query_p99_pruned_ms", "prune_fidelity_at_10", "pool_qps",
         "dist16_p50_ms", "dist16_p99_ms", "dist16_actor_rss_mb_max",
         "dist16g4_p50_ms", "dist16g4_p99_ms", "dist16g4_actor_rss_mb_max",
         "dist32_p50_ms", "dist32_p99_ms", "dist32_actor_rss_mb_max",

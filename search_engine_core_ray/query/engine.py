@@ -153,7 +153,12 @@ class SearchEngine:
         self._block_bounds_cache: dict[str, tuple] = {}
         # observability: chunks considered / skipped by block-max pruning
         self.prune_stats = {"chunks": 0, "pruned": 0, "pruned_cands": 0}
-        self._load_docstore(os.path.join(index_dir, "docstore"))
+        # a derived index (e.g. a statically pruned one, index/prune.py)
+        # shares its parent's forward index instead of copying the
+        # corpus: manifest "docstore_dir" overrides the default layout
+        self._load_docstore(
+            self.manifest.get("docstore_dir") or os.path.join(index_dir, "docstore")
+        )
         # doc-level tombstones (deleteDocumentsByDomain analog):
         from ..index.delete import load_tombstones
 
