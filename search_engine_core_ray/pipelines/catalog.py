@@ -2531,9 +2531,9 @@ def q_nb_lang_pred(sf_dir: str):
     )
 
 
-@_q(
-    "dsir_logweights",
-    """
+# the DSIR weight computation, shared by the dsir_logweights entry and
+# the dsir_sample selection step built on top of it
+_DSIR_WQ_SQL = """
     WITH base AS MATERIALIZED (
       SELECT doc_id, lang,
              coalesce(text, '')
@@ -2566,8 +2566,10 @@ def q_nb_lang_pred(sf_dir: str):
     SELECT g.doc_id, CAST(sum(d.dq) AS BIGINT) AS w_q
     FROM grams g JOIN delta d USING (b)
     GROUP BY 1
-    """,
-)
+"""
+
+
+@_q("dsir_logweights", _DSIR_WQ_SQL)
 def q_dsir_logweights(sf_dir: str):
     """DSIR importance log-weights (Xie 2023; stages/dsir.py): hashed
     unigram+bigram bucket LMs for a TARGET subpopulation (lang='en')
@@ -5824,6 +5826,99 @@ def q_pruned_postings_cut(sf_dir: str):
     )
 
 
+# proximity fixture queries: (label, term_a, term_b) — the flagship
+# query pairs, reinterpreted as proximity (minimal-window) queries
+PROX_QUERIES = [
+    ("dup vector", "dup", "vector"),
+    ("table merge", "table", "merge"),
+    ("row scan", "row", "scan"),
+]
+
+
+@_q(
+    "proximity_topk",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]{2,}') AS t
+      FROM documents),
+    pos AS MATERIALIZED (
+      SELECT doc_id, s.j AS p, t[s.j] AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) s),
+    q(query, t1, t2) AS (VALUES
+      ('dup vector', 'dup', 'vector'),
+      ('table merge', 'table', 'merge'),
+      ('row scan', 'row', 'scan')),
+    spans AS (
+      SELECT q.query, a.doc_id, min(abs(a.p - b.p) + 1)::BIGINT AS span
+      FROM q
+      JOIN pos a ON a.w = q.t1
+      JOIN pos b ON b.doc_id = a.doc_id AND b.w = q.t2
+      GROUP BY 1, 2)
+    SELECT query, rnk::BIGINT AS rnk, doc_id, span FROM (
+      SELECT query, doc_id, span,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY span, doc_id) AS rnk
+      FROM spans) WHERE rnk <= 10
+    """,
+)
+def q_proximity_topk(sf_dir: str):
+    """Term-proximity ranking (Buettcher SIGIR 2006): per query pair,
+    the 10 docs with the smallest analyzer-token window containing both
+    terms — the positional signal bag-of-words BM25 cannot express.
+    The kernel finds each doc's minimal window in O(tf_a + tf_b) via
+    the merged-stream adjacency property; the oracle verifies it with
+    the O(tf_a * tf_b) positions self-join.  Exchange = grouped_topk
+    over the bounded query domain only."""
+    from ..stages.textstats import proximity_spans
+
+    return proximity_spans(_docs(sf_dir), PROX_QUERIES, k=10)
+
+
+@_q(
+    "dsir_sample",
+    f"""
+    WITH wq AS MATERIALIZED ({_DSIR_WQ_SQL}),
+    kk AS (SELECT (count(*) + 4) // 5 AS k FROM wq)
+    SELECT doc_id, w_q FROM wq
+    QUALIFY row_number() OVER (ORDER BY w_q DESC, doc_id)
+            <= (SELECT k FROM kk)
+    """,
+)
+def q_dsir_sample(sf_dir: str):
+    """The DSIR RESAMPLING step (Xie 2023) completing the recipe the
+    dsir_logweights entry starts: keep the top ceil(N/5) docs by
+    importance weight, doc_id tiebreak.  Selection runs as two-phase
+    distributed threshold selection (coarse weight histogram -> bucket
+    threshold; exact sort only inside the boundary bucket) — no global
+    sort, driver collect bounded by the weight-bucket domain — and is
+    bit-identical to the oracle's QUALIFY top-k by construction."""
+    import polars as pl
+
+    from ..stages.dsir import dsir_logweights, dsir_select
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        sig = pl.lit(" sig") + pl.col("lang")
+        m = pl.col("doc_id") % 3
+        df = df.with_columns(
+            t2=pl.col("text").fill_null("")
+            + pl.when(m >= 1).then(sig).otherwise(pl.lit(""))
+            + pl.when(m >= 2).then(sig).otherwise(pl.lit("")),
+            is_target=pl.col("lang") == "en",
+        )
+        return df.select(["doc_id", "t2", "is_target"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("t2", pa.string()),
+                       ("is_target", pa.bool_())])
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        inject, batch_format="pyarrow"
+    )
+    w = dsir_logweights(docs, id_col="doc_id", text_col="t2")
+    return dsir_select(w, frac_num=1, frac_den=5)
+
+
 # ======================================================================
 # hybrid retrieval, ANN quality eval, and event-funnel analytics
 # ======================================================================
@@ -6943,23 +7038,26 @@ _DRIVER_PRIORITY = [
     "contamination_frac", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
     "pagerank", "hits", "cocitation", "coupling", "anchor_terms",
-    "link_edges", "link_stats", "top_pages_per_domain",
+    "top_pages_per_domain",
     "domain_stats",
     "fuzzy_term_match", "ranking_eval",
     "image_near_dupes", "audio_near_dupes",
     # -- new in round 5 part 3+ (never driver-checked) --
     "salted_stratified_sample", "mixture_plan", "event_bursts",
     "trustrank", "crawl_delta", "pruned_postings_cut",
+    "proximity_topk", "dsir_sample",
     # -- oracle upgraded after their last driver sample --
     "distributed_search",      # flagship-SQL oracle landed post-rotation
     "ivf_ann", "media_features", "media_frame_samples",  # golden oracles
     "build_and_search",        # keep the flagship sampled every round
     # rotated out this round (green rows already on record, repo oracle
     # gate still covers them at sf0.001+sf0.01): crawl_schedule,
-    # robots_decisions, retry_policy, domain_doclen_quantiles
-    # (r4-never-checked but constant-table / kernel-twin entries —
-    # doclen_quantiles carries the same primitive's r4 green row;
-    # 27 of the r4 "never-checked 31" stay in-window),
+    # robots_decisions, retry_policy, domain_doclen_quantiles,
+    # link_edges, link_stats (r4-never-checked but constant-table /
+    # kernel-twin entries — doclen_quantiles carries the same
+    # primitive's r4 green row, and pagerank/hits/cocitation/coupling
+    # exercise the same edge CTEs as link_edges/link_stats;
+    # 25 of the r4 "never-checked 31" stay in-window),
     # semdedup + sequence_pack (r3 green rows; r5 kernel touches are
     # covered by the repo gate).
 ]

@@ -152,3 +152,91 @@ def dsir_logweights(
     # docs are row-atomic within a batch, so the per-batch group_by is
     # already one complete row per doc — no global reduce needed
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(weights_ds, *, frac_num: int = 1, frac_den: int = 5,
+                id_col: str = "doc_id", bucket_shift: int = 16):
+    """The RESAMPLING step of DSIR: keep the top ``frac_num/frac_den``
+    of documents by importance weight, deterministic tiebreak on
+    doc_id — i.e. the exact top-k selection ``k = ceil(frac * N)`` over
+    (w_q DESC, doc_id ASC), computed WITHOUT a global sort.
+
+    Two-phase distributed threshold selection (the classic top-k-at-
+    scale shape):
+
+    1. histogram the weights COARSELY — bucket ``w_q >> bucket_shift``
+       (floor shift, negative-safe) — via map-side value counts + one
+       sorted_agg reduce; the driver collect is bucket-domain bounded
+       (weight range / 2^shift buckets, independent of corpus rows).
+       Walk the histogram from the top to find the boundary bucket B:
+       every doc in a higher bucket is selected outright (``a`` docs,
+       all strictly above any bucket-B weight).
+    2. only the boundary bucket — expected N / #occupied-buckets docs,
+       NOT the corpus — is sorted exactly by (w_q DESC, doc_id ASC)
+       and trimmed to the remaining ``k - a`` rows.
+
+    Equal weights always share a bucket, so the doc_id tiebreak is
+    confined to phase 2 by construction.  Returns (doc_id, w_q) of the
+    selected docs, bit-identical to the SQL oracle's QUALIFY
+    row_number() OVER (ORDER BY w_q DESC, doc_id) <= k.
+    """
+    from ray.data.aggregate import Sum
+
+    n = weights_ds.count()
+    if n == 0:
+        return weights_ds
+    k = (frac_num * n + frac_den - 1) // frac_den  # ceil, exact ints
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"hb": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        hb = np.right_shift(b.column("w_q").to_numpy(), bucket_shift)
+        vals, cnts = np.unique(hb, return_counts=True)
+        return pa.table(
+            {"hb": pa.array(vals, pa.int64()),
+             "cnt": pa.array(cnts.astype(np.int64), pa.int64())}
+        )
+
+    rows = sorted(
+        (
+            weights_ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("hb")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all()  # bucket-domain-bounded collect (see docstring)
+        ),
+        key=lambda r: -int(r["hb"]),
+    )
+    a = 0
+    boundary = None
+    for r in rows:
+        if a + int(r["cnt"]) >= k:
+            boundary = int(r["hb"])
+            break
+        a += int(r["cnt"])
+    if boundary is None:  # k == n: everything survives
+        return weights_ds
+
+    lo = boundary << bucket_shift
+    hi_cut = lo + (1 << bucket_shift)
+
+    hi = weights_ds.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("w_q"), hi_cut)),
+        batch_format="pyarrow",
+    )
+    edge = (
+        weights_ds.map_batches(
+            lambda b: b.filter(
+                pa.compute.and_(
+                    pa.compute.greater_equal(b.column("w_q"), lo),
+                    pa.compute.less(b.column("w_q"), hi_cut),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["w_q", id_col], descending=[True, False])
+        .limit(k - a)
+    )
+    return hi.union(edge)

@@ -1162,3 +1162,103 @@ def source_vocab_overlap(docs_ds, *, auto_threshold: int | None = None):
         )
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def proximity_spans(
+    docs_ds,
+    term_pairs: list[tuple[str, str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+):
+    """Per-query proximity top-k: the minimal analyzer-token window
+    containing BOTH query terms, per document (span = position gap + 1
+    in the token stream the analyzer emits — '[a-z0-9]{2,}' over
+    lowercased text, the flagship tokenization), ranked (span ASC,
+    doc_id ASC) and cut to ``k``.  The classic term-proximity ranking
+    signal (Buettcher et al., SIGIR 2006) the BM25 engine's bag-of-
+    words score cannot see; phrase queries are its span==len special
+    case.
+
+    ``term_pairs``: (query_label, term_a, term_b), term_a != term_b.
+
+    Kernel (one pass, fully vectorized): tokenize each batch once,
+    explode to (doc, token, position); for each query select both
+    terms' occurrences and exploit that the pair minimizing |pa - pb|
+    is ADJACENT in the merged position-sorted stream — one boolean
+    mask + one diff per query, no per-pair work (cost O(tf_a + tf_b)
+    per doc, never tf_a * tf_b like the verification oracle's join).
+
+    100-TB shape: the heavy explode is map-only and batch-local; the
+    only exchange is grouped_topk over query labels (a tiny bounded
+    group domain) at <= |queries| * k rows per block after the partial
+    cut.  Docs are row-atomic in a batch, so per-batch spans are final
+    per doc — no (query, doc) reduce is needed at all.
+    """
+    from .shuffle import grouped_topk
+
+    empty = pa.table(
+        {
+            "query": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "span": pa.array([], pa.int64()),
+        }
+    )
+
+    def kern(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        df = pl.from_arrow(b.select([id_col, text_col])).with_columns(
+            ts=pl.col(text_col)
+            .fill_null("")
+            .str.to_lowercase()
+            .str.extract_all(r"[a-z0-9]{2,}")
+        )
+        ex = (
+            df.select([id_col, "ts"])
+            .with_row_index("r")
+            .explode("ts")
+            .drop_nulls("ts")
+        )
+        if ex.height == 0:
+            return empty
+        ex = ex.with_columns(p=pl.int_range(pl.len()).over("r"))
+        did = ex[id_col].to_numpy()
+        pos = ex["p"].to_numpy()
+        toks = ex["ts"].to_numpy()
+        outs = []
+        for label, t1, t2 in term_pairs:
+            m1 = toks == t1
+            idx = np.flatnonzero(m1 | (toks == t2))
+            if idx.size < 2:
+                continue
+            lab = m1[idx]
+            d2, p2 = did[idx], pos[idx]
+            adj = (d2[1:] == d2[:-1]) & (lab[1:] != lab[:-1])
+            if not adj.any():
+                continue
+            spans = (
+                pl.DataFrame(
+                    {id_col: d2[1:][adj], "span": (p2[1:] - p2[:-1])[adj] + 1}
+                )
+                .group_by(id_col)
+                .agg(pl.col("span").min())
+                .with_columns(query=pl.lit(label))
+                .select(["query", id_col, "span"])
+            )
+            outs.append(spans)
+        if not outs:
+            return empty
+        return pl.concat(outs).to_arrow().cast(empty.schema)
+
+    partial = docs_ds.map_batches(kern, batch_format="pyarrow")
+    return grouped_topk(
+        partial,
+        "query",
+        "span",
+        k,
+        descending=False,
+        tiebreak_cols=[id_col],
+        emit_rank="rnk",
+    )

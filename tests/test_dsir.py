@@ -91,3 +91,41 @@ def test_catalog_entry_separates_target(ray_session):
     rest = m[m.lang != "en"]["w_q"].mean()
     assert en > rest
     assert m["w_q"].nunique() > len(m) // 2  # weights genuinely vary
+
+
+def test_dsir_select_matches_naive_topk(ray_session):
+    """Two-phase threshold selection == naive (w_q DESC, doc_id ASC)
+    top-k, on weights spanning negatives, boundary-bucket ties and
+    duplicate values; exercised at several fractions incl. k == n."""
+    from search_engine_core_ray.stages.dsir import dsir_select
+
+    rng = np.random.default_rng(11)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    # cluster weights so many land in the same 2^16 bucket + exact ties
+    w = (rng.integers(-3, 4, n) * (1 << 16) + rng.integers(0, 5, n)).astype(
+        np.int64
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w_q": pa.array(w)})
+    ).repartition(4)
+
+    order = sorted(zip(-w, ids))  # (w desc, doc_id asc)
+    for num, den in [(1, 5), (1, 2), (9, 10), (1, 1)]:
+        k = (num * n + den - 1) // den
+        want = sorted(i for _, i in order[:k])
+        got = sorted(
+            r["doc_id"]
+            for r in dsir_select(ds, frac_num=num, frac_den=den).take_all()
+        )
+        assert got == want, (num, den)
+
+
+def test_dsir_select_empty(ray_session):
+    from search_engine_core_ray.stages.dsir import dsir_select
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "w_q": pa.array([], pa.int64())})
+    )
+    assert dsir_select(ds).count() == 0
