@@ -439,7 +439,12 @@ def main() -> None:
         "funnel_conversion", "link_components", "mmr_diversify_topk",
         "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
+        "proximity_topk", "dsir_sample",
         "winnow_overlap_pairs",  # runs winnow_fingerprints inside it
+        # pruned_postings_cut is deliberately NOT benched: the prune
+        # path is already timed above (prune_index_k1024 + pruned p99 +
+        # fidelity@10) and the entry would rebuild the docs index into
+        # the catalog's default cache just to re-verify counts
         # training_data_card is deliberately NOT benched: it re-runs the
         # prepare_training_data stages (timed above) for its counts
         # authority_ranked_topk is deliberately NOT benched: it is the

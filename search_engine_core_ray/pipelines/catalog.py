@@ -733,6 +733,104 @@ def q_language_id(sf_dir: str):
     return _docs(sf_dir).map_batches(ts.language_id, batch_format="pyarrow")
 
 
+# 26-char lowercase transliteration targets for the script_id dirt —
+# both strings are verbatim in the SQL oracle's translate() calls
+_LAT26 = "abcdefghijklmnopqrstuvwxyz"
+_CYR26 = "абвгдежзиклмнопрстуфхцчшщэ"
+_GRK26 = "αβγδεζηθικλμνξοπρστυφχψωϊϋ"
+
+
+@_q(
+    "script_id",
+    rf"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS BIGINT)
+               WHEN 1 THEN translate(coalesce(text, ''), '{_LAT26}', '{_CYR26}')
+               WHEN 2 THEN translate(coalesce(text, ''), '{_LAT26}', '{_GRK26}')
+               WHEN 3 THEN translate(coalesce(text, ''), '{_LAT26}',
+                                     repeat('文', 26))
+               ELSE coalesce(text, '') END AS t
+      FROM documents),
+    counts AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[a-zA-Z]'))::BIGINT AS latin,
+             len(regexp_extract_all(t, '\p{{Cyrillic}}'))::BIGINT AS cyrillic,
+             len(regexp_extract_all(t, '\p{{Greek}}'))::BIGINT AS greek,
+             len(regexp_extract_all(t, '\p{{Han}}'))::BIGINT AS han
+      FROM injected)
+    SELECT doc_id, latin, cyrillic, greek, han,
+           CASE WHEN latin >= cyrillic AND latin >= greek AND latin >= han
+                     AND latin > 0 THEN 'latin'
+                WHEN cyrillic >= greek AND cyrillic >= han
+                     AND cyrillic > 0 THEN 'cyrillic'
+                WHEN greek >= han AND greek > 0 THEN 'greek'
+                WHEN han > 0 THEN 'han'
+                ELSE 'none' END AS script
+    FROM counts
+    """,
+)
+def q_script_id(sf_dir: str):
+    """Unicode-script identification (the writing-system tier above
+    language_id a multilingual crawl filters on first): per-doc letter
+    counts by script property class + the dominant script, ties broken
+    latin > cyrillic > greek > han.  The ASCII synth corpus is
+    all-latin, so the entry transliterates lowercase letters per
+    doc_id%4 IN-QUERY (mirrored verbatim in the oracle's translate()) —
+    all four classes then genuinely occur.  Map-only, zero exchange;
+    rust-regex and RE2 agree on \\p{{Script}} classes for the injected
+    alphabets (pinned by the oracle gate at both SFs)."""
+    lat = list(_LAT26)
+
+    def kern(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text"])).with_columns(
+            t0=pl.col("text").fill_null("")
+        )
+        df = df.with_columns(
+            t=pl.when(pl.col("doc_id") % 4 == 1)
+            .then(pl.col("t0").str.replace_many(lat, list(_CYR26)))
+            .when(pl.col("doc_id") % 4 == 2)
+            .then(pl.col("t0").str.replace_many(lat, list(_GRK26)))
+            .when(pl.col("doc_id") % 4 == 3)
+            .then(pl.col("t0").str.replace_many(lat, ["文"] * 26))
+            .otherwise(pl.col("t0"))
+        )
+        df = df.with_columns(
+            latin=pl.col("t").str.count_matches(r"[a-zA-Z]").cast(pl.Int64),
+            cyrillic=pl.col("t").str.count_matches(r"\p{Cyrillic}").cast(pl.Int64),
+            greek=pl.col("t").str.count_matches(r"\p{Greek}").cast(pl.Int64),
+            han=pl.col("t").str.count_matches(r"\p{Han}").cast(pl.Int64),
+        )
+        lt, cy, gk, hn = (pl.col(c) for c in ("latin", "cyrillic", "greek", "han"))
+        df = df.with_columns(
+            script=pl.when((lt >= cy) & (lt >= gk) & (lt >= hn) & (lt > 0))
+            .then(pl.lit("latin"))
+            .when((cy >= gk) & (cy >= hn) & (cy > 0))
+            .then(pl.lit("cyrillic"))
+            .when((gk >= hn) & (gk > 0))
+            .then(pl.lit("greek"))
+            .when(hn > 0)
+            .then(pl.lit("han"))
+            .otherwise(pl.lit("none"))
+        )
+        return df.select(
+            ["doc_id", "latin", "cyrillic", "greek", "han", "script"]
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("latin", pa.int64()),
+                    ("cyrillic", pa.int64()),
+                    ("greek", pa.int64()),
+                    ("han", pa.int64()),
+                    ("script", pa.string()),
+                ]
+            )
+        )
+
+    return _docs(sf_dir).map_batches(kern, batch_format="pyarrow")
+
+
 @_q(
     "quality_metrics",
     r"""
