@@ -5721,7 +5721,10 @@ QUERIES["build_and_search"] = flagship
 # query node mirror scoring/oracle.py::BM25Oracle._matches: AND = all
 # terms in the field-union, OR = any, phrase = all terms present AND
 # the lowercase phrase a substring of title, content or description.
-ORACLE_SQL["build_and_search"] = r"""
+# the retrieval + raw-score + min-score portion, shared by the flagship
+# oracle (which adds normalization + the ranked top-10 cut) and the
+# match_totals entry (which counts the FULL surviving candidate set)
+_FLAGSHIP_CTES = r"""
     WITH fields AS MATERIALIZED (
       SELECT doc_id AS orig_id,
              'Doc ' || doc_id || ' ' || source AS title,
@@ -5815,7 +5818,10 @@ ORACLE_SQL["build_and_search"] = r"""
                position(m.phrase IN lower(f.title)) > 0
             OR position(m.phrase IN lower(f.content)) > 0
             OR position(m.phrase IN lower(f.descr)) > 0))),
-    filtered AS (SELECT * FROM cand WHERE raw >= 0.01),
+    filtered AS (SELECT * FROM cand WHERE raw >= 0.01)
+"""
+
+ORACLE_SQL["build_and_search"] = _FLAGSHIP_CTES + r""",
     norm AS (
       SELECT query, orig_id, url,
              CASE WHEN max(raw) OVER (PARTITION BY query)
@@ -5839,6 +5845,37 @@ ORACLE_SQL["build_and_search"] = r"""
 # tests/test_distributed.py), so the flagship oracle checks it too —
 # this upgrades the entry from rows-only to full rows+schema+hash.
 ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
+
+
+@_q(
+    "match_totals",
+    _FLAGSHIP_CTES + """
+    SELECT m.query, count(f.orig_id)::BIGINT AS total
+    FROM qmeta m LEFT JOIN filtered f USING (query)
+    GROUP BY 1
+    """,
+)
+def q_match_totals(sf_dir: str):
+    """FT.SEARCH ``total`` semantics cross-checked on the FULL
+    candidate set: for every fixture query, the number of docs that
+    match the boolean retrieval (AND/OR/phrase posting algebra) AND
+    survive the min-score filter — the count the reference service
+    returns alongside each page of results.  The top-10 flagship
+    oracle can't see a candidate-set divergence below rank 10; this
+    entry checks the whole set (engine ``search(limit=0)["total"]`` vs
+    the oracle's count over the shared ``filtered`` CTE)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(_ensure_index(sf_dir))
+    totals = [
+        (q, int(eng.search(q, limit=0)["total"])) for q in FLAGSHIP_QUERIES
+    ]
+    return pa.table(
+        {
+            "query": pa.array([t[0] for t in totals], pa.string()),
+            "total": pa.array([t[1] for t in totals], pa.int64()),
+        }
+    )
 
 
 # static pruning cut size: small enough that head terms ("doc", source
