@@ -1046,6 +1046,75 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_docs(sf_dir))
 
 
+@_q(
+    "boilerplate_strip",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source,
+             'copyright ' || source || chr(10) || 'nav home about' || chr(10)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN 'promo ' || source || chr(10) ELSE '' END
+             || coalesce(text, '') AS t2
+      FROM documents),
+    s AS (SELECT doc_id, source, string_split(t2, chr(10)) AS ls FROM base),
+    l AS (SELECT doc_id, source, unnest(ls) AS line,
+                 unnest(range(len(ls))) AS ln FROM s),
+    norm AS (SELECT doc_id, source, ln, line,
+                    trim(line, ' ' || chr(9) || chr(13)) AS key FROM l),
+    dsz AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+    bp AS (
+      SELECT c.source, c.key
+      FROM (SELECT source, key, count(DISTINCT doc_id)::BIGINT AS c
+            FROM norm WHERE key <> '' GROUP BY 1, 2) c
+      JOIN dsz USING (source)
+      WHERE c.c * 2 >= dsz.n),
+    kept AS (
+      SELECT n.doc_id, n.ln, n.line FROM norm n
+      LEFT JOIN bp b ON b.source = n.source AND b.key = n.key
+      WHERE b.key IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(agg.text, '') AS text
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_boilerplate_strip(sf_dir: str):
+    """DOMAIN-conditional boilerplate removal (Onion/CleanEval rule,
+    Pomikalek 2011; RefinedWeb per-site line filtering, Penedo 2023
+    §3.2): a line in >= half of the SAME source's docs is boilerplate
+    for that source and stripped; rarer repeated lines survive.  The
+    single-line synth docs carry no boilerplate, so the entry prepends
+    deterministic per-source chrome IN-QUERY (mirrored in the oracle):
+    a copyright line + a nav line on every doc (-> stripped, 100%
+    frequency) and a 'promo' line on doc_id%3==0 docs (-> KEPT, ~33% <
+    the 50% threshold — the rule genuinely discriminates)."""
+    from ..stages.dedup import boilerplate_strip
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        df = df.with_columns(
+            text=pl.lit("copyright ")
+            + pl.col("source")
+            + pl.lit("\nnav home about\n")
+            + pl.when(pl.col("doc_id") % 3 == 0)
+            .then(pl.lit("promo ") + pl.col("source") + pl.lit("\n"))
+            .otherwise(pl.lit(""))
+            + pl.col("text").fill_null("")
+        )
+        return df.select(["doc_id", "source", "text"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                       ("text", pa.string())])
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        inject, batch_format="pyarrow"
+    )
+    return boilerplate_strip(
+        docs, domain_col="source", col="text", num_frac=1, den_frac=2
+    )
+
+
 def _minhash_sig_ctes(src: str = "documents") -> str:
     """Shared CTE prefix (toks -> sh -> sig -> bands -> bh) of the
     MinHash oracle SQL; ``src`` is the (doc_id, text) relation the

@@ -887,19 +887,24 @@ def simhash_near_dupes(
 _LINE_STRIP = " \t\r"
 
 
-def _explode_lines(batch: pa.Table, col: str) -> pa.Table:
-    """One doc batch -> (doc_id, ln, line, key) rows, vectorized:
-    polars split/explode with a per-doc line counter; ``key`` is the
-    line stripped of spaces/tabs/CR (the dedup identity), ``line`` the
-    original text that survives into the rebuilt doc."""
-    df = pl.DataFrame(
-        {
-            "doc_id": pl.from_arrow(batch.column("doc_id")),
-            "t": pl.Series(
-                [x or "" for x in batch.column(col).to_pylist()], dtype=pl.String
-            ),
-        }
-    )
+def _explode_lines(
+    batch: pa.Table, col: str, extra_cols: tuple[str, ...] = ()
+) -> pa.Table:
+    """One doc batch -> (doc_id, [extras...], ln, line, key) rows,
+    vectorized: polars split/explode with a per-doc line counter;
+    ``key`` is the line stripped of spaces/tabs/CR (the dedup
+    identity), ``line`` the original text that survives into the
+    rebuilt doc; ``extra_cols`` (e.g. the domain) ride the explode
+    unchanged."""
+    data = {
+        "doc_id": pl.from_arrow(batch.column("doc_id")),
+        "t": pl.Series(
+            [x or "" for x in batch.column(col).to_pylist()], dtype=pl.String
+        ),
+    }
+    for c in extra_cols:
+        data[c] = pl.from_arrow(batch.column(c))
+    df = pl.DataFrame(data)
     df = (
         df.with_columns(pl.col("t").str.split("\n").alias("line"))
         .drop("t")
@@ -912,16 +917,14 @@ def _explode_lines(batch: pa.Table, col: str) -> pa.Table:
     t = df.to_arrow()
     # polars emits large_string; Acero refuses to join it against the
     # plain-string key column the groupby aggregate produces
-    return t.cast(
-        pa.schema(
-            [
-                ("doc_id", t.schema.field("doc_id").type),
-                ("line", pa.string()),
-                ("ln", pa.int64()),
-                ("key", pa.string()),
-            ]
-        )
-    )
+    fields = [("doc_id", t.schema.field("doc_id").type)]
+    fields += [
+        (c, pa.string() if pa.types.is_large_string(t.schema.field(c).type)
+         else t.schema.field(c).type)
+        for c in extra_cols
+    ]
+    fields += [("line", pa.string()), ("ln", pa.int64()), ("key", pa.string())]
+    return t.cast(pa.schema(fields))
 
 
 def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
@@ -997,6 +1000,16 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
         # before they hit the groupby/sort below
     ).repartition(num_partitions).materialize()
 
+    return _strip_marked_lines(docs_ds, marks, col, num_partitions)
+
+
+def _strip_marked_lines(docs_ds, marks, col: str, num_partitions: int):
+    """Shared rebuild tail of line_dedup / boilerplate_strip: given the
+    drop MARKS Dataset(doc_id, ln), pack each doc's marks into one
+    binary int64 row, left-join against the docs, and rebuild every
+    text with the marked lines removed (order preserved; a fully
+    marked doc survives with empty text)."""
+
     def pack_lns(group: pa.Table) -> pa.Table:
         lns = np.sort(group.column("ln").to_numpy().astype(np.int64))
         return pa.table(
@@ -1015,7 +1028,7 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
     )
 
     joined = docs_ds.map_batches(
-        lambda b: b.select(clean_cols), batch_format="pyarrow"
+        lambda b: b.select(["doc_id", col]), batch_format="pyarrow"
     ).join(
         packed,
         join_type="left_outer",
@@ -1047,6 +1060,115 @@ def line_dedup(docs_ds, col: str = "text", num_partitions: int = 8):
     return joined.map_batches(rebuild, batch_format="pyarrow").repartition(
         num_partitions
     )
+
+
+def boilerplate_strip(
+    docs_ds,
+    *,
+    domain_col: str = "domain",
+    col: str = "text",
+    num_frac: int = 1,
+    den_frac: int = 2,
+    num_partitions: int = 8,
+):
+    """DOMAIN-conditional boilerplate line removal -> Dataset(doc_id,
+    text): a stripped non-empty line occurring in
+    ``>= ceil(num_frac/den_frac * docs_in_domain)`` DISTINCT documents
+    of the SAME domain is boilerplate FOR THAT DOMAIN (nav bars,
+    cookie banners, copyright footers) and removed from that domain's
+    docs only — the Onion / CleanEval rule (Pomikalek 2011) RefinedWeb
+    applies per-site (Penedo 2023 §3.2), where the global >= 2-docs
+    rule of :func:`line_dedup` would be far too aggressive (any quoted
+    sentence shared by two pages anywhere dies) and a per-site
+    frequency threshold is the published cut.
+
+    Scale shape: lines explode once (map-only); the distinct
+    (domain, key, doc_id) pass and the (domain, key) count both ride
+    ``sorted_agg`` (corpus-proportional keys, no map_groups Python);
+    domain sizes are a BOUNDED-domain groupby collected once and
+    broadcast via ``ray.put``; boilerplate keys join back against the
+    exploded lines (rows proportional to boilerplate volume); the
+    rebuild is the shared one-exchange pack+join tail.  Threshold
+    compare is pure integers: ``cnt * den >= num * n_domain`` ==
+    ``cnt >= ceil(num/den * n_domain)``.
+    """
+    import ray
+
+    from .shuffle import AUTO_THRESHOLD, sorted_agg, sorted_distinct
+
+    lines = docs_ds.map_batches(
+        lambda b: _explode_lines(b, col, extra_cols=(domain_col,)),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def nonblank(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.select([domain_col, "key", "doc_id"]).filter(
+            pc.not_equal(b.column("key"), "")
+        )
+
+    trip = sorted_distinct(
+        lines.map_batches(nonblank, batch_format="pyarrow"),
+        [domain_col, "key", "doc_id"],
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    counts = sorted_agg(
+        trip,
+        [domain_col, "key"],
+        {"cnt": ("count", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+    # domain sizes: bounded-domain groupby -> tiny driver dict -> plasma
+    sizes = {
+        r[domain_col]: int(r["count()"])
+        for r in docs_ds.groupby(domain_col).count().take_all()
+    }
+    sizes_ref = ray.put(sizes)
+
+    def bp_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select([domain_col, "key"])
+        sz = ray.get(sizes_ref)
+        n = np.array(
+            [sz.get(d, 0) for d in b.column(domain_col).to_pylist()], np.int64
+        )
+        cnt = b.column("cnt").to_numpy()
+        return b.filter(pa.array(cnt * den_frac >= num_frac * n)).select(
+            [domain_col, "key"]
+        )
+
+    # repartition: the threshold filter can empty whole blocks, and
+    # map_batches strips an empty table's schema (measured, Ray 2.49 —
+    # see the line_dedup/verify notes); merged away they can't break
+    # the Acero key resolution of the marks join below
+    bp_keys = (
+        counts.map_batches(bp_only, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if bp_keys.count() == 0:
+        return docs_ds.map_batches(
+            lambda b: b.select(["doc_id", col]), batch_format="pyarrow"
+        )
+    marks = (
+        bp_keys.join(
+            lines.map_batches(
+                lambda b: b.select([domain_col, "key", "doc_id", "ln"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(domain_col, "key"),
+        )
+        .map_batches(
+            lambda b: b.select(["doc_id", "ln"]), batch_format="pyarrow"
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    return _strip_marked_lines(docs_ds, marks, col, num_partitions)
 
 
 # positional odd multipliers for combining token hashes into window keys

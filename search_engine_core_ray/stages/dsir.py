@@ -236,6 +236,10 @@ def dsir_select(weights_ds, *, frac_num: int = 1, frac_den: int = 5,
             ),
             batch_format="pyarrow",
         )
+        # the filter empties most blocks and map_batches strips an
+        # empty table's schema (Ray 2.49) — merge them away before the
+        # boundary sort sees schema-less blocks
+        .repartition(2)
         .sort(["w_q", id_col], descending=[True, False])
         .limit(k - a)
     )
