@@ -854,6 +854,84 @@ def q_quality_metrics(sf_dir: str):
 
 
 @_q(
+    "gopher_quality",
+    r"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id,
+             repeat(coalesce(text, '') || ' ',
+                    CAST(1 + doc_id % 3 AS INTEGER))
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'and of that have with' ELSE 'nostop' END AS t
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '[^ \t\n\r\f\v]+') AS ws,
+             string_split(t, chr(10)) AS lines,
+             len(regexp_extract_all(t, '[^ \t\n\r\f\v]'))::BIGINT AS nonws,
+             list_distinct(regexp_extract_all(lower(t), '[a-z]+')) AS toks
+      FROM base),
+    c AS (
+      SELECT doc_id, nonws,
+             len(ws)::BIGINT AS n_words,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(ws, w -> regexp_matches(w, '#|\.\.\.')))::BIGINT
+               AS sym_words,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT
+               AS alpha_words,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))::BIGINT
+               AS bullet_lines,
+             len(list_filter(lines,
+                             l -> regexp_matches(l, '(\.\.\.|…)$')))::BIGINT
+               AS ellipsis_lines,
+             len(list_intersect(toks, ['the', 'be', 'to', 'of', 'and',
+                                       'that', 'have', 'with']))::BIGINT
+               AS stop_hits
+      FROM sig)
+    SELECT doc_id, n_words, nonws, n_lines, sym_words, alpha_words,
+           bullet_lines, ellipsis_lines, stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= nonws AND nonws <= 10 * n_words
+            AND 10 * sym_words <= n_words
+            AND 10 * bullet_lines <= 9 * n_lines
+            AND 10 * ellipsis_lines <= 3 * n_lines
+            AND 10 * alpha_words >= 8 * n_words
+            AND stop_hits >= 2) AS keep
+    FROM c
+    """,
+)
+def q_gopher_quality(sf_dir: str):
+    """The published Gopher quality-rule set (Rae 2021 App. A) as a
+    map-only signals+verdict pass — word-count band, mean-word-length
+    band, symbol/bullet/ellipsis ratios, alphabetic-word share and the
+    2-of-8 stop-word rule, every compare cross-multiplied to integers
+    so the verdict is engine-exact.  The short single-line synth docs
+    would fail uniformly on word count and stop words, so the entry
+    repeats each doc 1+doc_id%3 times and gives doc_id%2==0 docs the
+    stop-word tail IN-QUERY (mirrored in the oracle) — both the
+    signals and the keep verdict then genuinely vary."""
+
+    def inject(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        df = df.with_columns(
+            text=(pl.col("text").fill_null("") + pl.lit(" "))
+            .repeat_by((1 + pl.col("doc_id") % 3).cast(pl.Int64))
+            .list.join("")
+            + pl.when(pl.col("doc_id") % 2 == 0)
+            .then(pl.lit("and of that have with"))
+            .otherwise(pl.lit("nostop"))
+        )
+        return df.select(["doc_id", "text"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(ts.gopher_signals, batch_format="pyarrow")
+    )
+
+
+@_q(
     "url_normalize",
     """
     SELECT doc_id,

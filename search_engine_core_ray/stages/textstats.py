@@ -1262,3 +1262,90 @@ def proximity_spans(
         tiebreak_cols=[id_col],
         emit_rank="rnk",
     )
+
+
+# the 8 Gopher stop words (Rae et al. 2021, Gopher App. A quality rule)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_WS_CLASS = r"[^ \t\n\r\f\v]"  # RE2/rust-regex-agreeing non-whitespace
+
+
+def gopher_signals(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher quality-rule signals + the keep verdict (Rae et
+    al. 2021 'Scaling Language Models: ... Gopher', Appendix A — the
+    published web-text repetition/format rule set this engine's
+    quality_metrics heuristic predates).  All signals are integers and
+    every threshold compare is cross-multiplied, so the verdict is
+    exact in both engines (no ratio ever materializes):
+
+    keep iff  50 <= n_words <= 100000
+          and 3*n_words <= nonws_chars <= 10*n_words   (mean word len)
+          and 10*sym_words <= n_words                  (#/... ratio)
+          and 10*bullet_lines <= 9*n_lines             (<=90% bullets)
+          and 10*ellipsis_lines <= 3*n_lines           (<=30% ...)
+          and 10*alpha_words >= 8*n_words              (>=80% alphabetic)
+          and stop_hits >= 2        (distinct Gopher stop words present)
+    """
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        t=pl.col("text").fill_null("")
+    )
+    df = df.with_columns(
+        ws=pl.col("t").str.extract_all(_WS_CLASS + "+"),
+        lines=pl.col("t").str.split("\n"),
+        nonws=pl.col("t").str.count_matches(_WS_CLASS).cast(pl.Int64),
+        toks=pl.col("t").str.to_lowercase().str.extract_all(r"[a-z]+"),
+    )
+    df = df.with_columns(
+        n_words=pl.col("ws").list.len().cast(pl.Int64),
+        n_lines=pl.col("lines").list.len().cast(pl.Int64),
+        sym_words=pl.col("ws")
+        .list.eval(pl.element().str.contains(r"#|\.\.\.").cast(pl.Int64))
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64),
+        alpha_words=pl.col("ws")
+        .list.eval(pl.element().str.contains(r"[a-zA-Z]").cast(pl.Int64))
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64),
+        bullet_lines=pl.col("lines")
+        .list.eval(pl.element().str.contains(r"^[-*•]").cast(pl.Int64))
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64),
+        ellipsis_lines=pl.col("lines")
+        .list.eval(
+            pl.element().str.contains(r"(\.\.\.|…)$").cast(pl.Int64)
+        )
+        .list.sum()
+        .fill_null(0)
+        .cast(pl.Int64),
+        stop_hits=pl.col("toks")
+        .list.unique()
+        .list.set_intersection(pl.lit(list(GOPHER_STOPS)))
+        .list.len()
+        .fill_null(0)
+        .cast(pl.Int64),
+    )
+    n, nw = pl.col("n_words"), pl.col("nonws")
+    df = df.with_columns(
+        keep=(n >= 50)
+        & (n <= 100_000)
+        & (3 * n <= nw)
+        & (nw <= 10 * n)
+        & (10 * pl.col("sym_words") <= n)
+        & (10 * pl.col("bullet_lines") <= 9 * pl.col("n_lines"))
+        & (10 * pl.col("ellipsis_lines") <= 3 * pl.col("n_lines"))
+        & (10 * pl.col("alpha_words") >= 8 * n)
+        & (pl.col("stop_hits") >= 2)
+    )
+    cols = [
+        "doc_id", "n_words", "nonws", "n_lines", "sym_words",
+        "alpha_words", "bullet_lines", "ellipsis_lines", "stop_hits", "keep",
+    ]
+    return df.select(cols).to_arrow().cast(
+        pa.schema(
+            [("doc_id", pa.int64())]
+            + [(c, pa.int64()) for c in cols[1:-1]]
+            + [("keep", pa.bool_())]
+        )
+    )
