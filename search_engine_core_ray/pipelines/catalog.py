@@ -1301,10 +1301,11 @@ def q_minhash_dupes(sf_dir: str):
     return minhash_near_dupes(_docs(sf_dir), threshold=0.5, token_hash="md5")
 
 
-def _neardup_clusters_sql(threshold: float = 0.5) -> str:
-    """Recursive min-reachable-id closure over the verified MinHash
-    pair graph (DuckDB WITH RECURSIVE; fine at oracle scale — the
-    engine side uses union-find / hash-min propagation instead)."""
+def _neardup_comp_ctes(threshold: float = 0.5) -> str:
+    """Shared recursive CTE prefix (pairs -> symmetric edges ->
+    min-reachable-id closure -> comp) of the near-dup cluster oracles
+    (DuckDB WITH RECURSIVE; fine at oracle scale — the engine side
+    uses union-find / hash-min propagation instead)."""
     return f"""
     WITH RECURSIVE {_minhash_sig_ctes().strip()},
     cand AS (
@@ -1325,12 +1326,36 @@ def _neardup_clusters_sql(threshold: float = 0.5) -> str:
       SELECT r.v, s2.w FROM reach r JOIN se s2 ON s2.v = r.w),
     comp AS (
       SELECT v AS doc_id, LEAST(v, min(w)) AS component
-      FROM reach GROUP BY v)
+      FROM reach GROUP BY v)"""
+
+
+def _neardup_clusters_sql(threshold: float = 0.5) -> str:
+    return f"""
+    {_neardup_comp_ctes(threshold).strip()}
     SELECT d.doc_id,
            coalesce(c.component, d.doc_id) AS component,
            (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
                  THEN 1 ELSE 0 END)::BIGINT AS kept
     FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+def _neardup_keep_best_sql(threshold: float = 0.5) -> str:
+    return f"""
+    {_neardup_comp_ctes(threshold).strip()},
+    allc AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             strlen(coalesce(d.text, ''))::BIGINT AS len
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    rep AS (
+      SELECT component, doc_id AS rep FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY len DESC, doc_id) AS rn
+        FROM allc) WHERE rn = 1)
+    SELECT a.doc_id, a.component, a.len,
+           (CASE WHEN a.doc_id = r.rep THEN 1 ELSE 0 END)::BIGINT AS kept
+    FROM allc a JOIN rep r USING (component)
     """
 
 
@@ -1356,6 +1381,39 @@ def q_neardup_clusters(sf_dir: str):
             lambda b: b.select(["doc_id"]), batch_format="pyarrow"
         ),
     )
+
+
+@_q("neardup_keep_best", _neardup_keep_best_sql(0.5))
+def q_neardup_keep_best(sf_dir: str):
+    """Quality-aware near-dup survivors: same verified MinHash clusters
+    as neardup_clusters, but the kept doc per cluster is the LONGEST
+    text (doc_id tiebreak) — the SlimPajama/RefinedWeb representative
+    rule, which preserves the highest-information copy where the
+    min-id rule keeps an arbitrary one.  Singletons keep themselves.
+    Two sorted_agg reductions + two hash joins; no driver state."""
+    from ..stages.dedup import cluster_keep_best, connected_components
+
+    docs = _docs(sf_dir)
+    pairs = minhash_near_dupes(docs, threshold=0.5, token_hash="md5")
+    comps = connected_components(
+        pairs,
+        docs.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ),
+    )
+    lens = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "len": pc.cast(
+                    pc.utf8_length(pc.fill_null(b.column("text"), "")),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cluster_keep_best(comps, lens)
 
 
 @_q("incremental_minhash_dedup", _minhash_incremental_oracle_sql(0.5))

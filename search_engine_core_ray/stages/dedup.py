@@ -1916,3 +1916,76 @@ def snapshot_delta(old_ds, new_ds, *, key: str = "doc_id", num_partitions: int =
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def cluster_keep_best(comps_ds, lens_ds, *, num_partitions: int = 8):
+    """Quality-aware near-dup survivor selection: given the per-doc
+    component labels (``connected_components`` output) and a per-doc
+    ``len`` quality score, keep ONE doc per component — the LONGEST,
+    doc_id tiebreak — instead of the min-id canonical doc.  This is
+    the representative rule published pipelines actually apply
+    (SlimPajama/RefinedWeb keep the longest duplicate, the highest-
+    information copy), where min-id keeps an arbitrary one.
+
+    Returns Dataset(doc_id, component, len, kept) — kept=1 on the
+    representative.  Shape: two hash joins on corpus-proportional keys
+    plus two ``sorted_agg`` reductions (component -> max len; ties ->
+    min doc_id); no driver-side state, no map_groups Python.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import AUTO_THRESHOLD, sorted_agg
+
+    m = (
+        comps_ds.map_batches(
+            lambda b: b.select(["doc_id", "component"]),
+            batch_format="pyarrow",
+        )
+        .join(lens_ds, join_type="inner", num_partitions=num_partitions,
+              on=("doc_id",))
+        .repartition(num_partitions)  # schema-stripped empty blocks
+        .materialize()
+    )
+    cmax = sorted_agg(
+        m.map_batches(
+            lambda b: b.select(["component", "len"]), batch_format="pyarrow"
+        ),
+        "component",
+        {"maxlen": ("max", "len")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    cands = (
+        m.join(cmax, join_type="inner", num_partitions=num_partitions,
+               on=("component",))
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("len"), b.column("maxlen"))
+            ).select(["component", "doc_id"]),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+    )
+    reps = sorted_agg(
+        cands, "component", {"rep": ("min", "doc_id")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+    def mark(b: pa.Table) -> pa.Table:
+        kept = pc.cast(
+            pc.equal(b.column("doc_id"), b.column("rep")), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "component": b.column("component"),
+                "len": b.column("len"),
+                "kept": kept,
+            }
+        )
+
+    return (
+        m.join(reps, join_type="inner", num_partitions=num_partitions,
+               on=("component",))
+        .repartition(num_partitions)
+        .map_batches(mark, batch_format="pyarrow")
+    )
