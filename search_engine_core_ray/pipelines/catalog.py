@@ -6026,7 +6026,9 @@ _FLAGSHIP_CTES = r"""
     filtered AS (SELECT * FROM cand WHERE raw >= 0.01)
 """
 
-ORACLE_SQL["build_and_search"] = _FLAGSHIP_CTES + r""",
+# the per-query min-max normalization over the surviving candidates —
+# also shared by the host-crowding entry
+_FLAGSHIP_NORM = r""",
     norm AS (
       SELECT query, orig_id, url,
              CASE WHEN max(raw) OVER (PARTITION BY query)
@@ -6035,7 +6037,9 @@ ORACLE_SQL["build_and_search"] = _FLAGSHIP_CTES + r""",
                        / (max(raw) OVER (PARTITION BY query)
                           - min(raw) OVER (PARTITION BY query))
                   ELSE raw END AS s
-      FROM filtered),
+      FROM filtered)"""
+
+ORACLE_SQL["build_and_search"] = _FLAGSHIP_CTES + _FLAGSHIP_NORM + r""",
     ranked AS (
       SELECT query, orig_id AS doc_id, url, round(s, 4) AS score,
              row_number() OVER (PARTITION BY query
@@ -6050,6 +6054,81 @@ ORACLE_SQL["build_and_search"] = _FLAGSHIP_CTES + r""",
 # tests/test_distributed.py), so the flagship oracle checks it too —
 # this upgrades the entry from rows-only to full rows+schema+hash.
 ORACLE_SQL["distributed_search"] = ORACLE_SQL["build_and_search"]
+
+
+@_q(
+    "domain_capped_topk",
+    _FLAGSHIP_CTES + _FLAGSHIP_NORM + r""",
+    dom AS (
+      SELECT query, orig_id, url, round(s, 4) AS score,
+             regexp_extract(url, 'https?://([^/:]+)', 1) AS domain
+      FROM norm),
+    capped AS (
+      SELECT *, row_number() OVER (PARTITION BY query, domain
+                                   ORDER BY score DESC, orig_id) AS dr
+      FROM dom),
+    ranked AS (
+      SELECT query, orig_id AS doc_id, url, domain, score,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY score DESC, orig_id) AS rnk
+      FROM capped WHERE dr <= 2)
+    SELECT query, rnk, doc_id, url, domain, score
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_domain_capped_topk(sf_dir: str):
+    """Host-crowding-capped SERP (the classic result-diversification
+    rule: at most 2 results per domain on a page — Google's host
+    crowding): the flagship engine's full normalized candidate list,
+    greedily scanned in canonical (round(score,4) DESC, doc_id) order
+    keeping each domain's first 2, then cut to the top 10.  The greedy
+    scan equals the oracle's per-(query, domain) row_number <= 2
+    because the per-domain order is the induced subsequence of the
+    global order.  MMR diversifies by CONTENT similarity
+    (mmr_diversify_topk); this is its source-diversity sibling."""
+    import re
+
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(_ensure_index(sf_dir))
+    rows = {"query": [], "rnk": [], "doc_id": [], "url": [], "domain": [],
+            "score": []}
+    for q in FLAGSHIP_QUERIES:
+        res = eng.search(q, limit=0)["results"]
+        scored = []
+        for hit in res:
+            url = hit["url"]
+            dom = re.match(r"https?://([^/:]+)", url).group(1)
+            sc = float(ts.round_half_away(np.float64(hit["score"]), 4))
+            scored.append((sc, int(url.rsplit("/", 1)[1]), url, dom))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        per_dom: dict = {}
+        kept = []
+        for sc, oid, url, dom in scored:
+            c = per_dom.get(dom, 0)
+            if c >= 2:
+                continue
+            per_dom[dom] = c + 1
+            kept.append((sc, oid, url, dom))
+            if len(kept) == 10:
+                break
+        for r, (sc, oid, url, dom) in enumerate(kept, 1):
+            rows["query"].append(q)
+            rows["rnk"].append(r)
+            rows["doc_id"].append(oid)
+            rows["url"].append(url)
+            rows["domain"].append(dom)
+            rows["score"].append(sc)
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rnk": pa.array(rows["rnk"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "url": pa.array(rows["url"], pa.string()),
+            "domain": pa.array(rows["domain"], pa.string()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
 
 
 @_q(
