@@ -7457,20 +7457,24 @@ _DRIVER_PRIORITY = [
     "contamination_frac", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
     "pagerank", "hits", "cocitation", "coupling", "anchor_terms",
-    "top_pages_per_domain",
-    "domain_stats",
-    "fuzzy_term_match", "ranking_eval",
     "image_near_dupes", "audio_near_dupes",
     # -- new in round 5 part 3+ (never driver-checked) --
     "salted_stratified_sample", "mixture_plan", "event_bursts",
     "trustrank", "crawl_delta", "pruned_postings_cut",
     "proximity_topk", "dsir_sample",
+    # -- new in round 5 part 5 (never driver-checked) --
+    "gopher_quality", "boilerplate_strip", "neardup_keep_best",
+    "domain_capped_topk",
     # -- oracle upgraded after their last driver sample --
     "distributed_search",      # flagship-SQL oracle landed post-rotation
     "ivf_ann", "media_features", "media_frame_samples",  # golden oracles
     "build_and_search",        # keep the flagship sampled every round
-    # rotated out this round (green rows already on record, repo oracle
-    # gate still covers them at sf0.001+sf0.01): crawl_schedule,
+    # rotated out this round (repo oracle gate still covers them at
+    # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
+    # fuzzy_term_match, ranking_eval (generic-aggregate / eval-harness
+    # entries displaced by the part-5 training-data operators, which are
+    # higher-leverage driver rows; all four stay in the repo gate),
+    # plus the r1-r4 long-green rotations: crawl_schedule,
     # robots_decisions, retry_policy, domain_doclen_quantiles,
     # link_edges, link_stats (r4-never-checked but constant-table /
     # kernel-twin entries — doclen_quantiles carries the same
