@@ -440,6 +440,9 @@ def main() -> None:
         "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
         "proximity_topk", "dsir_sample",
+        "salted_stratified_sample", "mixture_plan", "script_id",
+        "match_totals", "gopher_quality", "boilerplate_strip",
+        "neardup_keep_best", "domain_capped_topk",
         "winnow_overlap_pairs",  # runs winnow_fingerprints inside it
         # pruned_postings_cut is deliberately NOT benched: the prune
         # path is already timed above (prune_index_k1024 + pruned p99 +
