@@ -433,7 +433,8 @@ def main() -> None:
         "domain_doclen_quantiles",
         "image_near_dupes", "audio_near_dupes", "asof_last_order",
         "events_sliding_window", "range_join_copresence",
-        "bpe_merges", "bpe_token_counts", "nb_lang_pred", "dsir_logweights",
+        "bpe_merges", "bpe_token_counts", "bpe_encode",
+        "nb_lang_pred", "dsir_logweights",
         "dedup_spans", "chunk_windows", "epoch_shuffle",
         "neardup_clusters", "rrf_hybrid_topk", "ann_recall",
         "funnel_conversion", "link_components", "mmr_diversify_topk",

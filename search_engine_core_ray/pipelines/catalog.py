@@ -2732,6 +2732,60 @@ def q_bpe_token_counts(sf_dir: str):
     )
 
 
+def _bpe_encode_sql(k: int, prefix_k: int) -> str:
+    """Training chain + k unrolled doc-level replace rounds: the same
+    '|x||y| -> |xy|' literal-replace algebra as the words{i} CTEs, but
+    applied to the per-DOC delimiter stream (word reprs space-joined,
+    which no pattern can cross)."""
+    parts = [_bpe_words_cte(k)]
+    parts.append("""
+    , docenc0 AS MATERIALIZED (
+      SELECT d.doc_id,
+             array_to_string(
+               list_transform(l.toks,
+                 t -> '||' || array_to_string(string_split(t, ''), '||')
+                      || '||_||'),
+               ' ') AS r
+      FROM documents d,
+           LATERAL (SELECT regexp_extract_all(lower(d.text),
+                                              '[a-z0-9]{2,}') AS toks) l
+      WHERE len(l.toks) > 0)""")
+    for i in range(1, k + 1):
+        parts.append(f"""
+    , docenc{i} AS MATERIALIZED (
+      SELECT e.doc_id,
+             replace(e.r, coalesce('|'||b.x||'||'||b.y||'|', chr(1)),
+                          coalesce('|'||b.x||b.y||'|', chr(1))) AS r
+      FROM docenc{i - 1} e LEFT JOIN best{i} b ON TRUE)""")
+    parts.append(f"""
+    SELECT doc_id, len(syms)::BIGINT AS n_sym,
+           array_to_string(list_slice(syms, 1, {prefix_k}), ' ')
+             AS bpe_prefix
+    FROM (SELECT doc_id,
+                 string_split(trim(replace(r, '|| ||', '||'), '|'),
+                              '||') AS syms
+          FROM docenc{k})""")
+    return "".join(parts)
+
+
+@_q("bpe_encode", _bpe_encode_sql(BPE_MERGES, 24))
+def q_bpe_encode(sf_dir: str):
+    """The BPE ENCODER: train the merge table, then tokenize-and-encode
+    every document by applying the merges in rank order (stages/bpe.py
+    bpe_encode). The encoder needs only the tiny merge table broadcast
+    — each doc's word stream is delimiter-encoded IN-ROW and the k
+    literal replaces run as vectorized polars passes, so the pass is
+    map-only with zero exchange at any corpus size (this is the stage
+    that turns 100 TB of cleaned text into training tokens). Output is
+    (doc_id, n_sym, bpe_prefix): encoded-symbol count + the first 24
+    symbols, hash-checked against the oracle's unrolled doc-level
+    replace chain sharing the training CTEs."""
+    from ..stages.bpe import bpe_encode, learn_bpe
+
+    merges, _words = learn_bpe(_docs(sf_dir, ["text"]), n_merges=BPE_MERGES)
+    return bpe_encode(_docs(sf_dir), merges, prefix_k=24)
+
+
 # ======================================================================
 # text classification (NB = the deterministic fastText-analog filter)
 # ======================================================================
@@ -7453,7 +7507,7 @@ _DRIVER_PRIORITY = [
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",
-    "lm_familiarity", "familiarity_buckets", "rep_signals",
+    "lm_familiarity", "bpe_encode", "rep_signals",
     "contamination_frac", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
     "pagerank", "hits", "cocitation", "coupling", "anchor_terms",
@@ -7471,7 +7525,9 @@ _DRIVER_PRIORITY = [
     "build_and_search",        # keep the flagship sampled every round
     # rotated out this round (repo oracle gate still covers them at
     # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
-    # fuzzy_term_match, ranking_eval (generic-aggregate / eval-harness
+    # fuzzy_term_match, ranking_eval, familiarity_buckets (bpe_encode
+    # takes familiarity_buckets' slot; the parent lm_familiarity stays
+    # sampled) (generic-aggregate / eval-harness
     # entries displaced by the part-5 training-data operators, which are
     # higher-leverage driver rows; all four stay in the repo gate),
     # plus the r1-r4 long-green rotations: crawl_schedule,

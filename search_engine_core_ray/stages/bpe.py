@@ -139,6 +139,74 @@ def _batch_pair_partials(b: pa.Table) -> pa.Table:
     )
 
 
+def bpe_encode(docs_ds, merges: pa.Table, *, text_col: str = "text",
+               prefix_k: int = 24):
+    """Apply a trained merge table to every document — the ENCODER half
+    of the tokenizer (``learn_bpe`` is the trainer).
+
+    BPE encoding is exactly "apply each merge rule globally in rank
+    order", so the encoder needs only the ``n_merges``-row merge table
+    (always broadcast-safe — real vocabularies are tens of thousands of
+    rules, bytes per rule), NOT the word-type table: each doc's token
+    stream is delimiter-encoded in-row (word reprs joined by a space,
+    which no ``|x||y|`` pattern can cross because symbols are [a-z0-9_]
+    only), then the k literal replaces run as vectorized polars passes.
+    Map-only, zero exchange at any corpus size.
+
+    Returns (doc_id, n_sym, bpe_prefix): the encoded-symbol count and
+    the first ``prefix_k`` symbols space-joined. Docs with no tokens
+    are dropped (nothing to encode).
+    """
+    import polars as pl
+
+    pats = [
+        _pair_pat(x, y)
+        for x, y in zip(merges.column("x").to_pylist(),
+                        merges.column("y").to_pylist())
+    ]
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_sym", pa.int64()),
+         ("bpe_prefix", pa.string())]
+    )
+
+    def kern(b: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(b.select(["doc_id", text_col]))
+            .with_columns(
+                pl.col(text_col).fill_null("")
+                .str.extract_all(TOKEN_RE).alias("tok")
+            )
+            .filter(pl.col("tok").list.len() > 0)
+            .select(["doc_id", "tok"])
+            .explode("tok")
+            .with_columns(
+                # '||c||a||t||_||' — one replace pass builds the repr
+                r="||"
+                + pl.col("tok").str.to_lowercase()
+                     .str.replace_all("(.)", "${1}||")
+                + EOW + "||"
+            )
+            .group_by("doc_id", maintain_order=True)
+            .agg(r=pl.col("r").str.join(" "))
+        )
+        col = pl.col("r")
+        for pat, rep in pats:
+            col = col.str.replace_all(pat, rep, literal=True)
+        df = df.with_columns(
+            syms=col.str.replace_all("|| ||", "||", literal=True)
+            .str.strip_chars("|")
+            .str.split("||")
+        )
+        return df.select(
+            pl.col("doc_id"),
+            pl.col("syms").list.len().cast(pl.Int64).alias("n_sym"),
+            pl.col("syms").list.head(prefix_k).list.join(" ")
+            .alias("bpe_prefix"),
+        ).to_arrow().cast(out_schema)
+
+    return docs_ds.map_batches(kern, batch_format="pyarrow")
+
+
 def learn_bpe(
     docs_ds,
     n_merges: int = 10,
