@@ -932,6 +932,121 @@ def q_gopher_quality(sf_dir: str):
 
 
 @_q(
+    "c4_filter",
+    r"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''),
+                                '[^ \t\n\r\f\v]+') AS ws
+      FROM documents),
+    built AS MATERIALIZED (
+      SELECT doc_id,
+        array_to_string(list_slice(ws, 1, 2 + CAST(doc_id % 9 AS INTEGER)),
+                        ' ') || '.'
+        || chr(10) || array_to_string(list_slice(ws, 1, 5), ' ')
+        || CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || 'please enable javascript to view.'
+                ELSE '' END
+        || repeat(chr(10) || array_to_string(list_slice(ws, 1, 6), ' ')
+                  || '.', CAST(doc_id % 6 AS INTEGER))
+        || CASE WHEN doc_id % 11 = 0
+                THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN chr(10) || 'schema { config } brace done.' ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN chr(10) || 'badword content present here today.'
+                ELSE '' END AS t
+      FROM w),
+    sig AS MATERIALIZED (
+      SELECT doc_id, t, lower(t) AS low, string_split(t, chr(10)) AS lines
+      FROM built),
+    k AS MATERIALIZED (
+      SELECT doc_id,
+             len(lines)::BIGINT AS n_lines,
+             list_filter(lines,
+               l -> regexp_matches(l, '[.!?"]$')
+                    AND len(regexp_extract_all(l,
+                            '[^ \t\n\r\f\v]+')) >= 3
+                    AND NOT contains(lower(l), 'javascript')) AS kept,
+             contains(low, 'lorem ipsum') AS has_lorem,
+             contains(t, '{') AS has_brace,
+             regexp_matches(low, 'badword|uglyword') AS has_badword
+      FROM sig),
+    fin AS (
+      SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+             -- array_to_string([]) is NULL in DuckDB, not '' — coalesce
+             -- so the zero-kept page hashes as the empty clean page
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+             has_lorem, has_brace, has_badword
+      FROM k)
+    SELECT doc_id, n_lines, n_kept,
+           len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+           has_lorem, has_brace, has_badword,
+           (len(regexp_extract_all(cleaned, '[.!?]')) >= 5
+            AND NOT has_lorem AND NOT has_brace
+            AND NOT has_badword) AS keep,
+           md5(cleaned) AS clean_md5
+    FROM fin
+    """,
+)
+def q_c4_filter(sf_dir: str):
+    """The C4/T5 web-text cleaning recipe (Raffel 2020 §2.2) as a
+    map-only signals+verdicts pass (stages/textstats.py c4_signals —
+    line-level terminal-punctuation / 3-word / javascript rules, then
+    the >=5-sentence + lorem-ipsum + brace + blocklist page rules).
+    The punctuation-free single-line synth docs would fail uniformly,
+    so the entry builds a deterministic multi-line page per doc
+    IN-QUERY (word-prefix lines with varied terminal punctuation,
+    sentence-count repeats by doc_id%6, and javascript / lorem /
+    brace / blocklist poison lines on doc_id mod 7/11/13/17), mirrored
+    verbatim in the oracle — line verdicts, sentence counts, page
+    verdicts and the cleaned-page md5 all genuinely vary."""
+
+    def inject(b: pa.Table) -> pa.Table:
+        nl = "\n"
+        df = pl.from_arrow(b.select(["doc_id", "text"])).with_columns(
+            ws=pl.col("text").fill_null("").str.extract_all(
+                ts._WS_CLASS + "+"
+            )
+        )
+        d = pl.col("doc_id")
+        df = df.with_columns(
+            text=pl.col("ws").list.slice(0, 2 + d % 9).list.join(" ")
+            + pl.lit(".")
+            + pl.lit(nl)
+            + pl.col("ws").list.slice(0, 5).list.join(" ")
+            + pl.when(d % 7 == 0)
+            .then(pl.lit(nl + "please enable javascript to view."))
+            .otherwise(pl.lit(""))
+            + (
+                pl.lit(nl)
+                + pl.col("ws").list.slice(0, 6).list.join(" ")
+                + pl.lit(".")
+            )
+            .repeat_by((d % 6).cast(pl.Int64))
+            .list.join("")
+            + pl.when(d % 11 == 0)
+            .then(pl.lit(nl + "lorem ipsum dolor sit amet."))
+            .otherwise(pl.lit(""))
+            + pl.when(d % 13 == 0)
+            .then(pl.lit(nl + "schema { config } brace done."))
+            .otherwise(pl.lit(""))
+            + pl.when(d % 17 == 0)
+            .then(pl.lit(nl + "badword content present here today."))
+            .otherwise(pl.lit("")),
+        )
+        return df.select(["doc_id", "text"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(ts.c4_signals, batch_format="pyarrow")
+    )
+
+
+@_q(
     "url_normalize",
     """
     SELECT doc_id,
@@ -7507,7 +7622,7 @@ _DRIVER_PRIORITY = [
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",
-    "lm_familiarity", "bpe_encode", "rep_signals",
+    "lm_familiarity", "bpe_encode", "c4_filter",
     "contamination_frac", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
     "pagerank", "hits", "cocitation", "coupling", "anchor_terms",
@@ -7525,9 +7640,10 @@ _DRIVER_PRIORITY = [
     "build_and_search",        # keep the flagship sampled every round
     # rotated out this round (repo oracle gate still covers them at
     # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
-    # fuzzy_term_match, ranking_eval, familiarity_buckets (bpe_encode
-    # takes familiarity_buckets' slot; the parent lm_familiarity stays
-    # sampled) (generic-aggregate / eval-harness
+    # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals
+    # (bpe_encode and c4_filter take the familiarity_buckets and
+    # rep_signals slots; the family parents lm_familiarity and
+    # dup_ngram_fraction stay sampled) (generic-aggregate / eval-harness
     # entries displaced by the part-5 training-data operators, which are
     # higher-leverage driver rows; all four stay in the repo gate),
     # plus the r1-r4 long-green rotations: crawl_schedule,

@@ -1349,3 +1349,86 @@ def gopher_signals(batch: pa.Table) -> pa.Table:
             + [("keep", pa.bool_())]
         )
     )
+
+
+# stand-in for C4's external "bad words" blocklist (the published list
+# is a separate repository; the RULE — drop the page on any hit — is
+# what the operator implements, over a deterministic two-word list)
+C4_BAD_WORDS = ("badword", "uglyword")
+
+
+def c4_signals(batch: pa.Table) -> pa.Table:
+    """Per-doc C4 cleaning-rule signals + verdicts (Raffel et al. 2020
+    'Exploring the Limits of Transfer Learning ...' §2.2 — the T5/C4
+    web-text recipe, the line-level sibling of gopher_signals' page
+    heuristics).  Line rules (a line survives iff ALL hold):
+
+      - ends in a terminal punctuation mark (``. ! ? "``)
+      - contains at least 3 words
+      - does not mention 'javascript' (case-insensitive)
+
+    Page rules (the page survives iff ALL hold):
+
+      - at least 5 sentences survive (terminal marks in kept lines)
+      - no 'lorem ipsum', no '{', no blocklisted word anywhere
+
+    All signals are integer/boolean and every compare is exact, so the
+    verdicts are engine-identical; the cleaned page rides out as an
+    md5 so the row stays narrow (the rebuild is the kept-lines join,
+    recomputable map-side)."""
+    import hashlib
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        t=pl.col("text").fill_null("")
+    )
+    df = df.with_columns(lines=pl.col("t").str.split("\n"))
+    df = df.with_columns(
+        n_lines=pl.col("lines").list.len().cast(pl.Int64),
+        kept=pl.col("lines").list.eval(
+            pl.element().filter(
+                pl.element().str.contains(r'[.!?"]$')
+                & (pl.element().str.count_matches(_WS_CLASS + "+") >= 3)
+                & ~pl.element()
+                .str.to_lowercase()
+                .str.contains("javascript", literal=True)
+            )
+        ),
+    )
+    df = df.with_columns(
+        n_kept=pl.col("kept").list.len().cast(pl.Int64),
+        cleaned=pl.col("kept").list.join("\n"),
+        low=pl.col("t").str.to_lowercase(),
+    )
+    df = df.with_columns(
+        n_sentences=pl.col("cleaned")
+        .str.count_matches(r"[.!?]")
+        .cast(pl.Int64),
+        has_lorem=pl.col("low").str.contains("lorem ipsum", literal=True),
+        has_brace=pl.col("t").str.contains("{", literal=True),
+        has_badword=pl.col("low").str.contains(
+            "|".join(C4_BAD_WORDS)
+        ),
+    )
+    df = df.with_columns(
+        keep=(pl.col("n_sentences") >= 5)
+        & ~pl.col("has_lorem")
+        & ~pl.col("has_brace")
+        & ~pl.col("has_badword"),
+    )
+    clean_md5 = [
+        hashlib.md5(s.encode("utf-8")).hexdigest()
+        for s in df.get_column("cleaned").to_list()
+    ]
+    out = df.select(
+        ["doc_id", "n_lines", "n_kept", "n_sentences",
+         "has_lorem", "has_brace", "has_badword", "keep"]
+    ).with_columns(clean_md5=pl.Series(clean_md5, dtype=pl.String))
+    return out.to_arrow().cast(
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_lines", pa.int64()),
+             ("n_kept", pa.int64()), ("n_sentences", pa.int64()),
+             ("has_lorem", pa.bool_()), ("has_brace", pa.bool_()),
+             ("has_badword", pa.bool_()), ("keep", pa.bool_()),
+             ("clean_md5", pa.string())]
+        )
+    )
