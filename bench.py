@@ -437,7 +437,8 @@ def main() -> None:
         "nb_lang_pred", "dsir_logweights",
         "dedup_spans", "chunk_windows", "epoch_shuffle",
         "neardup_clusters", "rrf_hybrid_topk", "ann_recall",
-        "funnel_conversion", "link_components", "mmr_diversify_topk",
+        "funnel_conversion", "retention_cohorts", "link_components",
+        "mmr_diversify_topk",
         "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
         "proximity_topk", "dsir_sample",

@@ -6885,6 +6885,73 @@ def q_funnel_conversion(sf_dir: str):
 
 
 @_q(
+    "retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id,
+             ((epoch_us(ts) // 86400000000) + 3) // 7 AS wk
+      FROM events),
+    act AS (SELECT DISTINCT user_id, wk FROM w),
+    coh AS (SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY 1)
+    SELECT c.cohort_week, a.wk - c.cohort_week AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM act a JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention — the third classic event-analytics shape next
+    to sessionize and funnel: users are cohorted by their FIRST active
+    week and counted at each later week offset (the retention-curve
+    matrix). Weeks are integer Monday-anchored indices computed with
+    pure int64 µs arithmetic ((days + 3) // 7 — day 0, 1970-01-01, is
+    a Thursday), so no date_trunc/timezone semantics can diverge
+    between engines. Shape: one distinct over (user, week) + one
+    per-user min (both sorted_agg, user-domain-bounded), one gated
+    join, one bounded (cohort, offset) reduction — never an
+    event-domain collect."""
+    import pyarrow.compute as pc2
+
+    from ..functions.joins import gated_left_join
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg, sorted_distinct
+
+    DAY_US = 86_400_000_000
+
+    def week(b: pa.Table) -> pa.Table:
+        us = pc2.cast(b.column("ts"), pa.int64()).to_numpy()
+        wk = (us // DAY_US + 3) // 7
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "wk": pa.array(wk, pa.int64()),
+        })
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    act = sorted_distinct(
+        ev.map_batches(week, batch_format="pyarrow"),
+        ["user_id", "wk"], auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+    coh = sorted_agg(
+        act, "user_id", {"cohort_week": ("min", "wk")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+    joined = gated_left_join(act, "user_id", coh, "user_id", ["cohort_week"])
+    offs = joined.map_batches(
+        lambda b: pa.table({
+            "cohort_week": pc2.cast(b.column("cohort_week"), pa.int64()),
+            "week_offset": pc2.subtract(
+                b.column("wk"), pc2.cast(b.column("cohort_week"), pa.int64())
+            ),
+            "one": pa.array([1] * b.num_rows, pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return sorted_agg(
+        offs, ["cohort_week", "week_offset"], {"n_users": ("sum", "one")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+
+@_q(
     "link_components",
     f"""
     WITH RECURSIVE {_LINK_EDGE_CTES.strip()},
@@ -7623,7 +7690,7 @@ _DRIVER_PRIORITY = [
     "prepare_training_data", "training_data_card", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",
     "lm_familiarity", "bpe_encode", "c4_filter",
-    "contamination_frac", "bloom_contaminated", "cm_term_counts",
+    "retention_cohorts", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
     "pagerank", "hits", "cocitation", "coupling", "anchor_terms",
     "image_near_dupes", "audio_near_dupes",
@@ -7640,10 +7707,11 @@ _DRIVER_PRIORITY = [
     "build_and_search",        # keep the flagship sampled every round
     # rotated out this round (repo oracle gate still covers them at
     # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
-    # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals
-    # (bpe_encode and c4_filter take the familiarity_buckets and
-    # rep_signals slots; the family parents lm_familiarity and
-    # dup_ngram_fraction stay sampled) (generic-aggregate / eval-harness
+    # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals,
+    # contamination_frac (bpe_encode, c4_filter and retention_cohorts
+    # take those slots; the family parents lm_familiarity,
+    # dup_ngram_fraction and bloom_contaminated/decontaminate stay
+    # sampled) (generic-aggregate / eval-harness
     # entries displaced by the part-5 training-data operators, which are
     # higher-leverage driver rows; all four stay in the repo gate),
     # plus the r1-r4 long-green rotations: crawl_schedule,
