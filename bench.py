@@ -443,7 +443,8 @@ def main() -> None:
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
         "proximity_topk", "dsir_sample",
         "salted_stratified_sample", "mixture_plan", "script_id",
-        "match_totals", "gopher_quality", "c4_filter", "boilerplate_strip",
+        "match_totals", "facet_counts", "freshness_ranked_topk",
+        "gopher_quality", "c4_filter", "boilerplate_strip",
         "neardup_keep_best", "domain_capped_topk",
         "winnow_overlap_pairs",  # runs winnow_fingerprints inside it
         # pruned_postings_cut is deliberately NOT benched: the prune

@@ -6331,6 +6331,104 @@ def q_match_totals(sf_dir: str):
     )
 
 
+@_q(
+    "facet_counts",
+    _FLAGSHIP_CTES + """
+    SELECT query, regexp_extract(url, 'https?://([^/:]+)', 1) AS domain,
+           count(*)::BIGINT AS n_docs
+    FROM filtered GROUP BY 1, 2
+    """,
+)
+def q_facet_counts(sf_dir: str):
+    """SERP facet aggregation (the FT.AGGREGATE GROUPBY shape next to a
+    search: 'results by site'): for every fixture query, the per-domain
+    histogram of the FULL surviving candidate set — boolean retrieval +
+    min-score, same shared ``filtered`` CTE as match_totals, so the
+    facet totals cross-check the whole candidate set per bucket, not
+    just the visible page.  The facet domain count is bounded by the
+    host universe (facets are domain-bounded at any corpus size); the
+    candidate sweep itself is the engine's normal retrieval."""
+    import re
+
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(_ensure_index(sf_dir))
+    rows: dict = {}
+    for q in FLAGSHIP_QUERIES:
+        for hit in eng.search(q, limit=0)["results"]:
+            dom = re.match(r"https?://([^/:]+)", hit["url"]).group(1)
+            rows[(q, dom)] = rows.get((q, dom), 0) + 1
+    ks = sorted(rows)
+    return pa.table(
+        {
+            "query": pa.array([k[0] for k in ks], pa.string()),
+            "domain": pa.array([k[1] for k in ks], pa.string()),
+            "n_docs": pa.array([rows[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+@_q(
+    "freshness_ranked_topk",
+    _FLAGSHIP_CTES + _FLAGSHIP_NORM + r""",
+    aged AS (
+      SELECT query, orig_id, url,
+             (orig_id % 365)::BIGINT AS age_days,
+             s * (30.0 / (30.0 + (orig_id % 365))) AS fs
+      FROM norm),
+    ranked AS (
+      SELECT query, orig_id AS doc_id, url, age_days,
+             round(fs, 4) AS score,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY round(fs, 4) DESC, orig_id) AS rnk
+      FROM aged)
+    SELECT query, rnk, doc_id, url, age_days, score
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_freshness_ranked_topk(sf_dir: str):
+    """Recency-boosted ranking (the freshness tier news/blog verticals
+    blend into BM25): every normalized flagship candidate is decayed by
+    the standard hyperbolic age factor 30/(30+age_days) before the
+    top-10 cut.  The corpus has no crawl timestamps, so age_days is the
+    deterministic doc_id%365 stand-in (mirrored in the oracle) — the
+    OPERATOR under test is the decay-then-rerank composition, same
+    canonical (round(score,4) DESC, doc_id) presentation as the
+    flagship.  Decay is applied to the engine's own normalized scores
+    (identical float64 expression both sides)."""
+    from ..query.engine import SearchEngine
+
+    eng = SearchEngine(_ensure_index(sf_dir))
+    rows = {"query": [], "rnk": [], "doc_id": [], "url": [],
+            "age_days": [], "score": []}
+    for q in FLAGSHIP_QUERIES:
+        scored = []
+        for hit in eng.search(q, limit=0)["results"]:
+            oid = int(hit["url"].rsplit("/", 1)[1])
+            age = oid % 365
+            fs = np.float64(hit["score"]) * (30.0 / (30.0 + age))
+            sc = float(ts.round_half_away(np.float64(fs), 4))
+            scored.append((sc, oid, hit["url"], age))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (sc, oid, url, age) in enumerate(scored[:10], 1):
+            rows["query"].append(q)
+            rows["rnk"].append(r)
+            rows["doc_id"].append(oid)
+            rows["url"].append(url)
+            rows["age_days"].append(age)
+            rows["score"].append(sc)
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rnk": pa.array(rows["rnk"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "url": pa.array(rows["url"], pa.string()),
+            "age_days": pa.array(rows["age_days"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
 # static pruning cut size: small enough that head terms ("doc", source
 # names, Zipf-head words) are genuinely cut at every fixture SF
 _PRUNE_K = 8
@@ -7692,7 +7790,8 @@ _DRIVER_PRIORITY = [
     "lm_familiarity", "bpe_encode", "c4_filter",
     "retention_cohorts", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
-    "pagerank", "hits", "cocitation", "coupling", "anchor_terms",
+    "pagerank", "hits", "facet_counts", "freshness_ranked_topk",
+    "anchor_terms",
     "image_near_dupes", "audio_near_dupes",
     # -- new in round 5 part 3+ (never driver-checked) --
     "salted_stratified_sample", "mixture_plan", "event_bursts",
@@ -7708,10 +7807,11 @@ _DRIVER_PRIORITY = [
     # rotated out this round (repo oracle gate still covers them at
     # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
     # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals,
-    # contamination_frac (bpe_encode, c4_filter and retention_cohorts
-    # take those slots; the family parents lm_familiarity,
-    # dup_ngram_fraction and bloom_contaminated/decontaminate stay
-    # sampled) (generic-aggregate / eval-harness
+    # contamination_frac, cocitation, coupling (bpe_encode, c4_filter,
+    # retention_cohorts, facet_counts and freshness_ranked_topk take
+    # those slots; the family parents lm_familiarity,
+    # dup_ngram_fraction, bloom_contaminated and pagerank/hits/
+    # anchor_terms stay sampled) (generic-aggregate / eval-harness
     # entries displaced by the part-5 training-data operators, which are
     # higher-leverage driver rows; all four stay in the repo gate),
     # plus the r1-r4 long-green rotations: crawl_schedule,
