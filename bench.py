@@ -441,6 +441,7 @@ def main() -> None:
         "mmr_diversify_topk",
         "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
+        "redirect_resolution",
         "proximity_topk", "dsir_sample",
         "salted_stratified_sample", "mixture_plan", "script_id",
         "match_totals", "facet_counts", "freshness_ranked_topk",

@@ -6332,6 +6332,66 @@ def q_match_totals(sf_dir: str):
 
 
 @_q(
+    "redirect_resolution",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS src, doc_id - 1 AS dst
+      FROM documents WHERE doc_id % 8 <> 0),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM e
+      UNION ALL
+      SELECT w.src, e2.dst, w.hops + 1
+      FROM walk w JOIN e e2 ON e2.src = w.cur)
+    SELECT w.src, w.cur AS final, w.hops
+    FROM walk w WHERE w.cur NOT IN (SELECT src FROM e)
+    UNION ALL
+    SELECT doc_id, doc_id, CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id % 8 = 0
+    """,
+)
+def q_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution (the canonical-URL pass a crawler runs
+    before indexing: 301 chains collapse to their terminal target) via
+    pointer DOUBLING (stages/linkgraph.py resolve_chains): each round
+    one hash self-join of the pointer table skips 2^k hops, so the
+    longest chain resolves in O(log L) rounds with only a scalar
+    advanced-count on the driver — never a per-hop sequential walk.
+    The deterministic redirect map sends doc_id%8!=0 to doc_id-1
+    (chains of length 1..7 ending at each %8==0 canonical), mirrored
+    in the oracle's WITH RECURSIVE walk; hops and final targets are
+    exact integers."""
+    from ..stages.linkgraph import resolve_chains
+
+    ids = _docs(sf_dir, ["doc_id"])
+    nodes = ids.map_batches(
+        lambda b: pa.table({"src": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    edges = ids.map_batches(
+        lambda b: (
+            lambda t: pa.table(
+                {
+                    "src": t.column("doc_id").cast(pa.int64()),
+                    "dst": pc.subtract(
+                        t.column("doc_id").cast(pa.int64()),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                }
+            )
+        )(
+            b.filter(
+                pa.array(
+                    b.column("doc_id").to_numpy(zero_copy_only=False) % 8
+                    != 0
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return resolve_chains(nodes, edges)
+
+
+@_q(
     "facet_counts",
     _FLAGSHIP_CTES + """
     SELECT query, regexp_extract(url, 'https?://([^/:]+)', 1) AS domain,
@@ -7785,7 +7845,7 @@ _DRIVER_PRIORITY = [
     "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
     "source_vocab_overlap",
     # -- never driver-checked through round 4 (31) --
-    "prepare_training_data", "training_data_card", "dedup_spans",
+    "prepare_training_data", "redirect_resolution", "dedup_spans",
     "dup_ngram_fraction", "chunk_windows", "epoch_shuffle",
     "lm_familiarity", "bpe_encode", "c4_filter",
     "retention_cohorts", "bloom_contaminated", "cm_term_counts",
@@ -7807,9 +7867,10 @@ _DRIVER_PRIORITY = [
     # rotated out this round (repo oracle gate still covers them at
     # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
     # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals,
-    # contamination_frac, cocitation, coupling (bpe_encode, c4_filter,
-    # retention_cohorts, facet_counts and freshness_ranked_topk take
-    # those slots; the family parents lm_familiarity,
+    # contamination_frac, cocitation, coupling, training_data_card
+    # (bpe_encode, c4_filter, retention_cohorts, facet_counts,
+    # freshness_ranked_topk and redirect_resolution take those slots;
+    # the family parents lm_familiarity, prepare_training_data{,_v2},
     # dup_ngram_fraction, bloom_contaminated and pagerank/hits/
     # anchor_terms stay sampled) (generic-aggregate / eval-harness
     # entries displaced by the part-5 training-data operators, which are

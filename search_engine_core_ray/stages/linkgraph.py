@@ -1189,3 +1189,106 @@ def _trustrank_distributed(
         ),
         batch_format="pyarrow",
     )
+
+
+def resolve_chains(nodes, edges, *, max_rounds: int = 20):
+    """Resolve a FUNCTIONAL graph (each node has at most one out-edge;
+    acyclic by precondition — redirect maps, canonical-URL pointers,
+    merged-doc forwarding stubs) to its terminal target by pointer
+    doubling: after round k every pointer has skipped 2^k hops, so the
+    longest chain L resolves in ceil(log2(L)) rounds — each round is
+    ONE corpus-proportional hash self-join of the pointer table plus a
+    scalar advanced-row count (the only thing the driver sees).  A
+    per-node walk would need L sequential joins; at web scale redirect
+    chains are short but the doubling bound is what makes the worst
+    case safe.  Cycles would never resolve — the ``max_rounds`` guard
+    raises rather than spinning (production: cut cycles upstream with
+    the component labeler).
+
+    ``nodes``: (src) every node; ``edges``: (src, dst) the redirects.
+    Returns (src, final, hops) for every node — hops = 0 for nodes
+    that do not redirect.
+    """
+    ptr = gated_left_join(
+        nodes.map_batches(
+            lambda b: pa.table({"src": pc.cast(b.column("src"), pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "src",
+        edges.map_batches(
+            lambda b: pa.table(
+                {"esrc": pc.cast(b.column("src"), pa.int64()),
+                 "edst": pc.cast(b.column("dst"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        "esrc", ["edst"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "cur": pc.coalesce(
+                    pc.cast(b.column("edst"), pa.int64()), b.column("src")
+                ),
+                "hops": pc.cast(
+                    pc.is_valid(b.column("edst")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        nxt = gated_left_join(
+            ptr, "cur",
+            ptr.map_batches(
+                lambda b: pa.table(
+                    {"psrc": b.column("src"), "pcur": b.column("cur"),
+                     "phops": b.column("hops")}
+                ),
+                batch_format="pyarrow",
+            ),
+            "psrc", ["pcur", "phops"],
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "cur": pc.coalesce(
+                        pc.cast(b.column("pcur"), pa.int64()), b.column("cur")
+                    ),
+                    "hops": pc.add(
+                        b.column("hops"),
+                        pc.coalesce(
+                            pc.cast(b.column("phops"), pa.int64()),
+                            pa.scalar(0, pa.int64()),
+                        ),
+                    ),
+                    "adv": pc.cast(
+                        pc.greater(
+                            pc.coalesce(
+                                pc.cast(b.column("phops"), pa.int64()),
+                                pa.scalar(0, pa.int64()),
+                            ),
+                            pa.scalar(0, pa.int64()),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        advanced = nxt.sum("adv") or 0
+        ptr = nxt.drop_columns(["adv"]).materialize()
+        if advanced == 0:
+            return ptr.map_batches(
+                lambda b: pa.table(
+                    {"src": b.column("src"), "final": b.column("cur"),
+                     "hops": b.column("hops")}
+                ),
+                batch_format="pyarrow",
+            )
+    raise RuntimeError(
+        f"resolve_chains: not settled after {max_rounds} doubling rounds "
+        "(cycle in the redirect graph, or a chain longer than "
+        f"2^{max_rounds})"
+    )
