@@ -439,7 +439,8 @@ def main() -> None:
         "neardup_clusters", "rrf_hybrid_topk", "ann_recall",
         "funnel_conversion", "retention_cohorts", "link_components",
         "mmr_diversify_topk",
-        "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
+        "pq_codes", "pq_ann", "ivf_pq_ann", "sq8_codes", "sq8_ann",
+        "hop_distance",
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
         "redirect_resolution",
         "proximity_topk", "dsir_sample",

@@ -1012,3 +1012,165 @@ def ivf_pq_ann(
         .groupby("query_id")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ======================================================================
+# Scalar quantization (SQ8) — the per-dimension affine codec (faiss
+# SQuantizer8bit shape) that complements PQ's subspace codebooks: one
+# byte per dimension, trained with only per-dim min/max.  Same
+# micro-grid discipline as PQ: coordinates snap to int64 once
+# (round_half_away * 1e6), then codes, reconstructions and ADC
+# distances are pure integer arithmetic, bit-identical to the oracle.
+# ======================================================================
+
+_SQ_SCALE = 1_000_000
+
+
+def sq8_train(embeddings_ds):
+    """Per-dim (min, max) over the micro-quantized corpus — the whole
+    SQ8 'codebook'.  One O(blocks*d) partial + a d-key bounded groupby;
+    the d-row result is value-domain-bounded, so collecting it to
+    broadcast is exactly the repo's gated-collect discipline.  Returns
+    (mn, mx) int64 arrays of shape (d,)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.textstats import round_half_away
+
+    empty = pa.table(
+        {"dim": pa.array([], pa.int64()), "mn": pa.array([], pa.int64()),
+         "mx": pa.array([], pa.int64())}
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        q = round_half_away(
+            _to_matrix(b) * float(_SQ_SCALE), 0
+        ).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(q.min(axis=0)),
+                "mx": pa.array(q.max(axis=0)),
+            }
+        )
+
+    red = (
+        embeddings_ds.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+    )
+    rows = sorted(red.take_all(), key=lambda r: r["dim"])  # d rows, bounded
+    mn = np.array([int(r["mn"]) for r in rows], dtype=np.int64)
+    mx = np.array([int(r["mx"]) for r in rows], dtype=np.int64)
+    return mn, mx
+
+
+def _sq_codes(X: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """(n, d) floats -> (n, d) int64 codes in 0..255.  code =
+    floor((q-mn)*255/(mx-mn) + 1/2) computed as the exact integer
+    ((q-mn)*510 + (mx-mn)) // (2*(mx-mn)); constant dims code to 0."""
+    from ..stages.textstats import round_half_away
+
+    q = round_half_away(X * float(_SQ_SCALE), 0).astype(np.int64)
+    rng = mx - mn
+    safe = np.where(rng == 0, 1, rng)
+    c = ((q - mn[None, :]) * 510 + safe[None, :]) // (2 * safe[None, :])
+    c[:, rng == 0] = 0
+    return c
+
+
+def sq8_encode(embeddings_ds, mn: np.ndarray, mx: np.ndarray):
+    """-> (vec_id, dim, code) one byte-sized code per (vector, dim).
+    Map-only: (mn, mx) ride one ray.put; int64 headroom (q-mn)*510 <=
+    510 * 2 * scale * max|x| ~ 1e9 — nowhere near the edge."""
+    import ray
+
+    ref = ray.put((mn, mx))
+
+    def encode(b: pa.Table) -> pa.Table:
+        m_n, m_x = ray.get(ref)
+        X = _to_matrix(b)
+        c = _sq_codes(X, m_n, m_x)
+        n, d = c.shape
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "code": pa.array(c.reshape(-1)),
+            }
+        )
+
+    return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def sq8_ann(embeddings_ds, query_ids: list[int], k: int = 10):
+    """Asymmetric top-k over SQ8 codes: the query stays on the exact
+    micro grid, candidates are their reconstructions 255*mn +
+    code*(mx-mn) (both in 255*micro units), and dist = sum_j (255*q_j -
+    r_j)^2 is exact int64 (|term| <= (510*scale*max|x|)^2 ~ 8e16, d=64
+    sum ~ 5e18 < 2^63; drop _SQ_SCALE a decade for wider value ranges).
+    Same two-stage shape as pq_ann: per-batch partial top-k, one
+    per-query merge.  Ascending distance, ties -> lowest neighbor id,
+    self excluded."""
+    import ray
+
+    from ..stages.textstats import round_half_away
+
+    mn, mx = sq8_train(embeddings_ds)
+    qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
+    qgrid = round_half_away(qmat * float(_SQ_SCALE), 0).astype(np.int64)
+    qs = 255 * qgrid  # (Q, d) in 255*micro units
+    qarr = np.asarray(qids, dtype=np.int64)
+    ref = ray.put((mn, mx, qarr, qs))
+
+    def cand(b: pa.Table) -> pa.Table:
+        m_n, m_x, qa, qq = ray.get(ref)
+        X = _to_matrix(b)
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = _sq_codes(X, m_n, m_x)
+        r = 255 * m_n[None, :] + c * (m_x - m_n)[None, :]  # (n, d)
+        out_q, out_n, out_d = [], [], []
+        for row, qid in enumerate(qa.tolist()):
+            diff = qq[row][None, :] - r
+            dist = (diff * diff).sum(axis=1)
+            keep = vids != qid
+            c_ids, c_d = vids[keep], dist[keep]
+            if len(c_ids) > k:
+                sel = np.lexsort((c_ids, c_d))[:k]
+                c_ids, c_d = c_ids[sel], c_d[sel]
+            out_q.append(np.full(len(c_ids), qid, dtype=np.int64))
+            out_n.append(c_ids)
+            out_d.append(c_d)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "dist_us": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    import polars as pl
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort(["dist_us", "neighbor_id"]).head(k)
+        return pa.table(
+            {
+                "query_id": df["query_id"].to_arrow().cast(pa.int64()),
+                "neighbor_id": df["neighbor_id"].to_arrow().cast(pa.int64()),
+                "rnk": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+                "dist_us": df["dist_us"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    return (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(cand, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -7485,6 +7485,81 @@ def q_ivf_pq_ann(sf_dir: str):
     )
 
 
+_SQ8_CTES = """
+    WITH q AS MATERIALIZED (
+      SELECT e.vec_id, gs.k - 1 AS dim,
+             CAST(round(CAST(e.embedding[gs.k] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding)))
+                    AS k) gs),
+    mm AS MATERIALIZED (
+      SELECT dim, min(qv) AS mn, max(qv) AS mx FROM q GROUP BY 1),
+    codes AS MATERIALIZED (
+      SELECT q.vec_id, q.dim,
+             CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT)
+                  ELSE ((q.qv - m.mn) * 510 + (m.mx - m.mn))
+                       // (2 * (m.mx - m.mn)) END AS code
+      FROM q JOIN mm m USING (dim))
+"""
+
+
+@_q(
+    "sq8_codes",
+    _SQ8_CTES + """
+    SELECT vec_id, dim, code FROM codes
+    """,
+)
+def q_sq8_codes(sf_dir: str):
+    """Scalar quantization (SQ8, the faiss SQuantizer8bit shape): one
+    byte per dimension via the per-dim affine grid code =
+    floor((q-mn)*255/(mx-mn) + 1/2) — the codec trained with only
+    per-dim min/max, complementing PQ's subspace codebooks.  Training
+    is one O(blocks*d) partial + a d-key bounded groupby; encoding is
+    map-only with (mn, mx) broadcast once.  Exact: coordinates snap to
+    the int64 micro grid first and the code is the pure-integer
+    ((q-mn)*510 + rng) // (2*rng), identical in both engines."""
+    from ..functions.similarity import sq8_encode, sq8_train
+
+    emb = _read(sf_dir, "embeddings")
+    mn, mx = sq8_train(emb)
+    return sq8_encode(emb, mn, mx)
+
+
+@_q(
+    "sq8_ann",
+    _SQ8_CTES + f""",
+    recon AS MATERIALIZED (
+      SELECT c.vec_id, c.dim, 255 * m.mn + c.code * (m.mx - m.mn) AS r
+      FROM codes c JOIN mm m USING (dim)),
+    qsel AS (SELECT vec_id, dim, 255 * qv AS qs FROM q
+             WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+    d AS (
+      SELECT s.vec_id AS query_id, r.vec_id AS neighbor_id,
+             SUM((s.qs - r.r)::HUGEINT * (s.qs - r.r))::HUGEINT AS dist
+      FROM qsel s JOIN recon r USING (dim)
+      WHERE r.vec_id <> s.vec_id GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist_us,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rnk
+      FROM d)
+    SELECT query_id, rnk, neighbor_id, dist_us FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_sq8_ann(sf_dir: str):
+    """Asymmetric top-k over SQ8 codes: the query stays on the exact
+    micro grid (255*q_j units), candidates are their integer
+    reconstructions 255*mn + code*(mx-mn), and the squared-L2 ADC sum
+    is exact int64 (headroom note in functions/similarity.py sq8_ann —
+    drop the scale a decade for wider value ranges).  Per-batch partial
+    top-k + one per-query merge, the pq_ann two-stage shape; ascending
+    distance, ties to the lowest neighbor id, self excluded."""
+    from ..functions.similarity import sq8_ann
+
+    return sq8_ann(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
 # ----------------------------------------------------------------------
 # crawl-depth BFS over the link graph
 # ----------------------------------------------------------------------
@@ -7851,7 +7926,7 @@ _DRIVER_PRIORITY = [
     "retention_cohorts", "bloom_contaminated", "cm_term_counts",
     "hll_distinct", "heavy_hitters_topk",
     "pagerank", "hits", "facet_counts", "freshness_ranked_topk",
-    "anchor_terms",
+    "sq8_ann",
     "image_near_dupes", "audio_near_dupes",
     # -- new in round 5 part 3+ (never driver-checked) --
     "salted_stratified_sample", "mixture_plan", "event_bursts",
@@ -7867,7 +7942,9 @@ _DRIVER_PRIORITY = [
     # rotated out this round (repo oracle gate still covers them at
     # sf0.001+sf0.01): top_pages_per_domain, domain_stats,
     # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals,
-    # contamination_frac, cocitation, coupling, training_data_card
+    # contamination_frac, cocitation, coupling, training_data_card,
+    # anchor_terms (sq8_ann takes its slot; sq8_codes is exercised
+    # end-to-end inside sq8_ann and stays under the repo gate)
     # (bpe_encode, c4_filter, retention_cohorts, facet_counts,
     # freshness_ranked_topk and redirect_resolution take those slots;
     # the family parents lm_familiarity, prepare_training_data{,_v2},
