@@ -437,7 +437,8 @@ def main() -> None:
         "nb_lang_pred", "dsir_logweights",
         "dedup_spans", "chunk_windows", "epoch_shuffle",
         "neardup_clusters", "rrf_hybrid_topk", "ann_recall",
-        "funnel_conversion", "retention_cohorts", "link_components",
+        "funnel_conversion", "funnel_steps", "retention_cohorts",
+        "link_components",
         "mmr_diversify_topk",
         "pq_codes", "pq_ann", "ivf_pq_ann", "sq8_codes", "sq8_ann",
         "hop_distance",

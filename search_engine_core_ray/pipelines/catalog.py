@@ -7109,6 +7109,132 @@ def q_retention_cohorts(sf_dir: str):
     )
 
 
+_FUNNEL_STEP_US = 24 * 3600 * 1_000_000  # per-step completion window
+
+
+@_q(
+    "funnel_steps",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts))::BIGINT AS s1_us
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS s2_us
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.s1_us
+        AND epoch_us(e.ts) <= s1.s1_us + {_FUNNEL_STEP_US}
+      GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS s3_us
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.s2_us
+        AND epoch_us(e.ts) <= s2.s2_us + {_FUNNEL_STEP_US}
+      GROUP BY 1)
+    SELECT s1.user_id, s1.s1_us,
+           coalesce(s2.s2_us, -1) AS s2_us,
+           coalesce(s3.s3_us, -1) AS s3_us,
+           (1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS steps_completed
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q_funnel_steps(sf_dir: str):
+    """Multi-step STRICT-ORDER funnel (signup -> view -> purchase),
+    each step the earliest qualifying event AFTER the previous step's
+    and within a 24 h completion window — the sequential-pattern query
+    (funnel_conversion is the 2-step variant; this is the k-step
+    chain, 111/24/15 step split at sf0.01).  Each step is one narrow
+    filtered stream + a gated join
+    against the previous step's per-user min + one sorted_agg — k
+    steps cost k user-domain-bounded rounds, never an event-domain
+    collect or a per-user sort.  Exact int64 µs; -1 sentinels for
+    not-reached steps shared with the oracle."""
+    import pyarrow.compute as pc2
+
+    from ..functions.joins import gated_left_join
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def narrow(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.filter(pc2.equal(b.column("event_type"), kind))
+            return pa.table({
+                "user_id": k.column("user_id").cast(pa.int64()),
+                "us": pc2.cast(k.column("ts"), pa.int64()),
+            })
+
+        return f
+
+    def step_after(stream, prev, prev_col: str, out_col: str):
+        """min event time strictly after the per-user prev_col time."""
+        joined = gated_left_join(
+            stream, "user_id", prev, "user_id", [prev_col]
+        ).map_batches(
+            lambda b: (
+                lambda pv, us: pa.table({
+                    "user_id": b.column("user_id"),
+                    "us": b.column("us"),
+                }).filter(
+                    pa.array(
+                        (pv != _SENT)
+                        & (us > pv)
+                        & (us <= pv + _FUNNEL_STEP_US)
+                    )
+                )
+            )(
+                pc2.fill_null(
+                    pc2.cast(b.column(prev_col), pa.int64()), _SENT
+                ).to_numpy(),
+                b.column("us").to_numpy(),
+            ),
+            batch_format="pyarrow",
+        )
+        return sorted_agg(
+            joined, "user_id", {out_col: ("min", "us")},
+            auto_threshold=AUTO_THRESHOLD,
+        ).materialize()
+
+    _SENT = -(1 << 62)
+    s1 = sorted_agg(
+        ev.map_batches(narrow("signup"), batch_format="pyarrow"),
+        "user_id", {"s1_us": ("min", "us")}, auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+    s2 = step_after(
+        ev.map_batches(narrow("view"), batch_format="pyarrow"),
+        s1, "s1_us", "s2_us",
+    )
+    s3 = step_after(
+        ev.map_batches(narrow("purchase"), batch_format="pyarrow"),
+        s2, "s2_us", "s3_us",
+    )
+    out = gated_left_join(s1, "user_id", s2, "user_id", ["s2_us"])
+    out = gated_left_join(out, "user_id", s3, "user_id", ["s3_us"])
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "s1_us": b.column("s1_us"),
+            "s2_us": pc.coalesce(
+                pc.cast(b.column("s2_us"), pa.int64()),
+                pa.scalar(-1, pa.int64()),
+            ),
+            "s3_us": pc.coalesce(
+                pc.cast(b.column("s3_us"), pa.int64()),
+                pa.scalar(-1, pa.int64()),
+            ),
+            "steps_completed": pc.add(
+                pa.scalar(1, pa.int64()),
+                pc.add(
+                    pc.cast(pc.is_valid(b.column("s2_us")), pa.int64()),
+                    pc.cast(pc.is_valid(b.column("s3_us")), pa.int64()),
+                ),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 @_q(
     "link_components",
     f"""
@@ -7915,7 +8041,7 @@ def q_crawl_delta(sf_dir: str):
 _DRIVER_PRIORITY = [
     # -- new this round --
     "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
-    "ann_recall", "funnel_conversion", "link_components",
+    "ann_recall", "funnel_steps", "link_components",
     "mmr_diversify_topk",
     "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
     "source_vocab_overlap",
@@ -7944,7 +8070,9 @@ _DRIVER_PRIORITY = [
     # fuzzy_term_match, ranking_eval, familiarity_buckets, rep_signals,
     # contamination_frac, cocitation, coupling, training_data_card,
     # anchor_terms (sq8_ann takes its slot; sq8_codes is exercised
-    # end-to-end inside sq8_ann and stays under the repo gate)
+    # end-to-end inside sq8_ann and stays under the repo gate),
+    # funnel_conversion (funnel_steps, its strict k-step
+    # generalization, takes the slot)
     # (bpe_encode, c4_filter, retention_cohorts, facet_counts,
     # freshness_ranked_topk and redirect_resolution take those slots;
     # the family parents lm_familiarity, prepare_training_data{,_v2},
