@@ -1149,6 +1149,94 @@ def q_exact_dedup(sf_dir: str):
 
 
 @_q(
+    "cross_source_dupes",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'boilerplate page ' || (doc_id % 3)
+                  ELSE text END AS text,
+             source
+      FROM documents),
+    h AS (SELECT DISTINCT md5(text) AS h, source FROM dirty)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS n_shared
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_dupes(sf_dir: str):
+    """Cross-source duplication matrix — the 'who shares content with
+    whom' audit published corpus reports run before mixing sources
+    (RefinedWeb §4 measures exactly this vs prior corpora): for every
+    source pair, the number of distinct contents present in BOTH.
+    Distinct (content-hash, source) pairs ride one sorted_distinct;
+    the per-hash self-join fan-out is bounded by the SOURCE domain (a
+    hash can pair at most n_sources² ways), so the exchange never
+    quadratics in the corpus; the final reduction is source-pair-
+    bounded.  The fixture corpus has no natural cross-source dupes, so
+    the incremental_dedup boilerplate dirt (doc_id%11) is injected
+    in-query, mirrored in the oracle."""
+    from ..functions.joins import gated_left_join
+    from ..stages.dedup import text_md5
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg, sorted_distinct
+
+    def dirty(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text", "source"]))
+        df = df.with_columns(
+            text=pl.when(pl.col("doc_id") % 11 == 0)
+            .then(
+                pl.lit("boilerplate page ")
+                + (pl.col("doc_id") % 3).cast(pl.String)
+            )
+            .otherwise(pl.col("text"))
+        )
+        return df.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                       ("source", pa.string())])
+        )
+
+    hs = sorted_distinct(
+        _docs(sf_dir, ("doc_id", "text", "source"))
+        .map_batches(dirty, batch_format="pyarrow")
+        .map_batches(
+            lambda b: text_md5(b).select(["text_md5", "source"]).rename_columns(
+                ["h", "source_a"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["h", "source_a"], auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+    pairs = gated_left_join(
+        hs, "h",
+        hs.map_batches(
+            lambda b: b.rename_columns(["h2", "source_b"]),
+            batch_format="pyarrow",
+        ),
+        "h2", ["source_b"],
+    ).map_batches(
+        lambda b: (
+            lambda t: pa.table(
+                {
+                    "source_a": t.column("source_a"),
+                    "source_b": t.column("source_b"),
+                    "one": pa.array([1] * t.num_rows, pa.int64()),
+                }
+            )
+        )(
+            b.filter(
+                pc.less(b.column("source_a"), b.column("source_b"))
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return sorted_agg(
+        pairs, ["source_a", "source_b"], {"n_shared": ("sum", "one")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+
+@_q(
     "incremental_dedup",
     """
     WITH dirty AS (
@@ -5828,6 +5916,68 @@ def q_link_stats(sf_dir: str):
 
 
 @_q(
+    "degree_histogram",
+    f"""
+    WITH {_LINK_EDGE_CTES.strip()},
+    pages AS (
+      SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url
+      FROM documents),
+    outd AS (SELECT src_url AS url, count(*)::BIGINT AS od FROM e GROUP BY 1),
+    ind  AS (SELECT dst_url AS url, count(*)::BIGINT AS i FROM e GROUP BY 1),
+    ls AS (
+      SELECT p.url, COALESCE(o.od, 0)::BIGINT AS od,
+             COALESCE(i.i, 0)::BIGINT AS ind
+      FROM pages p LEFT JOIN outd o USING (url) LEFT JOIN ind i USING (url))
+    SELECT 'out' AS direction, od AS degree, count(*)::BIGINT AS n_pages
+    FROM ls GROUP BY od
+    UNION ALL
+    SELECT 'in' AS direction, ind AS degree, count(*)::BIGINT AS n_pages
+    FROM ls GROUP BY ind
+    """,
+)
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the link graph (the power-law diagnostic
+    every crawl/link-analysis paper plots first — Broder 2000 'Graph
+    structure in the Web'): (direction, degree) -> page count for both
+    out- and in-degree.  Composes link_stats' per-page degrees with one
+    more degree-domain-bounded sorted_agg — degrees are bounded by the
+    max fan-out, so the histogram exchange is tiny at any corpus
+    size."""
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import link_stats
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_agg
+
+    ls = link_stats(read_documents_as_linked_pages(sf_dir))
+
+    def to_long(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "direction": pa.array(["out"] * n + ["in"] * n, pa.string()),
+                "degree": pa.array(
+                    np.concatenate(
+                        [
+                            b.column("out_degree").to_numpy(
+                                zero_copy_only=False
+                            ),
+                            b.column("in_degree").to_numpy(
+                                zero_copy_only=False
+                            ),
+                        ]
+                    ).astype(np.int64)
+                ),
+                "one": pa.array([1] * (2 * n), pa.int64()),
+            }
+        )
+
+    return sorted_agg(
+        ls.map_batches(to_long, batch_format="pyarrow"),
+        ["direction", "degree"], {"n_pages": ("sum", "one")},
+        auto_threshold=AUTO_THRESHOLD,
+    )
+
+
+@_q(
     "anchor_terms",
     f"""
     WITH {_LINK_EDGE_CTES.strip()},
@@ -8043,7 +8193,7 @@ _DRIVER_PRIORITY = [
     "prepare_training_data_v2", "neardup_clusters", "rrf_hybrid_topk",
     "ann_recall", "funnel_steps", "link_components",
     "mmr_diversify_topk",
-    "pq_codes", "pq_ann", "ivf_pq_ann", "hop_distance",
+    "cross_source_dupes", "pq_ann", "ivf_pq_ann", "hop_distance",
     "source_vocab_overlap",
     # -- never driver-checked through round 4 (31) --
     "prepare_training_data", "redirect_resolution", "dedup_spans",
@@ -8072,7 +8222,9 @@ _DRIVER_PRIORITY = [
     # anchor_terms (sq8_ann takes its slot; sq8_codes is exercised
     # end-to-end inside sq8_ann and stays under the repo gate),
     # funnel_conversion (funnel_steps, its strict k-step
-    # generalization, takes the slot)
+    # generalization, takes the slot), pq_codes (cross_source_dupes
+    # takes the slot; PQ encoding runs inside the sampled pq_ann and
+    # ivf_pq_ann)
     # (bpe_encode, c4_filter, retention_cohorts, facet_counts,
     # freshness_ranked_topk and redirect_resolution take those slots;
     # the family parents lm_familiarity, prepare_training_data{,_v2},
