@@ -6639,6 +6639,132 @@ def q_freshness_ranked_topk(sf_dir: str):
     )
 
 
+_PASSAGE_TERMS = ("dup", "vector", "merge")
+
+
+@_q(
+    "passage_bm25_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''), '\S+') AS toks,
+             len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0, CASE WHEN n_tok = 0 THEN 0
+                  ELSE 1 + (GREATEST(n_tok, 32) - 32
+                            + 24 - 1) // 24 END)) AS chunk_id
+      FROM t),
+    ch AS MATERIALIZED (
+      SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+             LEAST(32, n_tok - chunk_id * 24)::BIGINT AS tok_len,
+             list_slice(toks, chunk_id * 24 + 1,
+                        chunk_id * 24
+                          + LEAST(32, n_tok - chunk_id * 24)) AS ctoks
+      FROM c),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(tok_len)::DOUBLE / count(*) AS avgdl
+      FROM ch),
+    qt(term) AS (VALUES ('dup'), ('vector'), ('merge')),
+    tfs AS MATERIALIZED (
+      SELECT q.term, ch.doc_id, ch.chunk_id, ch.tok_len,
+             len(list_filter(ch.ctoks, x -> lower(x) = q.term))::DOUBLE AS tf
+      FROM ch CROSS JOIN qt q),
+    dfs AS (
+      SELECT term, (count(*) FILTER (WHERE tf > 0))::DOUBLE AS df
+      FROM tfs GROUP BY 1),
+    scored AS (
+      SELECT t2.term, t2.doc_id, t2.chunk_id,
+             round(ln((s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (t2.tf * 2.2)
+                   / (t2.tf + 1.2 * (0.25 + 0.75 * t2.tok_len / s.avgdl)),
+                   4) AS score
+      FROM tfs t2 JOIN dfs d USING (term) CROSS JOIN stats s
+      WHERE t2.tf > 0),
+    ranked AS (
+      SELECT term, doc_id, chunk_id, score,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id, chunk_id)
+               AS rnk
+      FROM scored)
+    SELECT term, rnk, doc_id, chunk_id, score FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_passage_bm25_topk(sf_dir: str):
+    """Passage retrieval (the MaxP/dense-retrieval chunking shape —
+    Callan 1994 passages, Dai & Callan 2019 MaxP): documents split into
+    the standard 32/24 sliding windows (chunk_windows' exact layout),
+    each PASSAGE scored as its own BM25 unit (passage-level tf, df, N
+    and avgdl; k1=1.2, b=0.75 — the engine's constants), top-10
+    passages per query term in the canonical (round(score,4) DESC,
+    doc_id, chunk_id) order.  Shape: the chunk map is map-only;
+    corpus stats are a blocks-bounded partial sum (term-domain df);
+    the cut is grouped_topk — no global sort, no driver row
+    traffic beyond the bounded stats."""
+    from ..stages.packing import chunk_windows
+    from ..stages.shuffle import grouped_topk
+    from ..stages.textstats import round_half_away
+
+    chunks = chunk_windows(_docs(sf_dir), window=32, stride=24).materialize()
+    terms = list(_PASSAGE_TERMS)
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["chunk_text", "tok_len"]))
+        toks = df.get_column("chunk_text").str.split(" ")
+        row = {
+            "n": [b.num_rows],
+            "sum_len": [int(df.get_column("tok_len").sum() or 0)],
+        }
+        for t in terms:
+            row[f"df_{t}"] = [
+                int((toks.list.count_matches(t) > 0).sum())
+            ]
+        return pa.table(row)
+
+    parts = chunks.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    avgdl = sum(r["sum_len"] for r in parts) / n_total
+    dfs = {t: float(sum(r[f"df_{t}"] for r in parts)) for t in terms}
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "chunk_id", "tok_len",
+                                     "chunk_text"]))
+        toks = df.get_column("chunk_text").str.to_lowercase().str.split(" ")
+        out = {"term": [], "doc_id": [], "chunk_id": [], "score": []}
+        dl = df.get_column("tok_len").to_numpy().astype(np.float64)
+        dids = df.get_column("doc_id").to_numpy()
+        cids = df.get_column("chunk_id").to_numpy()
+        for t in terms:
+            tf = toks.list.count_matches(t).to_numpy().astype(np.float64)
+            m = tf > 0
+            if not m.any():
+                continue
+            idf = np.log((n_total - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s = idf * (tf[m] * 2.2) / (
+                tf[m] + 1.2 * (0.25 + 0.75 * dl[m] / avgdl)
+            )
+            out["term"].extend([t] * int(m.sum()))
+            out["doc_id"].extend(dids[m].tolist())
+            out["chunk_id"].extend(cids[m].tolist())
+            out["score"].extend(round_half_away(s, 4).tolist())
+        return pa.table(
+            {
+                "term": pa.array(out["term"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "chunk_id": pa.array(out["chunk_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+    scored = chunks.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, "term", "score", 10, descending=True,
+        tiebreak_cols=["doc_id", "chunk_id"], emit_rank="rnk",
+    )
+
+
 # static pruning cut size: small enough that head terms ("doc", source
 # names, Zipf-head words) are genuinely cut at every fixture SF
 _PRUNE_K = 8
@@ -8205,7 +8331,7 @@ _DRIVER_PRIORITY = [
     "sq8_ann",
     "image_near_dupes", "audio_near_dupes",
     # -- new in round 5 part 3+ (never driver-checked) --
-    "salted_stratified_sample", "mixture_plan", "event_bursts",
+    "salted_stratified_sample", "passage_bm25_topk", "event_bursts",
     "trustrank", "crawl_delta", "pruned_postings_cut",
     "proximity_topk", "dsir_sample",
     # -- new in round 5 part 5 (never driver-checked) --
@@ -8224,7 +8350,8 @@ _DRIVER_PRIORITY = [
     # funnel_conversion (funnel_steps, its strict k-step
     # generalization, takes the slot), pq_codes (cross_source_dupes
     # takes the slot; PQ encoding runs inside the sampled pq_ann and
-    # ivf_pq_ann)
+    # ivf_pq_ann), mixture_plan (passage_bm25_topk takes the slot;
+    # salted_stratified_sample keeps the sampling family sampled)
     # (bpe_encode, c4_filter, retention_cohorts, facet_counts,
     # freshness_ranked_topk and redirect_resolution take those slots;
     # the family parents lm_familiarity, prepare_training_data{,_v2},
