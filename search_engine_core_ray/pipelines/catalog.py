@@ -6765,6 +6765,144 @@ def q_passage_bm25_topk(sf_dir: str):
     )
 
 
+@_q(
+    "maxp_doc_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(coalesce(text, ''), '\S+') AS toks,
+             len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0, CASE WHEN n_tok = 0 THEN 0
+                  ELSE 1 + (GREATEST(n_tok, 32) - 32
+                            + 24 - 1) // 24 END)) AS chunk_id
+      FROM t),
+    ch AS MATERIALIZED (
+      SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+             LEAST(32, n_tok - chunk_id * 24)::BIGINT AS tok_len,
+             list_slice(toks, chunk_id * 24 + 1,
+                        chunk_id * 24
+                          + LEAST(32, n_tok - chunk_id * 24)) AS ctoks
+      FROM c),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(tok_len)::DOUBLE / count(*) AS avgdl
+      FROM ch),
+    qt(term) AS (VALUES ('dup'), ('vector'), ('merge')),
+    tfs AS MATERIALIZED (
+      SELECT q.term, ch.doc_id, ch.chunk_id, ch.tok_len,
+             len(list_filter(ch.ctoks, x -> lower(x) = q.term))::DOUBLE AS tf
+      FROM ch CROSS JOIN qt q),
+    dfs AS (
+      SELECT term, (count(*) FILTER (WHERE tf > 0))::DOUBLE AS df
+      FROM tfs GROUP BY 1),
+    scored AS (
+      SELECT t2.term, t2.doc_id,
+             round(ln((s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (t2.tf * 2.2)
+                   / (t2.tf + 1.2 * (0.25 + 0.75 * t2.tok_len / s.avgdl)),
+                   4) AS score
+      FROM tfs t2 JOIN dfs d USING (term) CROSS JOIN stats s
+      WHERE t2.tf > 0),
+    best AS (
+      SELECT term, doc_id, max(score) AS score
+      FROM scored GROUP BY 1, 2),
+    ranked AS (
+      SELECT term, doc_id, score,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM best)
+    SELECT term, rnk, doc_id, score FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_maxp_doc_topk(sf_dir: str):
+    """MaxP document ranking (Dai & Callan 2019): a document's score is
+    its BEST passage's BM25 — the standard long-document retrieval rule
+    when the scoring unit is capped (BERT's 512, a passage index).
+    Composes passage_bm25_topk's scored stream with one (term, doc)
+    max (sorted_agg over rounded milli-units so the max is
+    integer-exact) and a per-term grouped_topk cut.  Max is taken over
+    the ROUNDED passage scores, matching the oracle's max over
+    round(,4) values."""
+    from ..stages.packing import chunk_windows
+    from ..stages.shuffle import AUTO_THRESHOLD, grouped_topk, sorted_agg
+    from ..stages.textstats import round_half_away
+
+    chunks = chunk_windows(_docs(sf_dir), window=32, stride=24).materialize()
+    terms = list(_PASSAGE_TERMS)
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["chunk_text", "tok_len"]))
+        toks = df.get_column("chunk_text").str.split(" ")
+        row = {
+            "n": [b.num_rows],
+            "sum_len": [int(df.get_column("tok_len").sum() or 0)],
+        }
+        for t in terms:
+            row[f"df_{t}"] = [int((toks.list.count_matches(t) > 0).sum())]
+        return pa.table(row)
+
+    parts = chunks.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    avgdl = sum(r["sum_len"] for r in parts) / n_total
+    dfs = {t: float(sum(r[f"df_{t}"] for r in parts)) for t in terms}
+
+    def score(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "tok_len", "chunk_text"]))
+        toks = df.get_column("chunk_text").str.to_lowercase().str.split(" ")
+        out = {"term": [], "doc_id": [], "s_milli": []}
+        dl = df.get_column("tok_len").to_numpy().astype(np.float64)
+        dids = df.get_column("doc_id").to_numpy()
+        for t in terms:
+            tf = toks.list.count_matches(t).to_numpy().astype(np.float64)
+            m = tf > 0
+            if not m.any():
+                continue
+            idf = np.log((n_total - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s = idf * (tf[m] * 2.2) / (
+                tf[m] + 1.2 * (0.25 + 0.75 * dl[m] / avgdl)
+            )
+            # rounded score * 1e4 is integer-exact: max/compare in int64
+            out["term"].extend([t] * int(m.sum()))
+            out["doc_id"].extend(dids[m].tolist())
+            out["s_milli"].extend(
+                np.rint(round_half_away(s, 4) * 10_000).astype(np.int64)
+                .tolist()
+            )
+        return pa.table(
+            {
+                "term": pa.array(out["term"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "s_milli": pa.array(out["s_milli"], pa.int64()),
+            }
+        )
+
+    best = sorted_agg(
+        chunks.map_batches(score, batch_format="pyarrow"),
+        ["term", "doc_id"], {"s_milli": ("max", "s_milli")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "term": b.column("term"),
+                "doc_id": b.column("doc_id"),
+                "score": pa.array(
+                    b.column("s_milli").to_numpy(zero_copy_only=False)
+                    / 10_000.0,
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(
+        best, "term", "score", 10, descending=True,
+        tiebreak_cols=["doc_id"], emit_rank="rnk",
+    )
+
+
 # static pruning cut size: small enough that head terms ("doc", source
 # names, Zipf-head words) are genuinely cut at every fixture SF
 _PRUNE_K = 8
