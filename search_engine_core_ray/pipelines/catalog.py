@@ -1149,6 +1149,110 @@ def q_exact_dedup(sf_dir: str):
 
 
 @_q(
+    "table_profile",
+    """
+    SELECT 'doc_id' AS col, count(*)::BIGINT AS n,
+           (count(*) - count(doc_id))::BIGINT AS n_null,
+           count(DISTINCT doc_id)::BIGINT AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*), (count(*) - count(text)),
+           count(DISTINCT text),
+           CAST(min(length(text)) AS VARCHAR),
+           CAST(max(length(text)) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), (count(*) - count(lang)),
+           count(DISTINCT lang), min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), (count(*) - count(source)),
+           count(DISTINCT source), min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), (count(*) - count(n_chars)),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_table_profile(sf_dir: str):
+    """Column profiler — the data-quality pass a pipeline runs before
+    touching a new 100-TB table: per column, row/null counts, EXACT
+    distinct cardinality, and min/max (text profiles by LENGTH so the
+    min/max stays a scalar; strings profile lexicographically, exact
+    for this ASCII corpus).  Shape: one narrow pass per column emits
+    value rows for a sorted_distinct count (exact — the scale path for
+    wide text columns is hll_distinct, cross-referenced); null and
+    min/max stats fold from per-block partials; the final table is
+    column-domain-bounded (5 rows)."""
+    from ..stages.shuffle import AUTO_THRESHOLD, sorted_distinct
+
+    cols = [
+        ("doc_id", "int"), ("text", "len"), ("lang", "str"),
+        ("source", "str"), ("n_chars", "int"),
+    ]
+    ds = _read(sf_dir, "documents").materialize()
+    rows = []
+    for col, kind in cols:
+        def partial(b: pa.Table, _c=col, _k=kind) -> pa.Table:
+            arr = b.column(_c)
+            nn = int(pc.sum(pc.cast(pc.is_null(arr), pa.int64())).as_py() or 0)
+            valid = arr.drop_null()
+            if len(valid) == 0:
+                mn = mx = None
+            elif _k == "len":
+                ln = pc.utf8_length(valid)
+                mn = str(pc.min(ln).as_py())
+                mx = str(pc.max(ln).as_py())
+            else:
+                mn = str(pc.min(valid).as_py())
+                mx = str(pc.max(valid).as_py())
+            return pa.table(
+                {
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "n_null": pa.array([nn], pa.int64()),
+                    "mn": pa.array([mn], pa.string()),
+                    "mx": pa.array([mx], pa.string()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        n = sum(p["n"] for p in parts)
+        n_null = sum(p["n_null"] for p in parts)
+        mns = [p["mn"] for p in parts if p["mn"] is not None]
+        mxs = [p["mx"] for p in parts if p["mx"] is not None]
+        if col in ("doc_id", "n_chars") or kind == "len":
+            mn = str(min(int(v) for v in mns)) if mns else None
+            mx = str(max(int(v) for v in mxs)) if mxs else None
+        else:
+            mn = min(mns) if mns else None
+            mx = max(mxs) if mxs else None
+        nd = sorted_distinct(
+            ds.map_batches(
+                # drop nulls pre-distinct: COUNT(DISTINCT) excludes
+                # them, and sorted_distinct rejects null keys loudly
+                lambda b, _c=col: b.select([_c])
+                .rename_columns(["v"])
+                .drop_null(),
+                batch_format="pyarrow",
+            ),
+            "v", auto_threshold=AUTO_THRESHOLD,
+        ).count()
+        rows.append((col, n, n_null, nd, mn, mx))
+    return pa.table(
+        {
+            "col": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+            "min_val": pa.array([r[4] for r in rows], pa.string()),
+            "max_val": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+@_q(
     "cross_source_dupes",
     """
     WITH dirty AS (
