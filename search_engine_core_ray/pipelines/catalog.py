@@ -1253,6 +1253,48 @@ def q_table_profile(sf_dir: str):
 
 
 @_q(
+    "split_by_domain",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(source), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_by_domain(sf_dir: str):
+    """Leakage-safe train/val/test assignment: the split is a hash of
+    the DOMAIN, not the document, so every page of a site lands in the
+    same split and near-duplicate pages can never straddle the
+    boundary (the grouped-split rule published eval methodology
+    requires).  The hash is the md5 hex prefix compared lexicographically
+    ('cd' = 205/256 ~ 80%, 'e6' = 230/256 ~ 90% — exact string algebra,
+    identical in both engines; no engine-internal hash functions).
+    Map-only: the per-batch kernel hashes the batch's UNIQUE sources
+    only."""
+    import hashlib
+
+    def kern(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "source"]))
+        uniq = df.get_column("source").unique().to_list()
+        m = {}
+        for s in uniq:
+            h2 = hashlib.md5(s.encode()).hexdigest()[:2]
+            m[s] = "train" if h2 < "cd" else ("val" if h2 < "e6" else "test")
+        df = df.with_columns(
+            split=pl.col("source").replace_strict(m, return_dtype=pl.String)
+        )
+        return df.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                       ("split", pa.string())])
+        )
+
+    return _docs(sf_dir, ("doc_id", "source")).map_batches(
+        kern, batch_format="pyarrow"
+    )
+
+
+@_q(
     "cross_source_dupes",
     """
     WITH dirty AS (
