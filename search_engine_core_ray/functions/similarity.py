@@ -1123,6 +1123,19 @@ def sq8_ann(embeddings_ds, query_ids: list[int], k: int = 10):
     from ..stages.textstats import round_half_away
 
     mn, mx = sq8_train(embeddings_ds)
+    # int64 headroom guard: worst per-dim |255*q - r| <= 255*(mx-mn)
+    # plus the query's own offset; d * term^2 must stay under 2^63 or
+    # numpy would WRAP silently (the oracle's HUGEINT would error
+    # loudly instead — fail the same way here).
+    d = len(mn)
+    # tight: queries are corpus rows, so qs and r both lie in
+    # [255*mn_j, 255*mx_j] and |qs - r| <= 255*(mx_j - mn_j)
+    worst = 255 * int(np.max(mx - mn)) if d else 0
+    if d * worst * worst >= 2**63:
+        raise ValueError(
+            f"sq8_ann int64 ADC overflow risk: d={d}, worst per-dim "
+            f"term {worst}^2 — lower _SQ_SCALE (value range too wide)"
+        )
     qmat, qids = _collect_query_vectors(embeddings_ds, query_ids)
     qgrid = round_half_away(qmat * float(_SQ_SCALE), 0).astype(np.int64)
     qs = 255 * qgrid  # (Q, d) in 255*micro units

@@ -1279,6 +1279,11 @@ def q_split_by_domain(sf_dir: str):
         uniq = df.get_column("source").unique().to_list()
         m = {}
         for s in uniq:
+            if s is None:
+                # oracle parity: md5(NULL) is NULL, NULL < 'cd' is NULL,
+                # the CASE falls through to ELSE 'test'
+                m[s] = "test"
+                continue
             h2 = hashlib.md5(s.encode()).hexdigest()[:2]
             m[s] = "train" if h2 < "cd" else ("val" if h2 < "e6" else "test")
         df = df.with_columns(
@@ -6787,10 +6792,10 @@ def q_freshness_ranked_topk(sf_dir: str):
 
 _PASSAGE_TERMS = ("dup", "vector", "merge")
 
-
-@_q(
-    "passage_bm25_topk",
-    r"""
+# shared chunking + passage-stats CTE chain (chunk_windows' exact 32/24
+# layout -> per-(term, chunk) tf -> passage df/N/avgdl) — one constant
+# so passage_bm25_topk and maxp_doc_topk can never drift apart
+_PASSAGE_CTES = r"""
     WITH t AS (
       SELECT doc_id,
              regexp_extract_all(coalesce(text, ''), '\S+') AS toks,
@@ -6820,7 +6825,38 @@ _PASSAGE_TERMS = ("dup", "vector", "merge")
       FROM ch CROSS JOIN qt q),
     dfs AS (
       SELECT term, (count(*) FILTER (WHERE tf > 0))::DOUBLE AS df
-      FROM tfs GROUP BY 1),
+      FROM tfs GROUP BY 1)
+"""
+
+
+def _passage_stats(chunks, terms):
+    """(n_total, avgdl, {term: df}) from blocks-bounded partials over
+    the chunk stream.  Tokens are LOWERCASED before the df membership
+    test — the same normalization the score kernels and the oracle's
+    ``lower(x) = q.term`` apply (an unlowered df pass would silently
+    skew idf on any mixed-case corpus)."""
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["chunk_text", "tok_len"]))
+        toks = df.get_column("chunk_text").str.to_lowercase().str.split(" ")
+        row = {
+            "n": [b.num_rows],
+            "sum_len": [int(df.get_column("tok_len").sum() or 0)],
+        }
+        for t in terms:
+            row[f"df_{t}"] = [int((toks.list.count_matches(t) > 0).sum())]
+        return pa.table(row)
+
+    parts = chunks.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    avgdl = sum(r["sum_len"] for r in parts) / n_total
+    dfs = {t: float(sum(r[f"df_{t}"] for r in parts)) for t in terms}
+    return n_total, avgdl, dfs
+
+
+@_q(
+    "passage_bm25_topk",
+    _PASSAGE_CTES + r""",
     scored AS (
       SELECT t2.term, t2.doc_id, t2.chunk_id,
              round(ln((s.n - d.df + 0.5) / (d.df + 0.5))
@@ -6855,24 +6891,7 @@ def q_passage_bm25_topk(sf_dir: str):
 
     chunks = chunk_windows(_docs(sf_dir), window=32, stride=24).materialize()
     terms = list(_PASSAGE_TERMS)
-
-    def stat_partial(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b.select(["chunk_text", "tok_len"]))
-        toks = df.get_column("chunk_text").str.split(" ")
-        row = {
-            "n": [b.num_rows],
-            "sum_len": [int(df.get_column("tok_len").sum() or 0)],
-        }
-        for t in terms:
-            row[f"df_{t}"] = [
-                int((toks.list.count_matches(t) > 0).sum())
-            ]
-        return pa.table(row)
-
-    parts = chunks.map_batches(stat_partial, batch_format="pyarrow").take_all()
-    n_total = sum(r["n"] for r in parts)
-    avgdl = sum(r["sum_len"] for r in parts) / n_total
-    dfs = {t: float(sum(r[f"df_{t}"] for r in parts)) for t in terms}
+    n_total, avgdl, dfs = _passage_stats(chunks, terms)
 
     def score(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b.select(["doc_id", "chunk_id", "tok_len",
@@ -6913,37 +6932,7 @@ def q_passage_bm25_topk(sf_dir: str):
 
 @_q(
     "maxp_doc_topk",
-    r"""
-    WITH t AS (
-      SELECT doc_id,
-             regexp_extract_all(coalesce(text, ''), '\S+') AS toks,
-             len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tok
-      FROM documents),
-    c AS (
-      SELECT doc_id, toks, n_tok,
-             unnest(range(0, CASE WHEN n_tok = 0 THEN 0
-                  ELSE 1 + (GREATEST(n_tok, 32) - 32
-                            + 24 - 1) // 24 END)) AS chunk_id
-      FROM t),
-    ch AS MATERIALIZED (
-      SELECT doc_id, chunk_id::BIGINT AS chunk_id,
-             LEAST(32, n_tok - chunk_id * 24)::BIGINT AS tok_len,
-             list_slice(toks, chunk_id * 24 + 1,
-                        chunk_id * 24
-                          + LEAST(32, n_tok - chunk_id * 24)) AS ctoks
-      FROM c),
-    stats AS (
-      SELECT count(*)::DOUBLE AS n,
-             sum(tok_len)::DOUBLE / count(*) AS avgdl
-      FROM ch),
-    qt(term) AS (VALUES ('dup'), ('vector'), ('merge')),
-    tfs AS MATERIALIZED (
-      SELECT q.term, ch.doc_id, ch.chunk_id, ch.tok_len,
-             len(list_filter(ch.ctoks, x -> lower(x) = q.term))::DOUBLE AS tf
-      FROM ch CROSS JOIN qt q),
-    dfs AS (
-      SELECT term, (count(*) FILTER (WHERE tf > 0))::DOUBLE AS df
-      FROM tfs GROUP BY 1),
+    _PASSAGE_CTES + r""",
     scored AS (
       SELECT t2.term, t2.doc_id,
              round(ln((s.n - d.df + 0.5) / (d.df + 0.5))
@@ -6978,22 +6967,7 @@ def q_maxp_doc_topk(sf_dir: str):
 
     chunks = chunk_windows(_docs(sf_dir), window=32, stride=24).materialize()
     terms = list(_PASSAGE_TERMS)
-
-    def stat_partial(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b.select(["chunk_text", "tok_len"]))
-        toks = df.get_column("chunk_text").str.split(" ")
-        row = {
-            "n": [b.num_rows],
-            "sum_len": [int(df.get_column("tok_len").sum() or 0)],
-        }
-        for t in terms:
-            row[f"df_{t}"] = [int((toks.list.count_matches(t) > 0).sum())]
-        return pa.table(row)
-
-    parts = chunks.map_batches(stat_partial, batch_format="pyarrow").take_all()
-    n_total = sum(r["n"] for r in parts)
-    avgdl = sum(r["sum_len"] for r in parts) / n_total
-    dfs = {t: float(sum(r[f"df_{t}"] for r in parts)) for t in terms}
+    n_total, avgdl, dfs = _passage_stats(chunks, terms)
 
     def score(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b.select(["doc_id", "tok_len", "chunk_text"]))

@@ -1278,7 +1278,11 @@ def resolve_chains(nodes, edges, *, max_rounds: int = 20):
             batch_format="pyarrow",
         ).materialize()
         advanced = nxt.sum("adv") or 0
-        ptr = nxt.drop_columns(["adv"]).materialize()
+        # keep the adv column — the next round's join kernel and the
+        # final return map both build explicit column lists, and a
+        # drop_columns().materialize() would copy the whole
+        # corpus-sized pointer table a second time per round
+        ptr = nxt
         if advanced == 0:
             return ptr.map_batches(
                 lambda b: pa.table(

@@ -154,3 +154,52 @@ def test_c4_signals_empty_and_all_dropped(ray_session):
     assert out[2]["n_kept"] == 1
     assert out[2]["n_sentences"] == 5
     assert out[2]["keep"]
+
+
+def test_passage_stats_lowercases_df(ray_session):
+    """df must use the same lowercasing as tf/oracle: a chunk holding
+    only 'Dup' counts toward df('dup')."""
+    import ray.data
+
+    from search_engine_core_ray.pipelines.catalog import _passage_stats
+
+    chunks = ray.data.from_arrow(
+        pa.table(
+            {
+                "chunk_text": pa.array(["Dup table", "merge merge"],
+                                       pa.string()),
+                "tok_len": pa.array([2, 2], pa.int64()),
+            }
+        )
+    )
+    n, avgdl, dfs = _passage_stats(chunks, ["dup", "merge"])
+    assert n == 2 and avgdl == 2.0
+    assert dfs["dup"] == 1.0  # 'Dup' lowercased into the membership test
+    assert dfs["merge"] == 1.0
+
+
+def test_split_by_domain_null_source(ray_session, tmp_path):
+    """NULL source maps to 'test' (oracle CASE fall-through), not a
+    crash."""
+    import pyarrow.parquet as pq
+
+    from search_engine_core_ray.pipelines.catalog import QUERIES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a", "b"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["src0", None], pa.string()),
+                "n_chars": pa.array([1, 1], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = {r["doc_id"]: r["split"]
+           for r in QUERIES["split_by_domain"](str(d)).take_all()}
+    assert out[1] == "test"
+    assert out[0] in ("train", "val", "test")
