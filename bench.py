@@ -442,7 +442,7 @@ def main() -> None:
         "mmr_diversify_topk",
         "pq_codes", "pq_ann", "ivf_pq_ann", "sq8_codes", "sq8_ann",
         "hop_distance", "degree_histogram", "cross_source_dupes",
-        "passage_bm25_topk", "maxp_doc_topk", "table_profile", "split_by_domain",
+        "passage_bm25_topk", "maxp_doc_topk", "table_profile", "split_by_domain", "anchor_bm25_topk",
         "source_vocab_overlap", "event_bursts", "trustrank", "crawl_delta",
         "redirect_resolution",
         "proximity_topk", "dsir_sample",

@@ -6157,6 +6157,137 @@ def q_anchor_terms(sf_dir: str):
     return anchor_terms(read_documents_as_linked_pages(sf_dir))
 
 
+_ANCHOR_QUERY_TERMS = ("doc", "25", "100")
+
+
+@_q(
+    "anchor_bm25_topk",
+    f"""
+    WITH {_LINK_EDGE_CTES.strip()},
+    at AS (
+      SELECT 'https://' || src_source || '.example.com/doc/' || t AS dst_url,
+             'doc' AS term
+      FROM tgt WHERE t <> src
+      UNION ALL
+      SELECT 'https://' || src_source || '.example.com/doc/' || t AS dst_url,
+             CAST(t AS VARCHAR) AS term
+      FROM tgt WHERE t <> src AND t >= 10),
+    atc AS MATERIALIZED (
+      SELECT dst_url, term, count(*)::BIGINT AS cnt FROM at GROUP BY 1, 2),
+    dl AS MATERIALIZED (
+      SELECT dst_url, sum(cnt)::BIGINT AS dl FROM atc GROUP BY 1),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl),
+    qt(term) AS (VALUES ('doc'), ('25'), ('100')),
+    dfs AS (
+      SELECT a.term, count(*)::DOUBLE AS df
+      FROM atc a JOIN qt USING (term) GROUP BY 1),
+    scored AS (
+      SELECT a.term, a.dst_url,
+             round(ln((s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (CAST(a.cnt AS DOUBLE) * 2.2)
+                   / (CAST(a.cnt AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)),
+                   4) AS score
+      FROM atc a JOIN qt USING (term) JOIN dfs d USING (term)
+      JOIN dl l USING (dst_url) CROSS JOIN stats s),
+    ranked AS (
+      SELECT term, dst_url, score,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, dst_url) AS rnk
+      FROM scored)
+    SELECT term, rnk, dst_url, score FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_anchor_bm25_topk(sf_dir: str):
+    """Anchor-field BM25 ranking — pages ranked by how OTHER pages
+    describe them (Brin & Page 1998 §2: anchor words index the link
+    TARGET; the BM25F anchor field of Robertson 2004): each target's
+    anchor-term counts become a per-target document (dl = total anchor
+    terms), scored with the engine's k1/b over anchor-field df/N/avgdl
+    and cut to top-10 per query term.  'doc' rides every anchor
+    (df = N -> a negative idf — kept, that's BM25's head-term
+    behavior); numeric terms discriminate single targets.  Shape:
+    anchor_terms' sorted_agg exchange + one dst-keyed dl reduce + a
+    bounded stats collect + grouped_topk — no global sort."""
+    from ..functions.joins import gated_left_join
+    from ..sources.pages import read_documents_as_linked_pages
+    from ..stages.linkgraph import anchor_terms
+    from ..stages.shuffle import AUTO_THRESHOLD, grouped_topk, sorted_agg
+    from ..stages.textstats import round_half_away
+
+    terms = list(_ANCHOR_QUERY_TERMS)
+    atc = anchor_terms(read_documents_as_linked_pages(sf_dir)).materialize()
+    dl = sorted_agg(
+        atc, "dst_url", {"dl": ("sum", "cnt")},
+        auto_threshold=AUTO_THRESHOLD,
+    ).materialize()
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "s": pa.array(
+                    [int(pc.sum(b.column("dl")).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    parts = dl.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    avgdl = sum(r["s"] for r in parts) / n_total
+
+    hits = atc.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("term"), pa.array(terms))),
+        batch_format="pyarrow",
+    ).materialize()
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in sorted_agg(
+            hits.map_batches(
+                lambda b: b.append_column(
+                    "one", pa.array([1] * b.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            ),
+            "term", {"df": ("sum", "one")}, auto_threshold=AUTO_THRESHOLD,
+        ).take_all()
+    }
+
+    scored = gated_left_join(hits, "dst_url", dl, "dst_url", ["dl"])
+
+    def score(b: pa.Table) -> pa.Table:
+        tms = b.column("term").to_pylist()
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        dlv = b.column("dl").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idf = np.array(
+            [
+                np.log((n_total - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in tms
+            ]
+        )
+        s = idf * (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlv / avgdl))
+        return pa.table(
+            {
+                "term": b.column("term"),
+                "dst_url": b.column("dst_url"),
+                "score": pa.array(round_half_away(s, 4), pa.float64()),
+            }
+        )
+
+    return grouped_topk(
+        scored.map_batches(score, batch_format="pyarrow"),
+        "term", "score", 10, descending=True,
+        tiebreak_cols=["dst_url"], emit_rank="rnk",
+    )
+
+
 def _hits_sql(iterations: int | None = None, scale: int = 10**12) -> str:
     """Programmatically unrolled fixed-point HITS oracle (quotient
     renormalization — see stages/linkgraph.py): per iteration six
